@@ -11,9 +11,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from big_data_toolkit_spark.operators import sql_analytics
+from big_data_toolkit_spark.operators import (
+    inverted_index,
+    pagerank,
+    spam,
+    sql_analytics,
+    text_analytics,
+)
 
-_MODULES = [sql_analytics]
+_MODULES = [sql_analytics, text_analytics, inverted_index, spam, pagerank]
 
 
 def entry(spark: SparkSession) -> DataFrame:

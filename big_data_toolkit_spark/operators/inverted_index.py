@@ -1,0 +1,184 @@
+"""Inverted index build + boolean retrieval (reference a3, Spark-first).
+
+Reference shapes replaced:
+
+* ``a3/BuildInvertedIndexCompressed.java:44-128``: per (term, docno) tf via
+  secondary-sorted MapReduce shuffle, postings delta-encoded as VInts into a
+  sorted MapFile. Engine: ``explode(tokens) → groupBy(term, doc_id).count()``
+  and the per-term document frequency as a window count. Parquet's
+  dictionary/RLE/ZSTD encoding replaces hand-rolled VInt compression, and a
+  term-range-partitioned, term-sorted parquet layout replaces the MapFile:
+  point lookups (``term = x``) hit one partition via predicate pushdown +
+  min/max row-group skipping — the distributed analogue of
+  ``MapFile.Reader.get(term)`` (``a3/BooleanRetrievalCompressed.java:66-74``).
+* ``a3/BooleanRetrievalCompressed.java:80-135``: postfix stack machine over
+  AND/OR whose operands are decoded postings sets. Engine keeps the ~30-line
+  driver-side postfix parser (U7 in SURVEY §2.10) but each stack entry is a
+  *DataFrame plan* of doc_ids; AND compiles to an inner join, OR to
+  union+distinct, and Catalyst optimizes/broadcasts the composed tree.
+  Fetching matched text (``:185-191`` raw-collection seek) is a join back to
+  the documents table.
+
+Scale: postings build is one shuffle on (term, doc_id) — high cardinality,
+partial-aggregated. Retrieval per term scans only that term's partition
+(pushdown); AND/OR over k terms joins k small doc-id sets, all broadcastable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_toolkit_spark.catalog import load_table
+from big_data_toolkit_spark.functions.text import DUCKDB_TOKENS, tokenize
+
+# Test-bench retrieval queries (postfix, reference a3 query format).
+QUERY_AND = "spark fast AND"
+QUERY_OR = "spark fast OR"
+QUERY_MIXED = "spark fast AND slow OR"
+
+
+def postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form inverted index: (term, doc_id, tf, df).
+
+    tf = term occurrences within the doc; df = number of docs containing the
+    term. Long form (rather than ARRAY<STRUCT>) keeps the result join-able
+    and the oracle comparison exact; ``postings_nested`` packs the classic
+    per-term postings-list layout.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    return tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+
+
+def postings_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term postings list: (term, df, postings ARRAY<STRUCT<doc_id,tf>>).
+
+    The engine-native analogue of the reference's MapFile record
+    (``a3/BuildInvertedIndexCompressed.java:107-118``): docno-sorted postings
+    plus df, with Parquet encoding standing in for VInt delta compression.
+    """
+    tf = postings(spark, sf_dir).drop("df")
+    return tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("postings"),
+    )
+
+
+def write_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    """Persist the index term-range-partitioned and term-sorted (S6 sink).
+
+    ``repartitionByRange`` gives disjoint term ranges per file and
+    ``sortWithinPartitions`` makes parquet row-group min/max statistics tight,
+    so a ``term = x`` lookup prunes to a single file + row group — the
+    cluster-scale replacement for the reference's sorted MapFile.
+    """
+    (
+        postings_nested(spark, sf_dir)
+        .repartitionByRange(8, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+
+
+def lookup_term(spark: SparkSession, index_path: str, term: str) -> DataFrame:
+    """Point lookup against a written index (S7: MapFile.get equivalent)."""
+    return spark.read.parquet(index_path).where(F.col("term") == F.lit(term))
+
+
+def boolean_retrieval(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Evaluate a postfix boolean query; returns (doc_id, text).
+
+    Postfix stack machine per ``a3/BooleanRetrievalCompressed.java:80-99``,
+    with DataFrames of doc_ids as stack entries. Unknown terms yield empty
+    sets (missing MapFile keys in the reference).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    term_docs = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokenize("text"))).alias("term")
+    )
+
+    stack: list[DataFrame] = []
+    for tok in query.split():
+        if tok == "AND":
+            right, left = stack.pop(), stack.pop()
+            stack.append(left.join(right, "doc_id"))
+        elif tok == "OR":
+            right, left = stack.pop(), stack.pop()
+            stack.append(left.union(right).distinct())
+        else:
+            stack.append(
+                term_docs.where(F.col("term") == F.lit(tok)).select("doc_id")
+            )
+    if len(stack) != 1:
+        raise ValueError(f"malformed postfix query: {query!r}")
+    return stack[0].join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", "text"
+    )
+
+
+def boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boolean_retrieval(spark, sf_dir, QUERY_AND)
+
+
+def boolean_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boolean_retrieval(spark, sf_dir, QUERY_OR)
+
+
+def boolean_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boolean_retrieval(spark, sf_dir, QUERY_MIXED)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_TOKENS = DUCKDB_TOKENS.format(col="text")
+
+_TERM_DOCS = f"""
+  SELECT doc_id, unnest(list_distinct({_TOKENS})) AS term FROM documents
+"""
+
+
+def _contains(term: str) -> str:
+    return f"SELECT doc_id FROM term_docs WHERE term = '{term}'"
+
+
+ORACLE_SQL: dict[str, str] = {
+    "inverted_index": f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+        tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id)
+        SELECT term, doc_id, tf, count(*) OVER (PARTITION BY term) AS df
+        FROM tf
+    """,
+    "boolean_and": f"""
+        WITH term_docs AS ({_TERM_DOCS}),
+        hits AS ({_contains("spark")} INTERSECT {_contains("fast")})
+        SELECT d.doc_id, d.text FROM hits JOIN documents d USING (doc_id)
+    """,
+    "boolean_or": f"""
+        WITH term_docs AS ({_TERM_DOCS}),
+        hits AS ({_contains("spark")} UNION {_contains("fast")})
+        SELECT d.doc_id, d.text FROM hits JOIN documents d USING (doc_id)
+    """,
+    "boolean_mixed": f"""
+        WITH term_docs AS ({_TERM_DOCS}),
+        hits AS (
+          ({_contains("spark")} INTERSECT {_contains("fast")})
+          UNION {_contains("slow")}
+        )
+        SELECT d.doc_id, d.text FROM hits JOIN documents d USING (doc_id)
+    """,
+}
+
+QUERIES = {
+    "inverted_index": postings,
+    "boolean_and": boolean_and,
+    "boolean_or": boolean_or,
+    "boolean_mixed": boolean_mixed,
+}

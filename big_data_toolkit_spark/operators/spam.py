@@ -1,0 +1,248 @@
+"""Spam-classifier surface: scoring, ensembles, sequential SGD training
+(reference a5, re-expressed Spark-first).
+
+Reference shapes replaced:
+
+* Scoring (``a5/ApplySpamClassifier.scala:42-75``): spamminess = Σ weights of
+  the document's features, label by sign. The reference ``collectAsMap``s the
+  model and probes it in a closure; the engine expresses scoring as
+  explode(features) ⋈ broadcast(weights) → sum — pure JVM-side plan, no UDF.
+  For the oracle-checked variant the "model" is integer document frequencies
+  (exactly the U2 structure — feature lookup + additive score — with
+  cross-engine-exact integer arithmetic).
+* Ensemble (``a5/ApplyEnsembleSpamClassifier.scala:61-98``): three models
+  trained on disjoint splits; average score and majority vote as column
+  expressions over the three score columns.
+* Online SGD training (``a5/TrainSpamClassifier.scala:49-87``): inherently
+  sequential — the reference forces one reducer via ``groupByKey(1)`` and
+  folds docs in order, w[f] += (y − σ(Σw[f]))·0.002. The engine makes the
+  same trade explicit: sort by doc_id, coalesce to ONE partition, run the
+  loop in a single Arrow-batched ``mapInPandas`` pass. This is the one
+  operator that cannot scale out by construction (documented order
+  dependence); scoring with the trained model is fully distributed.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_toolkit_spark.catalog import load_table
+from big_data_toolkit_spark.functions.text import DUCKDB_TOKENS, tokenize
+
+LEARN_RATE = 0.002  # a5/TrainSpamClassifier.scala:55
+N_SPLITS = 3  # ensemble arity, a5/ApplyEnsembleSpamClassifier.scala:61-63
+
+
+def _doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, features ARRAY<STRING>) with distinct tokens as
+    the feature set (stands in for the reference's int feature ids)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.array_distinct(tokenize("text")).alias("features")
+    )
+
+
+def df_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer 'model': feature → document frequency (used as its weight)."""
+    return (
+        _doc_features(spark, sf_dir)
+        .select(F.explode("features").alias("feature"))
+        .groupBy("feature")
+        .agg(F.count("*").alias("weight"))
+    )
+
+
+def spam_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every doc with the df-weight model; label above global mean.
+
+    (doc_id, score, label) — score is an exact integer sum, the label
+    threshold is the corpus mean score (computed in-plan, broadcast).
+    """
+    feats = _doc_features(spark, sf_dir)
+    weights = df_weights(spark, sf_dir)
+    scores = (
+        feats.select("doc_id", F.explode("features").alias("feature"))
+        .join(F.broadcast(weights), "feature")
+        .groupBy("doc_id")
+        .agg(F.sum("weight").alias("score"))
+    )
+    mean = scores.agg(F.avg("score").alias("mean_score"))
+    return scores.crossJoin(F.broadcast(mean)).select(
+        "doc_id",
+        "score",
+        F.when(F.col("score") > F.col("mean_score"), F.lit("spam"))
+        .otherwise(F.lit("ham"))
+        .alias("label"),
+    )
+
+
+def spam_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three split-trained models, combined by sum and majority vote.
+
+    Splits are ``doc_id % 3`` (disjoint, deterministic — the engine analogue
+    of the reference's three model part-files). Each model_k = df over its
+    split; every doc is scored under all three and combined:
+    score_sum = Σ_k score_k, vote = majority of per-model (score_k > split
+    mean_k). All-integer per-model scores keep the oracle exact.
+    """
+    feats = _doc_features(spark, sf_dir)
+    exploded = feats.select("doc_id", F.explode("features").alias("feature"))
+
+    per_model_scores = []
+    for k in range(N_SPLITS):
+        model_k = (
+            exploded.where(F.col("doc_id") % N_SPLITS == k)
+            .groupBy("feature")
+            .agg(F.count("*").alias("weight"))
+        )
+        score_k = (
+            exploded.join(F.broadcast(model_k), "feature")
+            .groupBy("doc_id")
+            .agg(F.coalesce(F.sum("weight"), F.lit(0)).alias(f"score_{k}"))
+        )
+        mean_k = score_k.agg(F.avg(f"score_{k}").alias(f"mean_{k}"))
+        per_model_scores.append(
+            score_k.crossJoin(F.broadcast(mean_k)).select(
+                "doc_id",
+                f"score_{k}",
+                (F.col(f"score_{k}") > F.col(f"mean_{k}"))
+                .cast("int")
+                .alias(f"vote_{k}"),
+            )
+        )
+
+    out = per_model_scores[0]
+    for nxt in per_model_scores[1:]:
+        out = out.join(nxt, "doc_id")
+    vote_sum = sum(F.col(f"vote_{k}") for k in range(N_SPLITS))
+    score_sum = sum(F.col(f"score_{k}") for k in range(N_SPLITS))
+    return out.select(
+        "doc_id",
+        score_sum.alias("score_sum"),
+        F.when(vote_sum * 2 > N_SPLITS, F.lit("spam"))
+        .otherwise(F.lit("ham"))
+        .alias("vote_label"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequential online SGD (rows-only check: order-dependent, non-SQL)
+# ---------------------------------------------------------------------------
+
+
+def sgd_train(
+    spark: SparkSession, sf_dir: str, learn_rate: float = LEARN_RATE
+) -> DataFrame:
+    """Train logistic-regression weights sequentially; returns (feature, weight).
+
+    Deterministic replica of ``a5/TrainSpamClassifier.scala:49-87``: docs in
+    doc_id order, one partition, online update per doc. Target label:
+    y = 1 if lang == 'en' else 0 (the corpus' stand-in for spam/ham).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.array_distinct(tokenize("text")).alias("features"),
+    )
+    one_part = docs.orderBy("doc_id").coalesce(1)
+
+    def train(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w: dict[str, float] = {}
+        for pdf in batches:  # batches arrive in partition order
+            for _, row in pdf.iterrows():
+                score = sum(w.get(f, 0.0) for f in row["features"])
+                prob = 1.0 / (1.0 + math.exp(-score))
+                delta = (row["y"] - prob) * learn_rate
+                for f in row["features"]:
+                    w[f] = w.get(f, 0.0) + delta
+        yield pd.DataFrame(
+            {"feature": list(w.keys()), "weight": list(w.values())}
+        )
+
+    return one_part.mapInPandas(train, schema="feature string, weight double")
+
+
+def sgd_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed scoring with the sequentially-trained model (U2 path).
+
+    (doc_id, spamminess, label): spamminess = Σ trained weights of the doc's
+    features; label = 'spam' iff spamminess > 0
+    (``a5/ApplySpamClassifier.scala:60-75``).
+    """
+    weights = sgd_train(spark, sf_dir)
+    feats = _doc_features(spark, sf_dir)
+    return (
+        feats.select("doc_id", F.explode("features").alias("feature"))
+        .join(F.broadcast(weights), "feature", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.coalesce(F.sum("weight"), F.lit(0.0)), 6).alias("spamminess")
+        )
+        .select(
+            "doc_id",
+            "spamminess",
+            F.when(F.col("spamminess") > 0, F.lit("spam"))
+            .otherwise(F.lit("ham"))
+            .alias("label"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_FEATS = f"list_distinct({DUCKDB_TOKENS.format(col='text')})"
+
+ORACLE_SQL: dict[str, str] = {
+    "spam_score": f"""
+        WITH feats AS (SELECT doc_id, unnest({_FEATS}) AS feature FROM documents),
+        weights AS (SELECT feature, count(*) AS weight FROM feats GROUP BY feature),
+        scores AS (
+          SELECT f.doc_id, sum(w.weight) AS score
+          FROM feats f JOIN weights w USING (feature)
+          GROUP BY f.doc_id
+        ),
+        m AS (SELECT avg(score) AS mean_score FROM scores)
+        SELECT doc_id, score,
+               CASE WHEN score > m.mean_score THEN 'spam' ELSE 'ham' END AS label
+        FROM scores CROSS JOIN m
+    """,
+    "spam_ensemble": f"""
+        WITH feats AS (SELECT doc_id, unnest({_FEATS}) AS feature FROM documents),
+        s0 AS (SELECT f.doc_id, sum(w.weight) AS score FROM feats f JOIN
+               (SELECT feature, count(*) AS weight FROM feats WHERE doc_id % 3 = 0
+                GROUP BY feature) w USING (feature) GROUP BY f.doc_id),
+        s1 AS (SELECT f.doc_id, sum(w.weight) AS score FROM feats f JOIN
+               (SELECT feature, count(*) AS weight FROM feats WHERE doc_id % 3 = 1
+                GROUP BY feature) w USING (feature) GROUP BY f.doc_id),
+        s2 AS (SELECT f.doc_id, sum(w.weight) AS score FROM feats f JOIN
+               (SELECT feature, count(*) AS weight FROM feats WHERE doc_id % 3 = 2
+                GROUP BY feature) w USING (feature) GROUP BY f.doc_id),
+        m0 AS (SELECT avg(score) AS m FROM s0),
+        m1 AS (SELECT avg(score) AS m FROM s1),
+        m2 AS (SELECT avg(score) AS m FROM s2)
+        SELECT s0.doc_id,
+               s0.score + s1.score + s2.score AS score_sum,
+               CASE WHEN (CASE WHEN s0.score > m0.m THEN 1 ELSE 0 END +
+                          CASE WHEN s1.score > m1.m THEN 1 ELSE 0 END +
+                          CASE WHEN s2.score > m2.m THEN 1 ELSE 0 END) * 2 > 3
+                    THEN 'spam' ELSE 'ham' END AS vote_label
+        FROM s0 JOIN s1 USING (doc_id) JOIN s2 USING (doc_id)
+        CROSS JOIN m0 CROSS JOIN m1 CROSS JOIN m2
+    """,
+    # sgd_train / sgd_score: order-dependent sequential training — rows-only
+    # (SURVEY §7 risk list: non-oracle-checkable by design).
+}
+
+QUERIES = {
+    "spam_score": spam_score,
+    "spam_ensemble": spam_ensemble,
+    "sgd_train": sgd_train,
+    "sgd_score": sgd_score,
+}

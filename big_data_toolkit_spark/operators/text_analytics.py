@@ -1,0 +1,244 @@
+"""Text analytics: word count, pattern-following counts, bigram relative
+frequency, PMI (reference a0 / a2 / a1, re-expressed Spark-first).
+
+Reference shapes replaced:
+
+* Word count (``a0/WordCountSimple.java:52-85``): mapper emit (w,1) +
+  combiner/reducer sum → ``explode(tokens) → groupBy(word).count()``.
+  Catalyst plans partial+final HashAggregate — the combiner is automatic.
+* PerfectX (``a0/PerfectX.java:62-95``): "token following the word X",
+  count > 1 suppression → in-array adjacent pairs + filter + HAVING.
+* Bigram relative frequency pairs/stripes
+  (``a2/ComputeBigramRelativeFrequencyPairs.scala:61-110``, ``…Stripes``):
+  the reference's special ``(a,*)`` marginal key and one-reducer-per-left-word
+  partitioner collapse into a window sum over the pair counts. Pairs and
+  stripes are two *formats* of the same computation; the engine emits the
+  long (pairs) form, from which ``map_from_entries`` can build stripes.
+* PMI pairs/stripes (``a2/PairsPMI.scala:60-108``, ``a1/PairsPMI.java``):
+  2-job pipeline with a reducer-side side-file join becomes one plan:
+  pair counts ⋈ unigram line-counts (twice) ⋈ total-line-count, then
+  ``log10``. The side-file re-read (``a1/PairsPMI.java:130-174``) is just a
+  broadcast join here.
+
+Scale: pair/bigram generation is in-row (no self-join shuffle); the only
+shuffles are the groupBy aggregations on (a,b) pair keys — high cardinality,
+well distributed, partial-aggregated map-side. The 40-token distinct cap
+bounds per-row pair fan-out at 40·39. Unigram counts are tiny relative to
+pair counts and broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_toolkit_spark.catalog import load_table
+from big_data_toolkit_spark.functions.text import (
+    DUCKDB_TOKENS,
+    adjacent_pairs,
+    ordered_cooccurrence_pairs,
+    tokenize,
+)
+
+# Engine test-bench parameters.
+PIVOT_WORD = "table"  # reference uses "perfect" (a0/PerfectX); TESTDATA corpus has no "perfect"
+PMI_THRESHOLD = 10
+PMI_TOKEN_CAP = 40
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tokenize("text").alias("tokens"))
+
+
+def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token → global count over documents.text (a0 WordCountSimple)."""
+    return (
+        _doc_tokens(spark, sf_dir)
+        .select(F.explode("tokens").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def next_word_after(
+    spark: SparkSession, sf_dir: str, pivot: str = PIVOT_WORD
+) -> DataFrame:
+    """Count of each token appearing immediately after ``pivot``; keep >1.
+
+    a0 PerfectX semantics (``a0/PerfectX.java:62-95``) with the pivot word
+    parameterized. Pair formation is in-array (no shuffle before the agg).
+    """
+    toks = _doc_tokens(spark, sf_dir)
+    return (
+        toks.select(F.explode(adjacent_pairs(F.col("tokens"))).alias("p"))
+        .where(F.col("p.a") == F.lit(pivot))
+        .groupBy(F.col("p.b").alias("word"))
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > 1)
+    )
+
+
+def bigram_relative_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a, b, cnt, rel_freq) where rel_freq = count(a,b) / count(a, *).
+
+    a2 ComputeBigramRelativeFrequency{Pairs,Stripes}. The marginal is a
+    window sum over the aggregated pair counts — the aggregation shuffle
+    already co-located each left word's pairs, so the window adds no extra
+    shuffle (partitioning on (a,b) is a superset... Catalyst reuses the
+    exchange when partitioned by 'a'; see test_plans for the check).
+    """
+    toks = _doc_tokens(spark, sf_dir)
+    pair_counts = (
+        toks.select(F.explode(adjacent_pairs(F.col("tokens"))).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    marginal = Window.partitionBy("a")
+    return pair_counts.select(
+        "a",
+        "b",
+        "cnt",
+        (F.col("cnt") / F.sum("cnt").over(marginal)).alias("rel_freq"),
+    )
+
+
+def pmi_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: int = PMI_THRESHOLD,
+    cap: int = PMI_TOKEN_CAP,
+) -> DataFrame:
+    """PMI over word co-occurrence in documents (a1/a2 PairsPMI).
+
+    Semantics (pinned, see SURVEY §7 risk list): per line take the first
+    ``cap`` tokens, dedup (set semantics — order irrelevant for pairs), form
+    all ordered pairs x≠y; keep pairs co-occurring in ≥ ``threshold`` lines;
+    PMI = log10( c(x,y) · N / (c(x) · c(y)) ) with N = total line count and
+    c(w) = lines containing w (within the cap). Rounded to 6 decimals for
+    cross-engine float stability.
+    """
+    toks = _doc_tokens(spark, sf_dir).select(
+        "doc_id",
+        F.array_distinct(F.slice("tokens", 1, cap)).alias("words"),
+    )
+    toks.cache()  # reused by pair counts and unigram counts
+
+    pair_counts = (
+        toks.select(F.explode(ordered_cooccurrence_pairs(F.col("words"))).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= threshold)
+    )
+    word_counts = (
+        toks.select(F.explode("words").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("w_cnt"))
+    )
+    n_lines = toks.agg(F.count("*").alias("n_lines"))
+
+    wc_a = word_counts.select(F.col("w").alias("a"), F.col("w_cnt").alias("cnt_a"))
+    wc_b = word_counts.select(F.col("w").alias("b"), F.col("w_cnt").alias("cnt_b"))
+    return (
+        pair_counts.join(F.broadcast(wc_a), "a")
+        .join(F.broadcast(wc_b), "b")
+        .crossJoin(F.broadcast(n_lines))
+        .select(
+            "a",
+            "b",
+            "pair_cnt",
+            F.round(
+                F.log10(
+                    F.col("pair_cnt")
+                    * F.col("n_lines")
+                    / (F.col("cnt_a") * F.col("cnt_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_TOKENS = DUCKDB_TOKENS.format(col="text")
+
+ORACLE_SQL: dict[str, str] = {
+    "word_count": f"""
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest({_TOKENS}) AS word FROM documents)
+        GROUP BY word
+    """,
+    "next_word_after": f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest({_TOKENS}) AS word,
+                 unnest(range(1, len({_TOKENS}) + 1)) AS pos
+          FROM documents
+        ),
+        pairs AS (
+          SELECT word AS a,
+                 lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+          FROM tok
+        )
+        SELECT b AS word, count(*) AS cnt
+        FROM pairs
+        WHERE a = '{PIVOT_WORD}' AND b IS NOT NULL
+        GROUP BY b
+        HAVING count(*) > 1
+    """,
+    "bigram_relative_frequency": f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest({_TOKENS}) AS word,
+                 unnest(range(1, len({_TOKENS}) + 1)) AS pos
+          FROM documents
+        ),
+        bigrams AS (
+          SELECT doc_id, word AS a,
+                 lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+          FROM tok
+        ),
+        pair_counts AS (
+          SELECT a, b, count(*) AS cnt FROM bigrams WHERE b IS NOT NULL GROUP BY a, b
+        )
+        SELECT a, b, cnt, cnt / sum(cnt) OVER (PARTITION BY a) AS rel_freq
+        FROM pair_counts
+    """,
+    "pmi_pairs": f"""
+        WITH words AS (
+          SELECT doc_id, list_distinct(({_TOKENS})[1:{PMI_TOKEN_CAP}]) AS ws
+          FROM documents
+        ),
+        exploded AS (SELECT doc_id, unnest(ws) AS w FROM words),
+        pair_counts AS (
+          SELECT x.w AS a, y.w AS b, count(*) AS pair_cnt
+          FROM exploded x JOIN exploded y
+            ON x.doc_id = y.doc_id AND x.w <> y.w
+          GROUP BY x.w, y.w
+          HAVING count(*) >= {PMI_THRESHOLD}
+        ),
+        word_counts AS (SELECT w, count(*) AS w_cnt FROM exploded GROUP BY w),
+        n AS (SELECT count(*) AS n_lines FROM words)
+        SELECT p.a, p.b, p.pair_cnt,
+               round(log10(p.pair_cnt * n.n_lines /
+                           (wa.w_cnt * wb.w_cnt)), 6) AS pmi
+        FROM pair_counts p
+        JOIN word_counts wa ON p.a = wa.w
+        JOIN word_counts wb ON p.b = wb.w
+        CROSS JOIN n
+    """,
+}
+
+QUERIES = {
+    "word_count": word_count,
+    "next_word_after": next_word_after,
+    "bigram_relative_frequency": bigram_relative_frequency,
+    "pmi_pairs": pmi_pairs,
+}

@@ -1,0 +1,70 @@
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from big_data_toolkit_spark.operators import pagerank as pr
+from tests.conftest import SF_SMOKE
+
+
+def _numpy_ppr(edges, sources, alpha, iters):
+    """Straight NumPy replica of a4/RunPersonalizedPageRankBasic semantics."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = {i: [] for i in range(n)}
+    for s, d in edges:
+        out[idx[s]].append(idx[d])
+    rank = np.zeros(n)
+    src_idx = [idx[s] for s in sources]
+    for i in src_idx:
+        rank[i] = 1.0 / len(sources)
+    for _ in range(iters):
+        incoming = np.zeros(n)
+        dangling = 0.0
+        for i in range(n):
+            if out[i]:
+                share = rank[i] / len(out[i])
+                for j in out[i]:
+                    incoming[j] += share
+            else:
+                dangling += rank[i]
+        new = (1 - alpha) * incoming
+        for i in src_idx:
+            new[i] += (1 - alpha) * dangling / len(sources) + alpha / len(sources)
+        rank = new
+    return {nodes[i]: rank[i] for i in range(n)}
+
+
+def test_matches_numpy_replica(spark):
+    edges_df = pr.derive_graph(spark, SF_SMOKE)
+    edges = [(r["src"], r["dst"]) for r in edges_df.collect()]
+    expected = _numpy_ppr(edges, pr.DEFAULT_SOURCES, pr.ALPHA, pr.DEFAULT_ITERS)
+
+    got = {
+        r["node"]: r["rank"]
+        for r in pr.personalized_pagerank(spark, edges_df).collect()
+    }
+    assert got.keys() == expected.keys()
+    for node, val in expected.items():
+        assert got[node] == pytest.approx(val, abs=1e-9), f"node {node}"
+
+
+def test_dangling_and_teleport_mass_conservation(spark):
+    """Total rank stays ~1: dangling mass is recycled to sources, teleport
+    adds alpha; with everything linear, sum(rank) == 1 each iteration."""
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 1)], ["src", "dst"]
+    )  # node 3 dangles
+    ranks = pr.personalized_pagerank(spark, df, sources=(1,), iters=5)
+    total = sum(r["rank"] for r in ranks.collect())
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_top20_shape(spark):
+    out = pr.pagerank_top20(spark, SF_SMOKE)
+    rows = out.collect()
+    assert len(rows) == 20
+    vals = [r["rank"] for r in rows]
+    assert vals == sorted(vals, reverse=True)

@@ -1,0 +1,53 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_toolkit_spark.functions.text import (
+    adjacent_pairs,
+    ordered_cooccurrence_pairs,
+    tokenize,
+)
+from big_data_toolkit_spark.operators import text_analytics as ta
+from tests.conftest import SF_ORACLE
+from tests.oracle_utils import compare
+
+
+@pytest.mark.parametrize("name", sorted(ta.QUERIES))
+def test_oracle_match(spark, name):
+    df = ta.QUERIES[name](spark, SF_ORACLE)
+    compare(df, ta.ORACLE_SQL[name], SF_ORACLE)
+
+
+def test_tokenizer_pinned_semantics(spark):
+    df = spark.createDataFrame(
+        [("A Perfect-Day!! 123 foo_bar",), ("",), ("...",)], ["text"]
+    )
+    rows = df.select(tokenize("text").alias("t")).collect()
+    assert rows[0]["t"] == ["a", "perfect", "day", "foo", "bar"]
+    assert rows[1]["t"] == []
+    assert rows[2]["t"] == []
+
+
+def test_adjacent_pairs_edges(spark):
+    df = spark.createDataFrame([(["a", "b", "c"],), (["solo"],), ([],)], ["tokens"])
+    rows = df.select(adjacent_pairs(F.col("tokens")).alias("p")).collect()
+    assert [(x["a"], x["b"]) for x in rows[0]["p"]] == [("a", "b"), ("b", "c")]
+    # single-token and empty lines produce no pairs (reference skips them,
+    # a2/ComputeBigramRelativeFrequencyPairs.scala:64-70)
+    assert rows[1]["p"] == []
+    assert rows[2]["p"] == []
+
+
+def test_cooccurrence_pairs(spark):
+    df = spark.createDataFrame([(["x", "y", "z"],)], ["tokens"])
+    pairs = df.select(
+        F.explode(ordered_cooccurrence_pairs(F.col("tokens"))).alias("p")
+    ).collect()
+    got = {(r["p"]["a"], r["p"]["b"]) for r in pairs}
+    assert got == {("x", "y"), ("x", "z"), ("y", "x"), ("y", "z"), ("z", "x"), ("z", "y")}
+
+
+def test_pmi_threshold_applied(spark):
+    df = ta.pmi_pairs(spark, SF_ORACLE)
+    assert df.where(F.col("pair_cnt") < ta.PMI_THRESHOLD).count() == 0
