@@ -18,8 +18,16 @@ from big_data_toolkit_spark.operators import (
     sql_analytics,
     text_analytics,
 )
+from big_data_toolkit_spark.streaming import windows as streaming_windows
 
-_MODULES = [sql_analytics, text_analytics, inverted_index, spam, pagerank]
+_MODULES = [
+    sql_analytics,
+    text_analytics,
+    inverted_index,
+    spam,
+    pagerank,
+    streaming_windows,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

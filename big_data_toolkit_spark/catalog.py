@@ -41,9 +41,24 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one TESTDATA table as a DataFrame."""
+    """Load one TESTDATA table as a DataFrame.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright; it is read via the legacy
+    nanos-as-long escape hatch and truncated to a proper microsecond
+    timestamp (identical to how DuckDB's micro-precision timestamps read the
+    same column, so oracle comparisons stay exact).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # integer `div`: double division would lose precision above 2^53 ns
+        return spark.read.parquet(table_path(sf_dir, name)).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return spark.read.parquet(table_path(sf_dir, name))
 
 

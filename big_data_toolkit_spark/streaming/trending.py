@@ -1,0 +1,102 @@
+"""Stateful streaming trend detection (reference a7 TrendingArrivals, ST4/ST5).
+
+The reference keeps ``region → previous 10-min count`` in ``mapWithState``
+(``a7/TrendingArrivals.scala:47-59,102-110``) and prints an alert when a
+region's count doubles past a floor (``:119-131``). The engine implements the
+same keyed state machine with ``applyInPandasWithState`` (Arrow-batched,
+executor-distributed state backed by the checkpointed state store — the
+scale-out replacement for DStream state RDDs):
+
+* group = event_type (the "region");
+* state = (current_window_epoch, current_count, previous_count);
+* each micro-batch's events are bucketed to 10-minute windows in event time
+  and folded into the state in window order; closing a window promotes its
+  count to ``previous``.
+
+Emitted rows mirror the reference's ``(region, (count, batch_time, prev))``
+tuples: one row per (key, window) update with the prev count at that point,
+plus the trend flag so a ``foreachBatch`` sink can filter alerts (ST5).
+
+The deterministic replay harness the reference builds by hand (ManualClock +
+batch counter, ``a7/EventCount.scala:51,80-106``) is a file source with
+``maxFilesPerTrigger=1`` + ``trigger(availableNow)`` in tests: one file = one
+micro-batch, no wall clock anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from big_data_toolkit_spark.streaming.windows import TREND_FACTOR, TREND_MIN_COUNT
+
+WINDOW_SECONDS = 600  # 10 minutes, a7/TrendingArrivals.scala:102-107
+
+OUTPUT_SCHEMA = (
+    "event_type string, window_start timestamp, cnt long, prev_cnt long, "
+    "trending boolean"
+)
+STATE_SCHEMA = "window long, cnt long, prev long"
+
+
+def _update_trend_state(
+    key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold one micro-batch of events for one key into the window state."""
+    (window, cnt, prev) = state.get if state.exists else (-1, 0, 0)
+
+    # Bucket this batch's events into 10-min windows, oldest first.
+    buckets: dict[int, int] = {}
+    for pdf in pdfs:
+        epochs = (pdf["ts"].astype("int64") // 1_000_000_000 // WINDOW_SECONDS) * WINDOW_SECONDS
+        for w, c in epochs.value_counts().items():
+            buckets[int(w)] = buckets.get(int(w), 0) + int(c)
+
+    out: list[dict[str, Any]] = []
+    for w in sorted(buckets):
+        if w == window:
+            cnt += buckets[w]
+        else:
+            if window != -1 and w > window:
+                prev = cnt  # close the current window
+            window, cnt = w, buckets[w]
+        out.append(
+            {
+                "event_type": key[0],
+                "window_start": pd.Timestamp(window, unit="s"),
+                "cnt": cnt,
+                "prev_cnt": prev,
+                "trending": cnt >= TREND_MIN_COUNT and cnt >= TREND_FACTOR * prev,
+            }
+        )
+
+    state.update((window, cnt, prev))
+    yield pd.DataFrame(out)
+
+
+def stream_trending(events_stream: DataFrame) -> DataFrame:
+    """Keyed stateful trend detection over a stream of raw events.
+
+    Input schema must include ``event_type`` and ``ts``; output one row per
+    (key, window) update with the previous-window count and trend flag.
+    """
+    return (
+        events_stream.select("event_type", "ts")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_trend_state,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def trend_alerts(updates: DataFrame) -> DataFrame:
+    """ST5 alert filter — apply inside foreachBatch or on the update stream."""
+    return updates.where("trending")

@@ -1,0 +1,175 @@
+"""Windowed event analytics (reference a7), in both batch and streaming form.
+
+The reference's DStream programs are processing-time micro-batch pipelines
+over a manually-advanced clock (``a7/EventCount.scala:51-87``). The engine
+upgrades them to *event-time* windows over ``events.ts`` (deterministic, and
+strictly more capable — SURVEY §2.9), and keeps a batch-mode formulation of
+every streaming query so the DuckDB oracle can check the exact same
+semantics (``groupBy(window(...))`` runs identically in batch and stream).
+
+Reference shapes replaced:
+
+* EventCount (``a7/EventCount.scala:66-69``, ST2/A11): 60-min tumbling count
+  → ``groupBy(window('ts', '60 minutes')).count()``. The
+  ``reduceByKeyAndWindow`` inverse-function incremental maintenance is the
+  streaming state store's job now.
+* RegionEventCount (``a7/RegionEventCount.scala:44-88``, P3/P4/ST3): the
+  lon/lat bounding-box filter + region CASE label become a categorical
+  filter+CASE over ``event_type`` (TESTDATA events carry no coordinates);
+  the operator shape — filter → conditional label → keyed tumbling count —
+  is identical.
+* TrendingArrivals batch formulation (``a7/TrendingArrivals.scala:47-59``,
+  ST4): previous-window count lookup via ``mapWithState`` becomes
+  ``lag(cnt) over (partition by key order by window)`` in batch mode; the
+  true stateful streaming variant lives in ``trending.py``.
+
+Scale: tumbling-window aggregation shuffles on (key, window) — unbounded
+key-space growth is bounded by watermarking in the streaming form; the batch
+form partial-aggregates map-side. The lag window shuffles on key only, which
+is the same exchange as the count aggregation (reused by Catalyst).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_toolkit_spark.catalog import load_table
+
+# Region labeling: the engine analogue of the reference's two geo boxes
+# (citigroup/goldman, a7/RegionEventCount.scala:44-58). ``error`` events fall
+# outside both "regions" and are dropped, mirroring the reference dropping
+# points outside both boxes.
+def region_case():
+    return (
+        F.when(F.col("event_type").isin("click", "view"), F.lit("citigroup"))
+        .when(F.col("event_type").isin("purchase", "signup"), F.lit("goldman"))
+        .otherwise(F.lit(None))
+    )
+
+TREND_MIN_COUNT = 10  # a7/TrendingArrivals.scala:119-131: current >= 10
+TREND_FACTOR = 2  # ... and current >= 2 * previous
+
+
+def event_count_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-minute tumbling event counts (ST2 batch form)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "60 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "cnt")
+    )
+
+
+def region_event_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed 60-minute tumbling counts after filter + CASE labeling (ST3)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("region", region_case())
+        .where(F.col("region").isNotNull())
+        .groupBy("region", F.window("ts", "60 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select("region", F.col("w.start").alias("window_start"), "cnt")
+    )
+
+
+def trending_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-min windows per event_type with previous-window count + trend flag.
+
+    Batch formulation of ST4/ST5: prev = lag(cnt) (0 when absent, matching
+    mapWithState's zero initial state); trending iff cnt >= 10 and
+    cnt >= 2*prev (``a7/TrendingArrivals.scala:119-131``).
+    """
+    events = load_table(spark, sf_dir, "events")
+    counts = (
+        events.groupBy("event_type", F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select("event_type", F.col("w.start").alias("window_start"), "cnt")
+    )
+    byk = Window.partitionBy("event_type").orderBy("window_start")
+    return counts.select(
+        "event_type",
+        "window_start",
+        "cnt",
+        F.coalesce(F.lag("cnt").over(byk), F.lit(0)).alias("prev_cnt"),
+    ).withColumn(
+        "trending",
+        (F.col("cnt") >= TREND_MIN_COUNT)
+        & (F.col("cnt") >= TREND_FACTOR * F.col("prev_cnt")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming forms (same plans over a readStream source)
+# ---------------------------------------------------------------------------
+
+
+def stream_event_count_hourly(events_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming ST2: event-time tumbling count with a late-data watermark.
+
+    The watermark bounds state: windows older than max(event time) − 2h are
+    finalized and evicted — the piece the reference lacks entirely (its
+    manual-clock windows can never handle late data, SURVEY §2.9).
+    """
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "60 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "cnt")
+    )
+
+
+def stream_region_event_count(
+    events_stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming ST3: keyed tumbling counts."""
+    return (
+        events_stream.withColumn("region", region_case())
+        .where(F.col("region").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy("region", F.window("ts", "60 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select("region", F.col("w.start").alias("window_start"), "cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (batch forms)
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL: dict[str, str] = {
+    "event_count_hourly": """
+        SELECT date_trunc('hour', ts) AS window_start, count(*) AS cnt
+        FROM events GROUP BY 1
+    """,
+    "region_event_count": """
+        SELECT CASE WHEN event_type IN ('click','view') THEN 'citigroup'
+                    WHEN event_type IN ('purchase','signup') THEN 'goldman'
+               END AS region,
+               date_trunc('hour', ts) AS window_start, count(*) AS cnt
+        FROM events
+        WHERE event_type IN ('click','view','purchase','signup')
+        GROUP BY 1, 2
+    """,
+    "trending_events": """
+        WITH counts AS (
+          SELECT event_type,
+                 time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+                 count(*) AS cnt
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, window_start, cnt,
+               coalesce(lag(cnt) OVER (PARTITION BY event_type
+                                       ORDER BY window_start), 0) AS prev_cnt,
+               (cnt >= 10 AND cnt >= 2 * coalesce(lag(cnt) OVER (
+                   PARTITION BY event_type ORDER BY window_start), 0))
+                 AS trending
+        FROM counts
+    """,
+}
+
+QUERIES = {
+    "event_count_hourly": event_count_hourly,
+    "region_event_count": region_event_count,
+    "trending_events": trending_events,
+}
