@@ -11,9 +11,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from big_data_toolkit_spark.multimodal import binary_ops as multimodal
 from big_data_toolkit_spark.operators import (
+    dedup,
     inverted_index,
     pagerank,
+    quality,
+    similarity,
     spam,
     sql_analytics,
     text_analytics,
@@ -27,6 +31,10 @@ _MODULES = [
     spam,
     pagerank,
     streaming_windows,
+    dedup,
+    similarity,
+    quality,
+    multimodal,
 ]
 
 

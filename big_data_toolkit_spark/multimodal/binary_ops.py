@@ -1,0 +1,155 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata, with
+Arrow-batched decode/feature/frame-sample operators.
+
+Not in the reference; part of the engine's LLM-pipeline surface. The design
+principle for 100 TB of images/audio/video interleaved with text:
+
+* media lives in **binary columns** with a typed metadata struct alongside
+  (media_type, byte_len, checksum) — parquet stores the blobs page-compressed
+  and the metadata columns remain prunable/filterable without touching
+  payload bytes (predicate pushdown on ``media_type``/``byte_len`` skips
+  whole row groups of blobs);
+* decode / feature-extraction runs in ``mapInPandas`` — Arrow moves the
+  binary batches to Python zero-copy, the decode library runs per batch, and
+  the result is a normal columnar DataFrame again. Partitioning is inherited
+  from the scan, so the decode scales exactly like the scan does;
+* the actual codec calls are STUBBED here (image/audio libs are not in this
+  container): ``fake_decode_features`` derives deterministic per-byte
+  histogram "features", and real decoders drop into the same batch signature.
+
+TESTDATA has no binary table, so ``assets`` derives one deterministically
+from ``documents`` (payload = UTF-8 bytes of text, media_type cycled by
+doc_id) — the plumbing (schemas, batch shapes, partition behavior) is real
+and tested; only the codec is fake.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_toolkit_spark.catalog import load_table
+
+MEDIA_TYPES = ("image", "audio", "video")
+N_FEATURES = 16  # fake feature dim: byte-value histogram mod 16
+FRAME_CHUNK = 64  # bytes per fake "frame"
+FRAME_STRIDE = 4  # sample every 4th frame
+
+
+def assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the multimodal assets table: (doc_id, media_type, payload, meta)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(m) for m in MEDIA_TYPES]),
+            (F.col("doc_id") % len(MEDIA_TYPES) + 1).cast("int"),
+        ).alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.length(payload).alias("byte_len"),
+            F.md5(payload).alias("checksum"),
+        ).alias("meta"),
+    )
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only projection — runs without touching payload bytes.
+
+    (doc_id, media_type, byte_len, checksum); the plan must show payload
+    pruned away (tests assert no shuffle and the narrow ReadSchema).
+    """
+    a = assets(spark, sf_dir)
+    return a.select(
+        "doc_id",
+        "media_type",
+        F.col("meta.byte_len").alias("byte_len"),
+        F.col("meta.checksum").alias("checksum"),
+    )
+
+
+def fake_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STUB decode: deterministic byte-histogram features per image asset.
+
+    Real plumbing / fake codec: the ``mapInPandas`` batch signature, output
+    schema (``array<double>`` feature column), and partition inheritance are
+    exactly what a real image decoder uses — swap the histogram for
+    ``PIL.Image.open(io.BytesIO(b))`` + model inference and nothing else
+    changes. Deterministic, so driver rows-checks are stable.
+    """
+    imgs = assets(spark, sf_dir).where(F.col("media_type") == "image")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(arr % N_FEATURES, minlength=N_FEATURES)
+                total = max(len(arr), 1)
+                feats.append((hist / total).round(6).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return imgs.mapInPandas(decode, schema="doc_id long, features array<double>")
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STUB frame sampler: every FRAME_STRIDE-th FRAME_CHUNK-byte slice of
+    each video payload → (doc_id, frame_idx, frame_bytes).
+
+    Stands in for keyframe extraction; the fan-out shape (one input row →
+    many frame rows, still map-only) is the real thing.
+    """
+    vids = assets(spark, sf_dir).where(F.col("media_type") == "video")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_bytes = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(b)
+                n_frames = (len(data) + FRAME_CHUNK - 1) // FRAME_CHUNK
+                for i in range(0, n_frames, FRAME_STRIDE):
+                    out_id.append(doc_id)
+                    out_idx.append(i)
+                    out_bytes.append(data[i * FRAME_CHUNK : (i + 1) * FRAME_CHUNK])
+            yield pd.DataFrame(
+                {"doc_id": out_id, "frame_idx": out_idx, "frame_bytes": out_bytes}
+            )
+
+    return vids.mapInPandas(
+        sample, schema="doc_id long, frame_idx int, frame_bytes binary"
+    )
+
+
+def decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode STUB — raises, documenting the missing-codec boundary."""
+    raise NotImplementedError(
+        "audio codecs not available in this environment; implement with "
+        "soundfile/librosa inside a mapInPandas with the same batch signature "
+        "as fake_decode_features"
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (metadata path only — codecs are stubbed)
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL: dict[str, str] = {
+    "multimodal_meta": """
+        SELECT doc_id,
+               ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
+               octet_length(encode(text)) AS byte_len,
+               md5(text) AS checksum
+        FROM documents
+    """,
+}
+
+QUERIES = {
+    "multimodal_meta": multimodal_meta,
+    "image_features": fake_decode_features,
+    "video_frame_sample": frame_sample,
+}

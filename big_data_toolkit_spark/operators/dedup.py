@@ -1,0 +1,366 @@
+"""Document deduplication for training-data pipelines: exact, n-gram Jaccard,
+MinHash+LSH, and SimHash near-dup detection.
+
+Not in the reference (its corpus ops stop at counting); these are the
+operators a 100 TB LLM-data pipeline layers on top, built Spark-first:
+
+* **Exact** — hash-groupBy on md5(text). One shuffle on the hash; at scale
+  the hash key is uniform so no skew.
+* **n-gram Jaccard** — 3-token shingles; candidate pairs = docs sharing a
+  shingle (inverted-index join, never the O(n²) cross join); exact Jaccard
+  from shingle-set sizes; threshold. The shared-shingle join IS the blocking
+  step — a shingle shared by many docs fans out quadratically, so hot
+  shingles (stop-phrases) should be df-capped in production; the TESTDATA
+  corpus doesn't need it.
+* **MinHash+LSH** — k=16 signatures of universal-hash minima over shingles,
+  banded 4×4; docs sharing a band become candidates; exact Jaccard verify.
+  All hashing is md5-derived (32-bit) with fixed odd multipliers mod the
+  Mersenne prime 2^61−1, so the DuckDB oracle reproduces it bit-for-bit —
+  no reliance on engine-internal hash functions.
+* **SimHash** — 32-bit fingerprint: per token-bit, tf-weighted ±1 votes,
+  sign → bit. Near-dup pairs = hamming(fp1, fp2) ≤ 3, found via 4-byte-block
+  banding (pigeonhole: ≤3 differing bits leaves ≥1 of 4 blocks equal, so
+  banding loses nothing), verified by popcount.
+
+Everything is expressions + joins + aggregations — no UDFs anywhere, fully
+whole-stage-codegen'd, and every variant is DuckDB-oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_toolkit_spark.catalog import load_table
+from big_data_toolkit_spark.functions.text import DUCKDB_TOKENS, tokenize
+
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.5
+MINHASH_K = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+MERSENNE_P = (1 << 61) - 1
+# Fixed odd multipliers/offsets for the k universal hashes (deterministic,
+# shared verbatim with the oracle SQL).
+HASH_A = [2 * k + 1 for k in range(1, MINHASH_K + 1)]
+HASH_B = [1_000_003 * (k + 7) for k in range(MINHASH_K)]
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 3
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — distinct 3-token shingles per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokenize("text")
+    return (
+        docs.select("doc_id", t.alias("t"))
+        .where(F.size("t") >= SHINGLE_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(t) - 2), "
+                        "i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: (text_hash, keep_id, dup_cnt); keep lowest doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_cnt"))
+    )
+
+
+def _jaccard_pairs(shingles: DataFrame) -> DataFrame:
+    """Exact Jaccard for all doc pairs sharing ≥1 shingle."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    left = shingles.select(F.col("doc_id").alias("d1"), "shingle")
+    right = shingles.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        left.join(right, "shingle")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    return (
+        inter.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard ≥ threshold: (d1, d2, jaccard)."""
+    pairs = _jaccard_pairs(_shingles(spark, sf_dir))
+    return pairs.where(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+def _shingle_hash32() -> F.Column:
+    """32-bit integer hash of the shingle string, md5-derived (cross-engine)."""
+    return F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig_0..sig_{k-1}): minima of k universal hashes over shingles."""
+    sh = _shingles(spark, sf_dir).withColumn("h", _shingle_hash32())
+    aggs = [
+        F.min((F.lit(HASH_A[k]) * F.col("h") + F.lit(HASH_B[k])) % MERSENNE_P).alias(
+            f"sig_{k}"
+        )
+        for k in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified by exact Jaccard: (d1, d2, jaccard).
+
+    Banding: 4 bands of 4 signature values; a shared band makes a candidate
+    pair. Candidates are verified with exact shingle Jaccard, so output
+    equals ``dedup_ngram_jaccard`` up to LSH recall (at threshold 0.5 with
+    4x4 banding, detection probability is ~1 for true near-dups).
+    """
+    sigs = minhash_signatures(spark, sf_dir)
+    rows_per_band = MINHASH_K // LSH_BANDS
+    band_cols = [
+        F.concat_ws(
+            "_",
+            F.lit(b),
+            *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)],
+        ).alias(f"band_{b}")
+        for b in range(LSH_BANDS)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    bands_long = banded.select(
+        "doc_id",
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(LSH_BANDS)])).alias(
+            "band"
+        ),
+    )
+    cands = (
+        bands_long.alias("x")
+        .join(bands_long.alias("y"), "band")
+        .select(
+            F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2")
+        )
+        .where(F.col("d1") < F.col("d2"))
+        .distinct()
+    )
+    pairs = _jaccard_pairs(_shingles(spark, sf_dir))
+    return cands.join(pairs, ["d1", "d2"]).where(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): 32-bit tf-weighted SimHash over tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .withColumn(
+            "h", F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+        )
+    )
+    # one row per (doc, token, bit): vote = tf * (2*bit - 1)
+    bits = tf.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        "tf",
+        "h",
+    ).select(
+        "doc_id",
+        "b",
+        F.expr("tf * (2 * (shiftright(h, b) & 1) - 1)").alias("vote"),
+    )
+    return (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0, F.expr("shiftleft(1L, b)")).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: (d1, d2, hamming ≤ 3).
+
+    Pairs found via 4-byte-block banding (complete for hamming ≤ 3 by
+    pigeonhole), verified by popcount of the XOR.
+    """
+    fps = simhash_fingerprints(spark, sf_dir)
+    blocks = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(i),
+                        (F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255))),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("block"),
+    )
+    cands = (
+        blocks.alias("x")
+        .join(blocks.alias("y"), "block")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("d1"),
+            F.col("y.doc_id").alias("d2"),
+            F.col("x.simhash").alias("f1"),
+            F.col("y.simhash").alias("f2"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("f1").bitwiseXOR(F.col("f2"))))
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("d1", "d2", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_T = DUCKDB_TOKENS.format(col="text")
+
+_SHINGLES = f"""
+  SELECT doc_id, unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                       for i in range(1, len(t)-1)])) AS shingle
+  FROM (SELECT doc_id, {_T} AS t FROM documents)
+  WHERE len(t) >= {SHINGLE_N}
+"""
+
+_JACCARD_PAIRS = """
+  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  pairs AS (
+    SELECT d1, d2,
+           round(inter::DOUBLE / (s1.n + s2.n - inter), 6) AS jaccard
+    FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  )
+"""
+
+_HASH32 = "('0x' || substr(md5({col}), 1, 8))::BIGINT"
+
+_SIG_EXPRS = ", ".join(
+    f"min(({HASH_A[k]} * h + {HASH_B[k]}) % {MERSENNE_P}) AS sig_{k}"
+    for k in range(MINHASH_K)
+)
+_BAND_EXPRS = ", ".join(
+    "concat_ws('_', {b}, {cols}) AS band_{b}".format(
+        b=b,
+        cols=", ".join(f"sig_{b * (MINHASH_K // LSH_BANDS) + r}" for r in range(MINHASH_K // LSH_BANDS)),
+    )
+    for b in range(LSH_BANDS)
+)
+
+ORACLE_SQL: dict[str, str] = {
+    "dedup_exact": """
+        SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+               count(*) AS dup_cnt
+        FROM documents GROUP BY 1
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH sh AS ({_SHINGLES}), {_JACCARD_PAIRS}
+        SELECT d1, d2, jaccard FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH sh AS ({_SHINGLES}),
+        hashed AS (SELECT doc_id, {_HASH32.format(col='shingle')} AS h FROM sh),
+        sigs AS (SELECT doc_id, {_SIG_EXPRS} FROM hashed GROUP BY doc_id),
+        banded AS (SELECT doc_id, {_BAND_EXPRS} FROM sigs),
+        bands_long AS (
+          SELECT doc_id, unnest([band_0, band_1, band_2, band_3]) AS band
+          FROM banded
+        ),
+        cands AS (
+          SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+          FROM bands_long x JOIN bands_long y
+            ON x.band = y.band AND x.doc_id < y.doc_id
+        ),
+        {_JACCARD_PAIRS.lstrip()}
+        SELECT p.d1, p.d2, p.jaccard
+        FROM cands c JOIN pairs p ON c.d1 = p.d1 AND c.d2 = p.d2
+        WHERE p.jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "simhash_fingerprints": f"""
+        WITH tf AS (
+          SELECT doc_id, token, count(*) AS tf,
+                 {_HASH32.format(col='token')} AS h
+          FROM (SELECT doc_id, unnest({_T}) AS token FROM documents)
+          GROUP BY doc_id, token
+        ),
+        bits AS (
+          SELECT doc_id, unnest(range({SIMHASH_BITS})) AS b,
+                 unnest([tf * (2 * ((h >> x) & 1) - 1)
+                         for x in range({SIMHASH_BITS})]) AS vote
+          FROM tf
+        ),
+        votes AS (SELECT doc_id, b, sum(vote) AS v FROM bits GROUP BY doc_id, b)
+        SELECT doc_id,
+               sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+        FROM votes GROUP BY doc_id
+    """,
+    "dedup_simhash": f"""
+        WITH tf AS (
+          SELECT doc_id, token, count(*) AS tf,
+                 {_HASH32.format(col='token')} AS h
+          FROM (SELECT doc_id, unnest({_T}) AS token FROM documents)
+          GROUP BY doc_id, token
+        ),
+        bits AS (
+          SELECT doc_id, unnest(range({SIMHASH_BITS})) AS b,
+                 unnest([tf * (2 * ((h >> x) & 1) - 1)
+                         for x in range({SIMHASH_BITS})]) AS vote
+          FROM tf
+        ),
+        votes AS (SELECT doc_id, b, sum(vote) AS v FROM bits GROUP BY doc_id, b),
+        fps AS (
+          SELECT doc_id,
+                 sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+          FROM votes GROUP BY doc_id
+        )
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+}
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "simhash_fingerprints": simhash_fingerprints,
+    "dedup_simhash": dedup_simhash,
+}

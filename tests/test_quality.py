@@ -1,0 +1,40 @@
+from __future__ import annotations
+
+import pytest
+
+from big_data_toolkit_spark.operators import quality
+from tests.conftest import SF_ORACLE
+from tests.oracle_utils import compare
+
+
+@pytest.mark.parametrize("name", sorted(quality.QUERIES))
+def test_oracle_match(spark, name):
+    df = quality.QUERIES[name](spark, SF_ORACLE)
+    compare(df, quality.ORACLE_SQL[name], SF_ORACLE)
+
+
+def test_map_only_no_shuffle(spark):
+    """Row-wise curation ops must not shuffle: single stage, no Exchange."""
+    for fn in (quality.lang_id, quality.quality_score, quality.token_count,
+               quality.fingerprint):
+        plan = fn(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{fn.__name__} shuffles"
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_score_bounds(spark):
+    rows = quality.quality_score(spark, SF_ORACLE).collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
+
+
+def test_empty_text_edge_case(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(1, ""), (2, "..!?"), (3, "the the the")],
+                               ["doc_id", "text"])
+    df.createOrReplaceTempView("documents")
+    # exercise the expressions directly on degenerate docs via temp table
+    from big_data_toolkit_spark.functions.text import tokenize
+
+    toks = df.select(tokenize("text").alias("t")).collect()
+    assert [r["t"] for r in toks] == [[], [], ["the", "the", "the"]]
