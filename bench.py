@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced with the noop sink (full plan execution, no disk write /
+driver-collect noise). A small warmup query absorbs JVM/codegen start-up cost
+so per-query numbers reflect steady-state plan execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from big_data_toolkit_spark.operators import (  # noqa: E402
+    dedup,
+    inverted_index,
+    pagerank,
+    quality,
+    similarity,
+    spam,
+    sql_analytics,
+    text_analytics,
+)
+from big_data_toolkit_spark.session import build_spark  # noqa: E402
+from big_data_toolkit_spark.streaming import windows as streaming_windows  # noqa: E402
+
+HEADLINE = {
+    "q1": sql_analytics.q1_count_shipped,
+    "q2": sql_analytics.q2_orders_shipped,
+    "q3": sql_analytics.q3_part_supplier_shipped,
+    "q4": sql_analytics.q4_orders_by_nation,
+    "word_count": text_analytics.word_count,
+    "bigram_relfreq": text_analytics.bigram_relative_frequency,
+    "pmi_pairs": text_analytics.pmi_pairs,
+    "inverted_index": inverted_index.postings,
+    "boolean_mixed": inverted_index.boolean_mixed,
+    "spam_score": spam.spam_score,
+    "spam_ensemble": spam.spam_ensemble,
+    "pagerank": pagerank.pagerank_top20,
+    "event_count_hourly": streaming_windows.event_count_hourly,
+    "region_event_count": streaming_windows.region_event_count,
+    "trending_events": streaming_windows.trending_events,
+    "dedup_exact": dedup.dedup_exact,
+    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+    "dedup_simhash": dedup.dedup_simhash,
+    "knn_brute_force": similarity.knn_brute_force,
+    "knn_lsh": similarity.knn_lsh,
+    "quality_score": quality.quality_score,
+    "token_count": quality.token_count,
+}
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_spark(app_name="bdts-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: JVM + codegen + parquet footer caches.
+    force(sql_analytics.q1_count_shipped(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name, fn in HEADLINE.items():
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -83,52 +83,57 @@ def personalized_pagerank(
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    # Co-locate edges by src once; every iteration's join reuses this layout.
+    # Dangling correction as data, not as a per-iteration aggregate job: a
+    # node with no out-edges gets |S| virtual edges to the sources, weight
+    # 1/|S| each — algebraically identical to the reference's side-file mass
+    # redistribution (a4/RunPersonalizedPageRankBasic.java:140-155) but it
+    # keeps every iteration a single join+agg with NO driver-side action.
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    adj = edges.join(out_deg, "src").repartition("src").cache()
-    adj.count()  # materialize
+    real = edges.join(out_deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
+    )
+    dangling_nodes = nodes.join(
+        edges.select("src").distinct(), nodes.node == F.col("src"), "left_anti"
+    ).select(F.col("node").alias("src"))
+    virtual = dangling_nodes.crossJoin(
+        F.broadcast(
+            edges.sparkSession.createDataFrame(
+                [(int(s),) for s in sources], "dst long"
+            )
+        )
+    ).select("src", "dst", F.lit(1.0 / n_sources).alias("w"))
+    # Co-locate the (static) weighted edge list by src once; every
+    # iteration's join reuses this layout (a4/PartitionGraph analogue).
+    wedges = real.union(virtual).repartition("src").cache()
+    wedges.count()  # materialize once
 
     is_source = F.col("node").isin(list(sources))
     ranks = nodes.select(
         "node",
         F.when(is_source, F.lit(1.0 / n_sources)).otherwise(F.lit(0.0)).alias("rank"),
-    ).cache()
+    )
 
     for i in range(iters):
         contribs = (
-            ranks.join(adj, ranks.node == adj.src)
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("m"))
+            ranks.join(wedges, ranks.node == wedges.src)
+            .select(F.col("dst").alias("node"), (F.col("rank") * F.col("w")).alias("m"))
             .groupBy("node")
             .agg(F.sum("m").alias("incoming"))
         )
-        # Dangling nodes have no adjacency row: anti-join finds their mass.
-        dangling = (
-            ranks.join(adj.select("src").distinct(), ranks.node == F.col("src"), "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
-        )
-        new_ranks = (
-            ranks.select("node")
-            .join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
+        ranks = (
+            nodes.join(contribs, "node", "left")
             .select(
                 "node",
                 (
-                    (1.0 - alpha)
-                    * (
-                        F.coalesce(F.col("incoming"), F.lit(0.0))
-                        + F.when(is_source, F.col("dangling_mass") / n_sources).otherwise(
-                            F.lit(0.0)
-                        )
-                    )
+                    (1.0 - alpha) * F.coalesce(F.col("incoming"), F.lit(0.0))
                     + F.when(is_source, F.lit(alpha / n_sources)).otherwise(F.lit(0.0))
                 ).alias("rank"),
             )
         )
-        if (i + 1) % CHECKPOINT_EVERY == 0:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
-        old = ranks
-        ranks = new_ranks.cache()
-        old.unpersist()
+        # Truncate lineage periodically; otherwise the plan nests one join
+        # per iteration and analysis/codegen time blows up.
+        if (i + 1) % CHECKPOINT_EVERY == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint(eager=True)
 
     return ranks
 
