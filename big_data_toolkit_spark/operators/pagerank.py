@@ -155,5 +155,15 @@ def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def partition_graph(edges: DataFrame, n: int, mode: str = "hash") -> DataFrame:
+    """U6 (``a4/PartitionGraph.java:103-130``): hash or range partitioning of
+    the edge list by source node, for iteration-stable co-location."""
+    if mode == "hash":
+        return edges.repartition(n, "src")
+    if mode == "range":
+        return edges.repartitionByRange(n, "src")
+    raise ValueError(f"mode must be 'hash' or 'range', got {mode!r}")
+
+
 QUERIES = {"pagerank_top20": pagerank_top20}
 ORACLE_SQL: dict[str, str] = {}  # iterative — rows-only per driver contract

@@ -130,6 +130,13 @@ def spam_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shuffled_order(df: DataFrame, seed: int = 42) -> DataFrame:
+    """O4 (``a5/TrainSpamClassifier.scala:44-46``): seeded random shuffle of
+    training order — ``orderBy(rand(seed))`` replaces the reference's
+    tag-with-random + sortByKey + strip dance. Deterministic per seed."""
+    return df.orderBy(F.rand(seed))
+
+
 # ---------------------------------------------------------------------------
 # Sequential online SGD (rows-only check: order-dependent, non-SQL)
 # ---------------------------------------------------------------------------

@@ -163,6 +163,23 @@ def pmi_pairs(
     )
 
 
+def bigram_relative_frequency_stripes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stripes output format of the same computation (A4/A6).
+
+    The reference maintains ``Map[String,Int]`` stripes as aggregation values
+    (``a2/ComputeBigramRelativeFrequencyStripes.scala:59-83``); the engine
+    computes in long form (shuffle does the merging — SURVEY §1 mapping) and
+    packs the stripe only at output: (a, stripe MAP<b, rel_freq>). Pairs and
+    stripes are two formats of one operator, not two implementations.
+    """
+    pairs = bigram_relative_frequency(spark, sf_dir)
+    return pairs.groupBy("a").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("b", "rel_freq")))
+        ).alias("stripe")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------

@@ -1,0 +1,51 @@
+"""Sinks (SURVEY §2.1 S5/S6/S9/S10/S14), Spark-first.
+
+The reference writes text part-files, SequenceFiles between jobs, and a
+sorted MapFile for the index. The engine standardizes on Parquet:
+
+* S9/S14 — ``write_table``: overwrite-mode parquet/csv (the reference's
+  delete-then-write dance, ``a2/ComputeBigramRelativeFrequencyPairs.scala:
+  45-46``, is just ``mode('overwrite')``).
+* S5 — iteration intermediates are cached/checkpointed DataFrames, not
+  files; when durable intermediates are wanted, ``write_table`` with parquet
+  is the SequenceFile replacement.
+* S6 — ``write_sorted_bucketed``: range-partitioned + sorted-within-
+  partitions parquet, giving MapFile-style point-lookup pruning (tight
+  row-group min/max on the sort key).
+* S10 — streaming per-window output: ``writeStream.foreachBatch`` writing
+  ``{prefix}-{batch_id}`` directories, the reference's ``saveAsTextFiles``
+  per-batch layout (``a7/EventCount.scala:72``,
+  ``a7/TrendingArrivals.scala:112-135`` batch-stamped paths).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """S9/S14: overwrite-mode write."""
+    df.write.mode("overwrite").format(fmt).save(path)
+
+
+def write_sorted_bucketed(
+    df: DataFrame, path: str, key: str, n_files: int = 8
+) -> None:
+    """S6: key-range-partitioned, key-sorted parquet for point lookups."""
+    (
+        df.repartitionByRange(n_files, key)
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def foreach_batch_per_window_sink(prefix: str):
+    """S10/S11: foreachBatch fn writing one directory per micro-batch,
+    path stamped with the batch id (the reference's ``part-%08d`` naming,
+    ``a7/TrendingArrivals.scala:113-114``)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{prefix}-{batch_id:08d}")
+
+    return sink

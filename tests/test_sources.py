@@ -1,0 +1,124 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from big_data_toolkit_spark.sources import readers, writers
+
+# Citigroup / Goldman boxes from a7/RegionEventCount.scala:44-58
+BOXES = {
+    "citigroup": (-74.012083, -74.009867, 40.720053, 40.7217236),
+    "goldman": (-74.0144185, -74.013777, 40.7138745, 40.7152275),
+}
+
+
+def _write(tmp_path, name, lines):
+    p = str(tmp_path / name)
+    with open(p, "w") as f:
+        f.write("\n".join(lines))
+    return p
+
+
+def test_read_text_lines(spark, tmp_path):
+    p = _write(tmp_path, "corpus.txt", ["a b c", "", "d e"])
+    df = readers.read_text_lines(spark, p)
+    rows = df.collect()
+    assert [r["text"] for r in rows] == ["a b c", "", "d e"]
+    assert len({r["line_id"] for r in rows}) == 3
+
+
+def test_read_tpch_tbl(spark, tmp_path):
+    p = _write(
+        tmp_path,
+        "lineitem.tbl",
+        [
+            "1|10|100|1|17.0|1000.5|0.04|0.02|N|O|1998-08-23",
+            "2|20|200|1|36.0|2000.5|0.10|0.05|R|F|1995-01-02",
+            "garbage line",
+        ],
+    )
+    df = readers.read_tpch_tbl(spark, p, "lineitem")
+    rows = df.collect()
+    assert len(rows) == 2  # malformed row dropped
+    assert rows[0]["l_orderkey"] == 1 and rows[0]["l_shipdate"] == "1998-08-23"
+    with pytest.raises(KeyError):
+        readers.read_tpch_tbl(spark, p, "nope")
+
+
+def test_read_spam_instances(spark, tmp_path):
+    p = _write(
+        tmp_path,
+        "spam.txt",
+        [
+            "clueweb09-en0000-00-00000 spam 387908 697162 426572",
+            "clueweb09-en0000-00-00001 ham 12345 697162",
+            "",
+            "badline notalabel 1 2",
+        ],
+    )
+    df = readers.read_spam_instances(spark, p)
+    rows = {r["docid"]: r for r in df.collect()}
+    assert len(rows) == 2
+    assert rows["clueweb09-en0000-00-00000"]["features"] == [387908, 697162, 426572]
+    assert rows["clueweb09-en0000-00-00001"]["label"] == "ham"
+
+
+def test_read_adjacency_list(spark, tmp_path):
+    p = _write(tmp_path, "graph.txt", ["1 2 3", "2 3", "3", "4 1"])
+    df = readers.read_adjacency_list(spark, p)
+    rows = {r["id"]: r["neighbors"] for r in df.collect()}
+    assert rows == {1: [2, 3], 2: [3], 3: [], 4: [1]}  # node 3 dangles
+
+
+def test_read_model_text(spark, tmp_path):
+    p = _write(tmp_path, "model.txt", ["(387908,0.5)", "(697162,-0.25)", "junk"])
+    df = readers.read_model_text(spark, p)
+    rows = {r["feature"]: r["weight"] for r in df.collect()}
+    assert rows == {387908: 0.5, 697162: -0.25}
+
+
+def test_read_taxi_events_and_geo_filter(spark, tmp_path):
+    inside_citi = "-74.0101,40.7210"
+    inside_gold = "-74.0140,40.7145"
+    outside = "-74.5,40.5"
+    p = _write(
+        tmp_path,
+        "taxi.csv",
+        [
+            f"green,a,b,c,d,e,f,g,{inside_citi},x,y",      # green: lon/lat @ 9/10
+            f"yellow,a,b,c,d,e,f,g,h,i,{inside_gold}",      # yellow: @ 11/12
+            f"yellow,a,b,c,d,e,f,g,h,i,{outside}",
+        ],
+    )
+    df = readers.read_taxi_events(spark, p)
+    rows = df.collect()
+    assert len(rows) == 3
+    labeled = readers.geo_box_filter(df, BOXES)
+    got = {(r["taxi_type"], r["region"]) for r in labeled.collect()}
+    assert got == {("green", "citigroup"), ("yellow", "goldman")}
+
+
+def test_geo_filter_boundary_inclusivity(spark):
+    # point exactly on the citigroup box edge: excluded strict, included inclusive
+    df = spark.createDataFrame(
+        [("t", -74.012083, 40.720053)], ["taxi_type", "lon", "lat"]
+    )
+    assert readers.geo_box_filter(df, BOXES, inclusive=False).count() == 0
+    assert readers.geo_box_filter(df, BOXES, inclusive=True).count() == 1
+
+
+def test_write_table_overwrite_and_sorted_bucketed(spark, tmp_path):
+    df = spark.range(100).selectExpr("id", "id % 7 AS k")
+    p = str(tmp_path / "out")
+    writers.write_table(df, p)
+    writers.write_table(df, p)  # S14: second write must overwrite, not fail
+    assert spark.read.parquet(p).count() == 100
+    p2 = str(tmp_path / "sorted")
+    writers.write_sorted_bucketed(df, p2, "id", n_files=4)
+    back = spark.read.parquet(p2)
+    assert back.count() == 100
+    from big_data_toolkit_spark.plans.scale import explain_str
+
+    plan = explain_str(back.where("id = 42"))
+    assert "PushedFilters" in plan
