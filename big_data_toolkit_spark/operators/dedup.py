@@ -161,9 +161,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("d1") < F.col("d2"))
         .distinct()
     )
-    pairs = _jaccard_pairs(_shingles(spark, sf_dir))
-    return cands.join(pairs, ["d1", "d2"]).where(
-        F.col("jaccard") >= JACCARD_THRESHOLD
+    # Verify ONLY the LSH candidates: join each side's distinct-shingle array
+    # and compute Jaccard with in-row array ops. Unlike the exact path's
+    # shared-shingle pair expansion, cost here scales with |candidates| — the
+    # whole point of LSH at 100 TB.
+    shingle_sets = (
+        _shingles(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("sh"))
+    )
+    s1 = shingle_sets.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    s2 = shingle_sets.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    return (
+        cands.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.size(F.array_intersect("sh1", "sh2"))
+                / (
+                    F.size("sh1")
+                    + F.size("sh2")
+                    - F.size(F.array_intersect("sh1", "sh2"))
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
 
@@ -178,27 +203,19 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h", F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
         )
     )
-    # one row per (doc, token, bit): vote = tf * (2*bit - 1)
-    bits = tf.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
-        "tf",
-        "h",
-    ).select(
-        "doc_id",
-        "b",
-        F.expr("tf * (2 * (shiftright(h, b) & 1) - 1)").alias("vote"),
+    # One aggregate column per bit instead of a 32x row explosion: each
+    # sum(tf * (2*bit - 1)) partial-aggregates map-side, so the shuffle
+    # carries 32 longs per doc, not 32 rows per (doc, token).
+    votes = [
+        F.sum(F.expr(f"tf * (2 * (shiftright(h, {b}) & 1) - 1)")).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = tf.groupBy("doc_id").agg(*votes)
+    fingerprint = sum(
+        F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+        for b in range(SIMHASH_BITS)
     )
-    return (
-        bits.groupBy("doc_id", "b")
-        .agg(F.sum("vote").alias("v"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("v") > 0, F.expr("shiftleft(1L, b)")).otherwise(F.lit(0))
-            ).alias("simhash")
-        )
-    )
+    return per_doc.select("doc_id", fingerprint.alias("simhash"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
