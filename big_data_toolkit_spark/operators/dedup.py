@@ -260,6 +260,55 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COSINE_DUP_THRESHOLD = 0.45
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs by exact pairwise cosine ≥ threshold.
+
+    (d1, d2, cos). Exact all-pairs — the correctness baseline, O(n²): right
+    for one-shot audits and for verifying blocked variants; at 100 TB the
+    scale path is ``dedup_embedding_lsh`` (bucket-blocked below).
+    """
+    from big_data_toolkit_spark.operators.similarity import _cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"))
+    return (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select("d1", "d2", F.round(_cosine("e1", "e2"), 6).alias("cos"))
+        .where(F.col("cos") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, LSH-bucket-blocked: compare only vectors
+    sharing a random-hyperplane signature bucket, then exact cosine.
+
+    Same output schema as the exact variant minus cross-bucket recall loss;
+    cost scales with Σ bucket_size² instead of n². This is the variant that
+    survives a 100×-scale-up (bucket-partitioned storage prunes the join).
+    """
+    from big_data_toolkit_spark.operators.similarity import _cosine, lsh_signatures
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = lsh_signatures(spark, sf_dir)
+    tagged = emb.join(sigs, "vec_id")
+    a = tagged.select(
+        F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"), "bucket"
+    )
+    b = tagged.select(
+        F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"), "bucket"
+    )
+    return (
+        a.join(b, ["bucket"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", F.round(_cosine("e1", "e2"), 6).alias("cos"))
+        .where(F.col("cos") >= COSINE_DUP_THRESHOLD)
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -374,10 +423,51 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+_DOT = (
+    "list_sum(list_transform(range(1, len({a})+1), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+_NORM = "sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+_COS_AB = (
+    f"({_DOT.format(a='a.embedding', b='b.embedding')} / "
+    f"({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')}))"
+)
+
+ORACLE_SQL["dedup_embedding_cosine"] = f"""
+    SELECT a.vec_id AS d1, b.vec_id AS d2, round({_COS_AB}, 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({_COS_AB}, 6) >= {COSINE_DUP_THRESHOLD}
+"""
+
+ORACLE_SQL["dedup_embedding_lsh"] = f"""
+    WITH planes AS (
+      SELECT vec_id AS plane_id, embedding AS pv FROM embeddings
+      WHERE vec_id BETWEEN 1 AND 8
+    ),
+    bits AS (
+      SELECT e.vec_id, p.plane_id,
+             CASE WHEN {_DOT.format(a='e.embedding', b='p.pv')} > 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM embeddings e, planes p
+    ),
+    sigs AS (
+      SELECT vec_id, string_agg(bit::VARCHAR, '' ORDER BY plane_id) AS bucket
+      FROM bits GROUP BY vec_id
+    )
+    SELECT a.vec_id AS d1, b.vec_id AS d2, round({_COS_AB}, 6) AS cos
+    FROM embeddings a
+    JOIN sigs sa ON a.vec_id = sa.vec_id
+    JOIN sigs sb ON sa.bucket = sb.bucket
+    JOIN embeddings b ON b.vec_id = sb.vec_id AND a.vec_id < b.vec_id
+    WHERE round({_COS_AB}, 6) >= {COSINE_DUP_THRESHOLD}
+"""
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "simhash_fingerprints": simhash_fingerprints,
     "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
 }

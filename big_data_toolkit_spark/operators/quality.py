@@ -102,16 +102,32 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLLING_MOD = (1 << 31) - 1  # Mersenne 2^31-1: acc*31+code stays < 2^36, no overflow
+ROLLING_MULT = 31
+
+
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, text_md5, content_md5) — raw and order-insensitive hashes."""
+    """(doc_id, text_md5, content_md5, rolling_hash).
+
+    text_md5: raw-byte identity. content_md5: order-insensitive (sorted
+    distinct token set) — the cross-snapshot dedup join key. rolling_hash:
+    polynomial rolling hash over characters, h = (h·31 + code) mod 2^31−1,
+    computed as an in-row fold (``F.aggregate``) — the streaming-friendly
+    fingerprint a chunk-level dedup uses, same value in the DuckDB oracle.
+    """
     docs = load_table(spark, sf_dir, "documents")
     t = tokenize("text")
+    rolling = F.expr(
+        "aggregate(filter(split(text, ''), c -> c <> ''), 0L, "
+        f"(acc, c) -> (acc * {ROLLING_MULT} + ascii(c)) % {ROLLING_MOD})"
+    )
     return docs.select(
         "doc_id",
         F.md5("text").alias("text_md5"),
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t)))).alias(
             "content_md5"
         ),
+        rolling.alias("rolling_hash"),
     )
 
 
@@ -177,7 +193,12 @@ ORACLE_SQL: dict[str, str] = {
     "fingerprint": f"""
         SELECT doc_id,
                md5(text) AS text_md5,
-               md5(array_to_string(list_sort(list_distinct({_T})), ' ')) AS content_md5
+               md5(array_to_string(list_sort(list_distinct({_T})), ' ')) AS content_md5,
+               list_reduce(
+                 list_prepend(0::BIGINT,
+                   list_transform(string_split_regex(text, ''), c -> ord(c)::BIGINT)),
+                 (acc, c) -> (acc * {ROLLING_MULT} + c) % {ROLLING_MOD}
+               ) AS rolling_hash
         FROM documents
     """,
 }

@@ -40,3 +40,13 @@ def test_simhash_no_udf_in_plan(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embedding_lsh_subset_of_exact(spark):
+    exact = {(r["d1"], r["d2"]): r["cos"]
+             for r in dedup.dedup_embedding_cosine(spark, SF_ORACLE).collect()}
+    lsh = {(r["d1"], r["d2"]): r["cos"]
+           for r in dedup.dedup_embedding_lsh(spark, SF_ORACLE).collect()}
+    assert set(lsh) <= set(exact)  # blocking never fabricates pairs
+    for k, v in lsh.items():
+        assert v == exact[k]
