@@ -17,6 +17,7 @@ from big_data_toolkit_spark.operators import (
     inverted_index,
     pagerank,
     quality,
+    relational_ext,
     similarity,
     spam,
     sql_analytics,
@@ -34,6 +35,7 @@ _MODULES = [
     dedup,
     similarity,
     quality,
+    relational_ext,
     multimodal,
 ]
 

@@ -24,6 +24,7 @@ from big_data_toolkit_spark.operators import (  # noqa: E402
     inverted_index,
     pagerank,
     quality,
+    relational_ext,
     similarity,
     spam,
     sql_analytics,
@@ -55,6 +56,16 @@ HEADLINE = {
     "knn_lsh": similarity.knn_lsh,
     "quality_score": quality.quality_score,
     "token_count": quality.token_count,
+    "fingerprint": quality.fingerprint,
+    "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
+    "asof_join": relational_ext.asof_purchase_attribution,
+    "range_join_bursts": relational_ext.error_bursts,
+    "orders_rollup": relational_ext.orders_rollup,
+    "events_cube": relational_ext.events_cube,
+    "lineitem_stats": relational_ext.lineitem_stats,
+    "sliding_window": relational_ext.event_count_sliding,
+    "session_window": relational_ext.user_sessions,
+    "curated_corpus": relational_ext.curated_corpus,
 }
 
 

@@ -1,0 +1,380 @@
+"""Extended relational operators beyond the reference's inventory.
+
+SURVEY §2.3 notes the join types the reference *lacks* — theta/range/as-of
+joins — and §2.4 notes it has no rollup/cube, no statistical aggregates, no
+sliding or session windows. A user moving real workloads onto this engine
+needs them, so they are implemented here as first-class, oracle-checked
+operators, each with a plan shape chosen for 100 TB:
+
+* **As-of join** (``asof_purchase_attribution``): every non-purchase event is
+  attributed to the same user's most recent prior purchase. NOT a cross/theta
+  join: both sides are unioned, shuffled ONCE on ``user_id``, sorted by time,
+  and matched with a running ``last(..., ignorenulls)`` window — the
+  sort-merge as-of strategy. Cost is one shuffle + one sort regardless of
+  match distance; DuckDB's native ``ASOF LEFT JOIN`` is the oracle.
+* **Banded range join** (``error_bursts``): pairs of error events by the same
+  user within a time gap. The naive theta join is O(n²) per user; instead
+  timestamps are bucketed into gap-sized bands and the probe side explodes to
+  [band, band+1], so the equi-join on (user, band) prunes everything except
+  true near-pairs — the standard banding rewrite that keeps a range join
+  shuffle-bounded at scale. Exact predicate re-checked after the equi-join.
+* **Rollup / cube** (``orders_rollup``, ``events_cube``): hierarchical and
+  full-lattice subtotals in ONE pass (Spark expands grouping sets inside the
+  aggregate, not one job per level). Money sums go through DECIMAL(18,2) so
+  engine-vs-oracle equality is exact, not float-lucky.
+* **Top-k per group** (``top_orders_per_priority``): ``row_number`` window +
+  rank filter. The partial-sort happens map-side per partition; no global
+  sort.
+* **Statistical profile** (``lineitem_stats``): count/avg/min/max/stddev and
+  an exact interpolated median per group — the profiling pass run before any
+  repartition/skew decision on a new dataset.
+* **Sliding window** (``event_count_sliding``): width 60 min, slide 15 min —
+  each event lands in width/slide = 4 windows (Spark expands in-plan; the
+  oracle replicates with an explicit 0..3 unnest).
+* **Session window** (``user_sessions``): 30-min-gap sessionization via
+  ``F.session_window`` (state-store mergeable in streaming); the oracle is
+  the classic gaps-and-islands lag/flag/running-sum rewrite.
+* **Curation pipeline** (``curated_corpus``): the end-to-end training-data
+  pass — quality gate -> exact dedup (min doc_id per text hash) -> curated
+  docs — composed from the quality/fingerprint operators so the whole
+  pipeline stays one declarative plan (filters/pruning reach the scan; the
+  only shuffles are the dedup groupBy and its join-back).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_toolkit_spark.catalog import load_table
+from big_data_toolkit_spark.operators import quality as quality_ops
+
+BURST_GAP_US = 600_000_000  # 10 minutes, band width == max pair gap
+SESSION_GAP = "30 minutes"
+TOP_K = 3
+MIN_QUALITY = 0.5
+MIN_TOKENS = 10
+
+
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each non-purchase event -> same user's latest prior purchase.
+
+    (event_id, user_id, ts, purchase_event_id, purchase_ts, gap_us); left
+    outer — events with no prior purchase keep nulls. Implemented as the
+    sort-merge as-of: union both sides, one shuffle on user_id, one sort on
+    (ts, side), running ``last(ignorenulls)`` carries the purchase forward.
+    Right rows order before left rows at equal ts, so a same-microsecond
+    purchase matches (ASOF ``>=`` semantics).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("long").alias("p_event_id"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(1).alias("is_left"),
+    )
+    right = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+        F.lit(0).alias("is_left"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        left.unionByName(right)
+        .withColumn("purchase_event_id", F.last("p_event_id", ignorenulls=True).over(w))
+        .withColumn("purchase_ts", F.last("p_ts", ignorenulls=True).over(w))
+        .where(F.col("is_left") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "purchase_event_id",
+            "purchase_ts",
+            (F.unix_micros("ts") - F.unix_micros("purchase_ts")).alias("gap_us"),
+        )
+    )
+
+
+def error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range self-join: ordered pairs of error events by one user <= 10 min apart.
+
+    (user_id, e1, e2, gap_us). Banding rewrite: band = floor(us / gap); the
+    probe side explodes to {band, band+1}, so the join is a plain equi-join
+    on (user_id, band) and the exact range predicate only re-checks
+    candidates. Each true pair is produced exactly once (its partner band
+    offset is unique).
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            F.floor(F.unix_micros("ts") / BURST_GAP_US).alias("band"),
+        )
+    )
+    probe = e.select(
+        "user_id",
+        F.col("event_id").alias("e1"),
+        F.col("us").alias("us1"),
+        F.explode(F.array(F.col("band"), F.col("band") + 1)).alias("band"),
+    )
+    build = e.select(
+        "user_id",
+        F.col("event_id").alias("e2"),
+        F.col("us").alias("us2"),
+        "band",
+    )
+    return (
+        probe.join(build, ["user_id", "band"])
+        .where(
+            (F.col("us2") > F.col("us1"))
+            | ((F.col("us2") == F.col("us1")) & (F.col("e2") > F.col("e1")))
+        )
+        .where(F.col("us2") - F.col("us1") <= BURST_GAP_US)
+        .select("user_id", "e1", "e2", (F.col("us2") - F.col("us1")).alias("gap_us"))
+    )
+
+
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (o_orderpriority, o_orderstatus): count + exact decimal revenue.
+
+    Subtotal levels are tagged with grouping flags (null dimension values
+    alone are ambiguous); all grouping sets aggregate in a single pass.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "g_priority",
+            "g_status",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (event_type, hour-of-day): count + exact decimal value sum."""
+    ev = load_table(spark, sf_dir, "events").withColumn("hour", F.hour("ts"))
+    return (
+        ev.cube("event_type", "hour")
+        .agg(
+            F.grouping("event_type").alias("g_type"),
+            F.grouping("hour").alias("g_hour"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("value_sum"),
+        )
+        .select(
+            "event_type", "hour", "g_type", "g_hour", "n_events", "value_sum"
+        )
+    )
+
+
+def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by totalprice within each priority (deterministic ties)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag statistical profile with exact interpolated median."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("stddev_price"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+    )
+
+
+def event_count_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per 60-min window sliding every 15 min (4 windows per event)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "60 minutes", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessionization per user: (user_id, start, end, n_events).
+
+    ``session_window`` end = last event + gap (Spark semantics; oracle
+    replicates via gaps-and-islands).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("s"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate + exact dedup over documents — the end-to-end curation pass.
+
+    Keep docs with quality >= MIN_QUALITY and >= MIN_TOKENS tokens, collapse
+    exact duplicates to the lowest doc_id per text_md5. Dedup is
+    groupBy(min) + join-back (partial-aggregatable, no global window sort).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    q = quality_ops.quality_score(spark, sf_dir).select("doc_id", "n_tokens", "quality")
+    f = quality_ops.fingerprint(spark, sf_dir).select("doc_id", "text_md5")
+    kept = (
+        q.where((F.col("quality") >= MIN_QUALITY) & (F.col("n_tokens") >= MIN_TOKENS))
+        .join(f, "doc_id")
+        .join(docs, "doc_id")
+    )
+    canon = kept.groupBy("text_md5").agg(F.min("doc_id").alias("doc_id"))
+    return kept.join(canon, ["text_md5", "doc_id"]).select(
+        "doc_id", "lang", "source", "n_tokens", "quality"
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL: dict[str, str] = {
+    "asof_purchase_attribution": """
+        SELECT e.event_id, e.user_id, e.ts,
+               p.event_id AS purchase_event_id, p.ts AS purchase_ts,
+               epoch_us(e.ts) - epoch_us(p.ts) AS gap_us
+        FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    "error_bursts": f"""
+        SELECT a.user_id, a.event_id AS e1, b.event_id AS e2,
+               epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'error' AND b.event_type = 'error'
+         AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+         AND epoch_us(b.ts) - epoch_us(a.ts) <= {BURST_GAP_US}
+    """,
+    "orders_rollup": """
+        SELECT o_orderpriority, o_orderstatus,
+               grouping(o_orderpriority) AS g_priority,
+               grouping(o_orderstatus) AS g_status,
+               count(*) AS n_orders,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    "events_cube": """
+        SELECT event_type, EXTRACT(hour FROM ts)::INT AS hour,
+               grouping(event_type) AS g_type,
+               grouping(EXTRACT(hour FROM ts)::INT) AS g_hour,
+               count(*) AS n_events,
+               sum(CAST(value AS DECIMAL(18,2))) AS value_sum
+        FROM events
+        GROUP BY CUBE (event_type, EXTRACT(hour FROM ts)::INT)
+    """,
+    "top_orders_per_priority": f"""
+        SELECT o_orderpriority, rk, o_orderkey, o_totalprice
+        FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders)
+        WHERE rk <= {TOP_K}
+    """,
+    "lineitem_stats": """
+        SELECT l_returnflag,
+               count(*) AS n,
+               round(avg(l_quantity), 6) AS avg_qty,
+               min(l_quantity) AS min_qty,
+               max(l_quantity) AS max_qty,
+               round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+               round(stddev_samp(l_extendedprice), 6) AS stddev_price,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "event_count_sliding": """
+        SELECT time_bucket(INTERVAL 15 MINUTES, ts) - k * INTERVAL 15 MINUTES
+                 AS window_start,
+               count(*) AS n_events
+        FROM events, (SELECT unnest(generate_series(0, 3)) AS k) offsets
+        GROUP BY 1
+    """,
+    "user_sessions": """
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), numbered AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTES AS session_end,
+               count(*) AS n_events
+        FROM numbered GROUP BY user_id, sid
+    """,
+}
+
+ORACLE_SQL["curated_corpus"] = f"""
+    WITH q AS ({quality_ops.ORACLE_SQL["quality_score"]}),
+         f AS ({quality_ops.ORACLE_SQL["fingerprint"]})
+    SELECT d.doc_id, d.lang, d.source, q.n_tokens, q.quality
+    FROM documents d
+    JOIN q ON d.doc_id = q.doc_id
+    JOIN f ON d.doc_id = f.doc_id
+    WHERE q.quality >= {MIN_QUALITY} AND q.n_tokens >= {MIN_TOKENS}
+    QUALIFY row_number() OVER (PARTITION BY f.text_md5 ORDER BY d.doc_id) = 1
+"""
+
+QUERIES = {
+    "asof_purchase_attribution": asof_purchase_attribution,
+    "error_bursts": error_bursts,
+    "orders_rollup": orders_rollup,
+    "events_cube": events_cube,
+    "top_orders_per_priority": top_orders_per_priority,
+    "lineitem_stats": lineitem_stats,
+    "event_count_sliding": event_count_sliding,
+    "user_sessions": user_sessions,
+    "curated_corpus": curated_corpus,
+}

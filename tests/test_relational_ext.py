@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+import pytest
+
+from big_data_toolkit_spark.operators import relational_ext as rx
+from tests.conftest import SF_ORACLE, SF_SMOKE
+from tests.oracle_utils import compare
+
+
+@pytest.mark.parametrize("name", sorted(rx.QUERIES))
+def test_oracle_match(spark, name):
+    df = rx.QUERIES[name](spark, SF_ORACLE)
+    compare(df, rx.ORACLE_SQL[name], SF_ORACLE)
+
+
+def test_asof_single_shuffle_no_join(spark):
+    """The as-of join must compile to union + one window, not a join at all."""
+    plan = (
+        rx.asof_purchase_attribution(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan  # sort-merge-asof via window, no join operator
+    assert plan.count("Exchange hashpartitioning") == 1  # one shuffle: user_id
+
+
+def test_error_bursts_is_equi_join(spark):
+    """Banding must turn the range join into an equi hash/sort-merge join —
+    no BroadcastNestedLoopJoin / CartesianProduct anywhere in the plan."""
+    plan = (
+        rx.error_bursts(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_rollup_single_pass(spark):
+    """All rollup levels aggregate in one Expand+Aggregate, not one job each."""
+    plan = (
+        rx.orders_rollup(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Expand") == 1
+
+
+def test_curated_corpus_thresholds(spark):
+    rows = rx.curated_corpus(spark, SF_ORACLE).collect()
+    assert rows  # thresholds keep a non-trivial corpus
+    assert all(r["quality"] >= rx.MIN_QUALITY for r in rows)
+    assert all(r["n_tokens"] >= rx.MIN_TOKENS for r in rows)
+
+
+def test_sessions_cover_all_events(spark):
+    ev_cnt = (
+        spark.read.parquet(f"{SF_ORACLE}/events.parquet").count()
+    )
+    sess = rx.user_sessions(spark, SF_ORACLE)
+    total = sess.groupBy().sum("n_events").collect()[0][0]
+    assert total == ev_cnt  # sessionization is a partition of the events
