@@ -54,6 +54,7 @@ HEADLINE = {
     "dedup_simhash": dedup.dedup_simhash,
     "knn_brute_force": similarity.knn_brute_force,
     "knn_lsh": similarity.knn_lsh,
+    "knn_ivf": similarity.knn_ivf,
     "quality_score": quality.quality_score,
     "token_count": quality.token_count,
     "fingerprint": quality.fingerprint,

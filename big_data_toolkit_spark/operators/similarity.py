@@ -33,6 +33,8 @@ QUERY_VEC_ID = 0
 TOP_K = 10
 N_HYPERPLANES = 8
 HYPERPLANE_IDS = tuple(range(1, N_HYPERPLANES + 1))  # vec_ids used as planes
+CENTROID_IDS = tuple(range(10, 26))  # 16 designated vectors as IVF centroids
+NPROBE = 2
 
 
 def _dot(a: str, b: str) -> Column:
@@ -130,6 +132,95 @@ def knn_lsh(
     )
 
 
+def _cosine_lambda(emb_col: str, vec_field) -> Column:
+    """Cosine between a column and a struct-field vector, usable in HOF lambdas."""
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(emb_col),
+            vec_field,
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(vec_field, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return dot / (_norm(emb_col) * nrm)
+
+
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, centroid_id): IVF index build — nearest centroid per vector.
+
+    Centroids are CENTROID_IDS corpus vectors (a deterministic stand-in for a
+    seeded k-means sample, so the oracle reproduces them exactly; Lloyd
+    refinement iterations would reuse this same plan with recomputed means).
+    The assignment is SHUFFLE-FREE: the 16 centroids collapse to one
+    broadcast array row and the argmax runs as an in-row higher-order
+    ``array_max`` over per-centroid cosines — a map-only pass, which is what
+    makes the index build viable at 100 TB (cost = one scan).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.where(F.col("vec_id").isin(list(CENTROID_IDS)))
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv"))
+        .agg(F.collect_list(F.struct("centroid_id", "cv")).alias("cents"))
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                _cosine_lambda("embedding", c["cv"]).alias("cs"),
+                (-c["centroid_id"]).alias("ncid"),
+            ),
+        )
+    )
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", (-best["ncid"]).alias("centroid_id"))
+    )
+
+
+def knn_ivf(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = QUERY_VEC_ID, k: int = TOP_K
+) -> DataFrame:
+    """IVF ANN top-k: probe the NPROBE nearest centroid lists only.
+
+    (vec_id, sim). Query side: rank centroids by cosine to the query, keep
+    NPROBE; candidates = vectors assigned to those centroids; exact cosine +
+    top-k within candidates. With the assignment table written partitioned by
+    ``centroid_id``, the probe is partition-pruned to nprobe/n_centroids of
+    the corpus — the IVF recall/cost dial (vs LSH's fixed bucket grid).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = ivf_assignments(spark, sf_dir)
+    query = emb.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv")
+    )
+    probe = (
+        emb.where(F.col("vec_id").isin(list(CENTROID_IDS)))
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv"))
+        .crossJoin(F.broadcast(query))
+        .orderBy(F.desc(_cosine("cv", "qv")), "centroid_id")
+        .limit(NPROBE)
+        .select("centroid_id")
+    )
+    cands = assign.join(F.broadcast(probe), "centroid_id").where(
+        F.col("vec_id") != query_vec_id
+    )
+    return (
+        cands.join(emb, "vec_id")
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", F.round(_cosine("embedding", "qv"), 6).alias("sim"))
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -183,7 +274,50 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+_CENT_LIST = ", ".join(str(c) for c in CENTROID_IDS)
+_COS_EC = _COS.format(a="e.embedding", b="c.cv")
+_COS_CQ = _COS.format(a="c.cv", b="q.qv")
+
+ORACLE_SQL["ivf_assignments"] = f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+      WHERE vec_id IN ({_CENT_LIST})
+    )
+    SELECT e.vec_id, c.centroid_id
+    FROM embeddings e, cents c
+    QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY {_COS_EC} DESC, c.centroid_id) = 1
+"""
+
+ORACLE_SQL["knn_ivf"] = f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+      WHERE vec_id IN ({_CENT_LIST})
+    ),
+    assign AS (
+      SELECT e.vec_id, c.centroid_id
+      FROM embeddings e, cents c
+      QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                                 ORDER BY {_COS_EC} DESC, c.centroid_id) = 1
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    probe AS (
+      SELECT c.centroid_id FROM cents c, q
+      ORDER BY {_COS_CQ} DESC, c.centroid_id LIMIT {NPROBE}
+    ),
+    cands AS (
+      SELECT a.vec_id FROM assign a JOIN probe p ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id <> {QUERY_VEC_ID}
+    )
+    SELECT e.vec_id, round({_COS_EQ}, 6) AS sim
+    FROM cands cd JOIN embeddings e ON cd.vec_id = e.vec_id, q
+    ORDER BY sim DESC, e.vec_id
+    LIMIT {TOP_K}
+"""
+
 QUERIES = {
     "knn_brute_force": knn_brute_force,
     "knn_lsh": knn_lsh,
+    "ivf_assignments": ivf_assignments,
+    "knn_ivf": knn_ivf,
 }

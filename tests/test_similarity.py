@@ -43,3 +43,22 @@ def test_no_python_udf_in_plan(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_assignment_is_total(spark):
+    """Every vector gets exactly one centroid, and centroids self-assign."""
+    rows = sim.ivf_assignments(spark, SF_ORACLE).collect()
+    n = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").count()
+    assert len(rows) == n
+    by_id = {r["vec_id"]: r["centroid_id"] for r in rows}
+    for cid in sim.CENTROID_IDS:
+        assert by_id[cid] == cid  # cosine(v, v) = 1 is the max
+
+
+def test_ivf_no_fabricated_sims(spark):
+    brute = {r["vec_id"]: r["sim"] for r in
+             sim.knn_brute_force(spark, SF_ORACLE, k=10**6).collect()}
+    ann = sim.knn_ivf(spark, SF_ORACLE).collect()
+    assert len(ann) > 0
+    for r in ann:
+        assert r["sim"] == pytest.approx(brute[r["vec_id"]], abs=1e-6)
