@@ -133,6 +133,82 @@ def stream_region_event_count(
     )
 
 
+def stream_user_sessions(
+    events_stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 minute"
+) -> DataFrame:
+    """Streaming sessionization: 30-min-gap sessions per user.
+
+    ``session_window`` sessions are merge-able in the state store (overlapping
+    [ts, ts+gap) intervals coalesce as events arrive out of order, up to the
+    watermark). Append mode emits a session only once its window can no
+    longer grow — i.e. when the watermark passes session end. Batch-form
+    twin: ``relational_ext.user_sessions`` (oracle-checked).
+    """
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("s"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup_events(
+    events_stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup on event_id with watermark-bounded state.
+
+    Without the watermark the seen-keys state grows forever; with it, a key
+    is remembered only while a duplicate could still arrive (the at-least-
+    once-source → exactly-once-pipeline repair step). Batch-form twin:
+    ``dedup.dedup_exact`` semantics on the events table.
+    """
+    return events_stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def stream_click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "60 minutes",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Stream-stream inner join: purchases within 60 min AFTER a user's click.
+
+    Both sides are watermarked and the join carries an event-time interval
+    bound, so each side's buffered state is evicted once the other side's
+    watermark passes the interval — bounded memory, the piece that makes
+    stream-stream joins viable. (The reference has no stream joins at all;
+    SURVEY §2.9 'not present'.)
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}")),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL (batch forms)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,130 @@
+"""Deterministic replay tests for the extended streaming operators:
+sessionization, watermark-bounded dedup, stream-stream interval join.
+Pattern per SURVEY §5: file-per-batch source + availableNow trigger, no wall
+clock; a far-future sentinel event advances the watermark to flush state."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from big_data_toolkit_spark.streaming import windows
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string"
+
+
+def _write_batches(spark, src, batches):
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i:03d}")
+        )
+    return (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "b*"))
+    )
+
+
+def _run_to_memory(df, name, tmp_path, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+
+def _m(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_stream_sessions_match_hand_computed(spark, tmp_path):
+    batches = [
+        [  # user 1: two sessions (40-min gap splits); user 2: one singleton
+            (1, _m(0), 1, "click"),
+            (2, _m(10), 1, "view"),
+            (3, _m(5), 2, "click"),
+        ],
+        [(4, _m(50), 1, "click")],
+        [(99, _m(60 * 24), 9, "click")],  # sentinel: advances watermark, flushes
+    ]
+    stream = _write_batches(spark, str(tmp_path / "src"), batches)
+    _run_to_memory(
+        windows.stream_user_sessions(stream), "sessions", tmp_path, mode="append"
+    )
+    rows = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+        if r["user_id"] != 9
+    }
+    assert rows == {
+        (1, _m(0), _m(10 + 30), 2),  # session end = last event + gap
+        (1, _m(50), _m(50 + 30), 1),
+        (2, _m(5), _m(5 + 30), 1),
+    }
+
+
+def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    batches = [
+        [(1, _m(0), 1, "click"), (2, _m(1), 1, "view")],
+        [(1, _m(0), 1, "click"), (3, _m(2), 2, "click")],  # replayed event 1
+    ]
+    stream = _write_batches(spark, str(tmp_path / "src"), batches)
+    _run_to_memory(windows.stream_dedup_events(stream), "deduped", tmp_path)
+    ids = [r["event_id"] for r in spark.sql("SELECT * FROM deduped").collect()]
+    assert sorted(ids) == [1, 2, 3]
+
+
+def test_stream_stream_join_interval_semantics(spark, tmp_path):
+    clicks = _write_batches(
+        spark,
+        str(tmp_path / "clicks"),
+        [
+            [(10, _m(0), 1, "click"), (11, _m(0), 2, "click")],
+            [(98, _m(60 * 24), 8, "click")],  # sentinel
+        ],
+    )
+    purchases = _write_batches(
+        spark,
+        str(tmp_path / "purch"),
+        [
+            [
+                (20, _m(30), 1, "purchase"),  # in window for click 10
+                (21, _m(90), 1, "purchase"),  # beyond 60 min -> no match
+                (22, _m(30), 3, "purchase"),  # wrong user -> no match
+            ],
+            [(99, _m(60 * 24), 9, "purchase")],  # sentinel
+        ],
+    )
+    joined = windows.stream_click_purchase_join(clicks, purchases)
+    _run_to_memory(joined, "cp_join", tmp_path)
+    rows = [
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM cp_join").collect()
+        if r["user_id"] < 8
+    ]
+    assert rows == [(1, 10, 20)]
+
+
+def test_stream_sessions_merge_out_of_order_events(spark, tmp_path):
+    """An out-of-order event inside the gap must MERGE two provisional
+    sessions into one (the state-store merge the batch form gets for free)."""
+    batches = [
+        [(1, _m(0), 1, "click"), (2, _m(50), 1, "click")],  # 50-min gap: 2 sessions
+        [(3, _m(25), 1, "view")],  # bridges them: gaps become 25 min
+        [(99, _m(60 * 24), 9, "click")],
+    ]
+    stream = _write_batches(spark, str(tmp_path / "src"), batches)
+    _run_to_memory(windows.stream_user_sessions(stream), "merged", tmp_path)
+    final = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM merged WHERE user_id = 1").collect()
+    }
+    # one single merged session — not the two provisional ones
+    assert final == {(1, _m(0), _m(50 + 30), 3)}
