@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from big_data_toolkit_spark.multimodal import binary_ops as multimodal
 from big_data_toolkit_spark.operators import (
+    analytics_ext,
     dedup,
     inverted_index,
     pagerank,
@@ -36,6 +37,7 @@ _MODULES = [
     similarity,
     quality,
     relational_ext,
+    analytics_ext,
     multimodal,
 ]
 

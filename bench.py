@@ -20,6 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from big_data_toolkit_spark.operators import (  # noqa: E402
+    analytics_ext,
     dedup,
     inverted_index,
     pagerank,
@@ -67,6 +68,15 @@ HEADLINE = {
     "sliding_window": relational_ext.event_count_sliding,
     "session_window": relational_ext.user_sessions,
     "curated_corpus": relational_ext.curated_corpus,
+    "anti_join": analytics_ext.customers_without_orders,
+    "full_outer_daily": analytics_ext.daily_activity_full,
+    "grouping_sets": analytics_ext.orders_grouping_sets,
+    "window_timeline": analytics_ext.customer_order_timeline,
+    "spend_quartiles": analytics_ext.customer_spend_quartiles,
+    "pivot_matrix": analytics_ext.user_event_matrix,
+    "json_props_stats": analytics_ext.json_props_stats,
+    "event_reach": analytics_ext.event_reach,
+    "event_reach_approx": analytics_ext.event_reach_approx,
 }
 
 

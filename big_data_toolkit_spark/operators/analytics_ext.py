@@ -1,0 +1,324 @@
+"""SQL-surface extensions, round 2: the remaining relational gaps.
+
+SURVEY §2.3 lists anti/right/full-outer joins as absent from the reference,
+§2.7 notes "No EXCEPT anywhere", §2.5 "No SQL window functions exist", and
+§2.8 "No ... JSON". This module closes those gaps as first-class,
+oracle-checked operators, plus the approximate-aggregate tools (HLL distinct,
+quantile sketch) that replace their exact forms at 100 TB:
+
+* **Anti join** (``customers_without_orders``): LEFT ANTI — the implicit
+  drop-if-missing the reference only does by accident
+  (``a1/PairsPMI.java:189-192``) made explicit. Shuffle equi-anti-join on the
+  key; Catalyst/AQE may broadcast the smaller side.
+* **Full outer join** (``daily_activity_full``): two pre-aggregated daily
+  series joined FULL OUTER — each side is reduced *before* the join, so the
+  join input is |distinct days|, not |rows|.
+* **EXCEPT** (``never_ordered_parts``): set difference, planned as an
+  aggregate-style anti join (no sort, partial-aggregatable).
+* **GROUPING SETS** (``orders_grouping_sets``): arbitrary (non-hierarchical)
+  grouping-set list in ONE Expand+Aggregate pass — rollup/cube's general
+  form (those live in ``relational_ext``).
+* **Window-function suite** (``customer_order_timeline``,
+  ``customer_spend_quartiles``): running DECIMAL totals, ``row_number``,
+  ``lag`` day-deltas per customer (shuffle only on ``o_custkey``); and
+  ``rank``/``dense_rank``/``ntile`` over *pre-aggregated* per-customer
+  totals — the global window sees one row per customer, not per order, which
+  is what keeps a global ranking viable at scale.
+* **Pivot** (``user_event_matrix``): long→wide with a PINNED value list —
+  at scale the two-pass "discover values then pivot" form is an extra full
+  scan, so values are declared.
+* **JSON extraction** (``json_props_stats``): ``from_json`` with an explicit
+  schema (JVM-side, codegen'd, no Python UDF) over ``events.props``.
+* **Distinct-count reach** (``event_reach`` exact — oracle-checked;
+  ``event_reach_approx`` HLL + quantile sketch — rows-only per driver
+  contract, tolerance-tested vs exact in pytest). At 100 TB exact
+  count-distinct shuffles every distinct (type, user) pair; the HLL sketch
+  is fixed-size per group and single-pass — it is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_toolkit_spark.catalog import load_table
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+N_QUARTILES = 4
+APPROX_RSD = 0.01
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no order at all (LEFT ANTI join).
+
+    The join key is the only shuffle; the orders side is pre-projected to
+    the key column so the exchange carries 8 bytes/row.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_nationkey")
+
+
+def daily_activity_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order counts FULL OUTER JOIN daily event counts on the day.
+
+    Aggregate-then-join: both inputs collapse to one row per day before the
+    full-outer, so the join is tiny regardless of fact size. Missing sides
+    stay NULL (that's the point of the outer join).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    od = (
+        orders.select(F.to_date("o_orderdate").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    ed = (
+        events.select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return od.join(ed, "day", "full_outer").select("day", "n_orders", "n_events")
+
+
+def never_ordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts that never appear in any lineitem (EXCEPT / set difference)."""
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey")
+    )
+    return part.subtract(li)
+
+
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((priority), (status), ()) — non-hierarchical subtotals.
+
+    One Expand+Aggregate pass (asserted in tests); grouping flags
+    disambiguate subtotal rows from genuine NULL dimension values.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "g_priority",
+            "g_status",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+def customer_order_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order sequence: running spend, order seq, days since prev.
+
+    One shuffle (o_custkey) + one sort per partition serves all three window
+    functions — they share the frame. Money runs through DECIMAL so the
+    cumulative sum is exact and order-independent across engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    day = F.to_date("o_orderdate")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("seq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(run).alias("run_spend"),
+        F.datediff(day, F.lag(day).over(w)).alias("days_since_prev"),
+    )
+
+
+def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile(4) over per-customer lifetime spend.
+
+    The global (unpartitioned) window is applied AFTER reducing to one row
+    per customer — the single-partition sort sees |customers| rows, not
+    |orders|. Ties broken by custkey for cross-engine determinism.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    totals = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    return totals.select(
+        "o_custkey",
+        "spend",
+        "n_orders",
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(N_QUARTILES).over(w).alias("quartile"),
+    )
+
+
+def user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot events long→wide: one row per user, one count column per type.
+
+    The value list is pinned (EVENT_TYPES) — no discovery scan — so this is
+    a single groupBy with conditional counts under the hood. Missing cells
+    are 0, matching the SQL FILTER formulation.
+    """
+    events = load_table(spark, sf_dir, "events")
+    wide = events.groupBy("user_id").pivot("event_type", list(EVENT_TYPES)).count()
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES],
+    )
+
+
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse events.props JSON with an explicit schema; aggregate by type.
+
+    ``from_json`` stays JVM-side inside whole-stage codegen — no Python UDF
+    in the scan-adjacent hot path.
+    """
+    events = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+def event_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type (the oracle-checked twin)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def event_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct users + median-value sketch per event type.
+
+    The 100 TB form of ``event_reach``: ``approx_count_distinct`` keeps a
+    fixed-size HLL++ register set per group (single-pass, no per-user
+    shuffle fan-out) and ``percentile_approx`` a bounded quantile sketch.
+    Deterministic for a given input (no RNG), but not bit-equal to any
+    exact SQL — registered rows-only; tolerance vs exact asserted in tests.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", APPROX_RSD).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL: dict[str, str] = {
+    "customers_without_orders": """
+        SELECT c_custkey, c_name, c_nationkey
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "daily_activity_full": """
+        WITH od AS (
+          SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+          FROM orders GROUP BY 1
+        ), ed AS (
+          SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+          FROM events GROUP BY 1
+        )
+        SELECT day, n_orders, n_events FROM od FULL OUTER JOIN ed USING (day)
+    """,
+    "never_ordered_parts": """
+        SELECT p_partkey AS partkey FROM part
+        EXCEPT
+        SELECT l_partkey AS partkey FROM lineitem
+    """,
+    "orders_grouping_sets": """
+        SELECT o_orderpriority, o_orderstatus,
+               grouping(o_orderpriority) AS g_priority,
+               grouping(o_orderstatus) AS g_status,
+               count(*) AS n_orders,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+    "customer_order_timeline": """
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER w AS seq,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS run_spend,
+               date_diff('day',
+                         lag(CAST(o_orderdate AS DATE)) OVER w,
+                         CAST(o_orderdate AS DATE)) AS days_since_prev
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "customer_spend_quartiles": f"""
+        WITH totals AS (
+          SELECT o_custkey,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend,
+                 count(*) AS n_orders
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey, spend, n_orders,
+               rank() OVER w AS rk,
+               dense_rank() OVER w AS drk,
+               ntile({N_QUARTILES}) OVER w AS quartile
+        FROM totals
+        WINDOW w AS (ORDER BY spend DESC, o_custkey)
+    """,
+    "user_event_matrix": """
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click') AS click,
+               count(*) FILTER (event_type = 'error') AS error,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'signup') AS signup,
+               count(*) FILTER (event_type = 'view') AS view
+        FROM events GROUP BY user_id
+    """,
+    "json_props_stats": """
+        SELECT event_type,
+               count(*) AS n,
+               sum(CAST(props->>'k' AS INT)) AS sum_k,
+               round(avg(CAST(props->>'k' AS INT)), 6) AS avg_k
+        FROM events GROUP BY event_type
+    """,
+    "event_reach": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+}
+
+QUERIES = {
+    "customers_without_orders": customers_without_orders,
+    "daily_activity_full": daily_activity_full,
+    "never_ordered_parts": never_ordered_parts,
+    "orders_grouping_sets": orders_grouping_sets,
+    "customer_order_timeline": customer_order_timeline,
+    "customer_spend_quartiles": customer_spend_quartiles,
+    "user_event_matrix": user_event_matrix,
+    "json_props_stats": json_props_stats,
+    "event_reach": event_reach,
+    "event_reach_approx": event_reach_approx,  # rows-only (sketches)
+}

@@ -1,0 +1,78 @@
+from __future__ import annotations
+
+import pytest
+
+from big_data_toolkit_spark.operators import analytics_ext as ax
+from tests.conftest import SF_ORACLE, SF_SMOKE
+from tests.oracle_utils import compare
+
+ORACLE_NAMES = sorted(ax.ORACLE_SQL)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_match(spark, name):
+    df = ax.QUERIES[name](spark, SF_ORACLE)
+    compare(df, ax.ORACLE_SQL[name], SF_ORACLE)
+
+
+def test_every_query_registered_has_oracle_or_is_sketch(spark):
+    assert set(ax.QUERIES) - set(ax.ORACLE_SQL) == {"event_reach_approx"}
+
+
+def test_approx_reach_within_tolerance(spark):
+    """HLL distinct (rsd=0.01) and the p50 sketch must track the exact twins."""
+    exact = {
+        r["event_type"]: r
+        for r in ax.event_reach(spark, SF_ORACLE).collect()
+    }
+    approx = {
+        r["event_type"]: r
+        for r in ax.event_reach_approx(spark, SF_ORACLE).collect()
+    }
+    assert set(exact) == set(approx)
+    for t, a in approx.items():
+        e = exact[t]["n_users"]
+        assert abs(a["approx_users"] - e) <= max(2, 0.05 * e), (t, a, e)
+
+
+def test_anti_join_no_cartesian(spark):
+    plan = (
+        ax.customers_without_orders(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_grouping_sets_single_pass(spark):
+    plan = (
+        ax.orders_grouping_sets(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Expand") == 1
+
+
+def test_pivot_no_discovery_scan(spark):
+    """Pinned pivot values: the plan must contain exactly one scan of events."""
+    plan = (
+        ax.user_event_matrix(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1
+
+
+def test_timeline_single_shuffle(spark):
+    """All three window functions share one (custkey) exchange + sort."""
+    plan = (
+        ax.customer_order_timeline(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
