@@ -24,10 +24,12 @@ import sys
 def _registry():
     from big_data_toolkit_spark.multimodal import binary_ops as multimodal
     from big_data_toolkit_spark.operators import (
+        analytics_ext,
         dedup,
         inverted_index,
         pagerank,
         quality,
+        relational_ext,
         similarity,
         spam,
         sql_analytics,
@@ -46,6 +48,8 @@ def _registry():
         dedup,
         similarity,
         quality,
+        relational_ext,
+        analytics_ext,
         multimodal,
     ):
         out.update(mod.QUERIES)

@@ -49,13 +49,19 @@ APPROX_RSD = 0.01
 
 
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no order at all (LEFT ANTI join).
+    """Customers who never placed an URGENT order (LEFT ANTI join).
 
-    The join key is the only shuffle; the orders side is pre-projected to
-    the key column so the exchange carries 8 bytes/row.
+    The join key is the only shuffle; the orders side is filtered and
+    pre-projected to the key column so the exchange carries 8 bytes/row.
+    (Restricted to urgent orders so the result is non-trivial on the
+    TESTDATA distribution — every customer has *some* order.)
     """
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name", "c_nationkey")
@@ -83,13 +89,23 @@ def daily_activity_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return od.join(ed, "day", "full_outer").select("day", "n_orders", "n_events")
 
 
+STALE_PART_CUTOFF = "2001-01-01"
+
+
 def never_ordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parts that never appear in any lineitem (EXCEPT / set difference)."""
+    """Parts with no shipment since the cutoff (EXCEPT / set difference).
+
+    The date filter is pushed to the lineitem scan; the EXCEPT plans as a
+    distinct-aggregate anti join. (Cutoff keeps the result non-trivial —
+    on TESTDATA every part has shipped at least once overall.)
+    """
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("partkey")
     )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_partkey").alias("partkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") >= F.lit(STALE_PART_CUTOFF).cast("timestamp"))
+        .select(F.col("l_partkey").alias("partkey"))
     )
     return part.subtract(li)
 
@@ -234,7 +250,9 @@ ORACLE_SQL: dict[str, str] = {
     "customers_without_orders": """
         SELECT c_custkey, c_name, c_nationkey
         FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
     """,
     "daily_activity_full": """
         WITH od AS (
@@ -246,10 +264,11 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT day, n_orders, n_events FROM od FULL OUTER JOIN ed USING (day)
     """,
-    "never_ordered_parts": """
+    "never_ordered_parts": f"""
         SELECT p_partkey AS partkey FROM part
         EXCEPT
         SELECT l_partkey AS partkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{STALE_PART_CUTOFF}'
     """,
     "orders_grouping_sets": """
         SELECT o_orderpriority, o_orderstatus,

@@ -113,22 +113,25 @@ def personalized_pagerank(
         F.when(is_source, F.lit(1.0 / n_sources)).otherwise(F.lit(0.0)).alias("rank"),
     )
 
+    # Static per-node teleport mass (α/|S| on sources, 0 elsewhere). Keeping
+    # the zero rows makes the union below a complete substitute for the
+    # reference's node⋈messages cogroup: every node appears in the aggregate
+    # even if it received no message, so no outer join is needed.
+    base = nodes.select(
+        "node",
+        F.when(is_source, F.lit(alpha / n_sources)).otherwise(F.lit(0.0)).alias("m"),
+    ).cache()
+
     for i in range(iters):
-        contribs = (
-            ranks.join(wedges, ranks.node == wedges.src)
-            .select(F.col("dst").alias("node"), (F.col("rank") * F.col("w")).alias("m"))
-            .groupBy("node")
-            .agg(F.sum("m").alias("incoming"))
+        # rank'(m) = Σ (1-α)·rank(n)·w(n→m)  ⊎  base(m) — messages pre-scaled
+        # so the whole iteration is one union + ONE groupBy shuffle, instead
+        # of contribs-groupBy + nodes-left-join (two shuffles + outer join).
+        msgs = ranks.join(wedges, ranks.node == wedges.src).select(
+            F.col("dst").alias("node"),
+            ((1.0 - alpha) * F.col("rank") * F.col("w")).alias("m"),
         )
         ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    (1.0 - alpha) * F.coalesce(F.col("incoming"), F.lit(0.0))
-                    + F.when(is_source, F.lit(alpha / n_sources)).otherwise(F.lit(0.0))
-                ).alias("rank"),
-            )
+            msgs.unionByName(base).groupBy("node").agg(F.sum("m").alias("rank"))
         )
         # Truncate lineage periodically; otherwise the plan nests one join
         # per iteration and analysis/codegen time blows up.
