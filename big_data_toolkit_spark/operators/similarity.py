@@ -24,6 +24,8 @@ No UDFs, no collect-based loops; everything is expressions + one broadcast.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -75,82 +77,78 @@ def knn_brute_force(
     )
 
 
+def _collect_index_vectors(emb: DataFrame, ids: tuple[int, ...]) -> dict[int, list]:
+    """Fetch the designated index vectors (planes/centroids) to the driver.
+
+    These are O(n_planes · dim) floats — index *constants*, the moral
+    equivalent of a broadcast variable; they ship to executors inside the
+    vectorized UDF closure.
+    """
+    rows = emb.where(F.col("vec_id").isin(list(ids))).select("vec_id", "embedding").collect()
+    return {r["vec_id"]: list(r["embedding"]) for r in rows}
+
+
+def _bucket_udf(planes: dict[int, list]):
+    """Arrow-batched signature UDF: sign bits of E @ P.T, one matmul per batch.
+
+    The index-build math is pure linear algebra, which is exactly where a
+    Pandas UDF beats per-row SQL expressions: each Arrow batch becomes one
+    float64 GEMM instead of n_planes interpreted folds per row. Bits depend
+    only on dot-product SIGNS, so float summation order cannot flip them
+    except at |dot| ~ ulp — degenerate inputs excluded by construction.
+    """
+    P = np.array([planes[pid] for pid in sorted(planes)], dtype=np.float64)
+
+    @F.pandas_udf("string")
+    def bucket(emb: pd.Series) -> pd.Series:
+        E = np.array(emb.tolist(), dtype=np.float64)
+        bits = (E @ P.T > 0).astype(np.uint8)
+        return pd.Series(["".join(map(str, row)) for row in bits])
+
+    return bucket
+
+
 def lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, bucket): 8-bit random-hyperplane signature per vector."""
+    """(vec_id, bucket): 8-bit random-hyperplane signature per vector.
+
+    Map-only single scan at any corpus size: no per-(vector, plane) row
+    explosion, no groupBy shuffle, no join-back — the signature is one
+    vectorized matmul per Arrow batch.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = (
-        emb.where(F.col("vec_id").isin(list(HYPERPLANE_IDS)))
-        .select(F.col("vec_id").alias("plane_id"), F.col("embedding").alias("pv"))
-    )
-    bits = (
-        emb.crossJoin(F.broadcast(planes))
-        .select(
-            "vec_id",
-            "plane_id",
-            (_dot("embedding", "pv") > 0).cast("int").alias("bit"),
-        )
-    )
-    return (
-        bits.groupBy("vec_id")
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("plane_id", "bit"))
-                    ),
-                    lambda s: s["bit"].cast("string"),
-                ),
-            ).alias("bucket")
-        )
-    )
+    planes = _collect_index_vectors(emb, HYPERPLANE_IDS)
+    return emb.select("vec_id", _bucket_udf(planes)("embedding").alias("bucket"))
 
 
 def knn_lsh(
     spark: SparkSession, sf_dir: str, query_vec_id: int = QUERY_VEC_ID, k: int = TOP_K
 ) -> DataFrame:
-    """ANN top-k within the query's LSH bucket: (vec_id, sim)."""
+    """ANN top-k within the query's LSH bucket: (vec_id, sim).
+
+    One scan, zero shuffles: bucket and cosine are both in-row expressions
+    against broadcast one-row frames (planes, query bucket, query vector);
+    the bucket filter prunes before the cosine; top-k is per-partition heaps
+    (TakeOrderedAndProject). The former plan shuffled candidates back into
+    the embeddings table by vec_id — pure overhead, since the candidate row
+    already carries its embedding.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    sigs = lsh_signatures(spark, sf_dir)
-    query_bucket = sigs.where(F.col("vec_id") == query_vec_id).select(
-        F.col("bucket").alias("qb")
-    )
+    planes = _collect_index_vectors(emb, HYPERPLANE_IDS)
     query = emb.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qv")
     )
-    cands = (
-        sigs.crossJoin(F.broadcast(query_bucket))
-        .where((F.col("bucket") == F.col("qb")) & (F.col("vec_id") != query_vec_id))
-        .select("vec_id")
+    sigs = emb.withColumn("bucket", _bucket_udf(planes)("embedding"))
+    query_bucket = sigs.where(F.col("vec_id") == query_vec_id).select(
+        F.col("bucket").alias("qb")
     )
     return (
-        cands.join(emb, "vec_id")
+        sigs.crossJoin(F.broadcast(query_bucket))
+        .where((F.col("bucket") == F.col("qb")) & (F.col("vec_id") != query_vec_id))
         .crossJoin(F.broadcast(query))
         .select("vec_id", F.round(_cosine("embedding", "qv"), 6).alias("sim"))
         .orderBy(F.desc("sim"), "vec_id")
         .limit(k)
     )
-
-
-def _cosine_lambda(emb_col: str, vec_field) -> Column:
-    """Cosine between a column and a struct-field vector, usable in HOF lambdas."""
-    dot = F.aggregate(
-        F.zip_with(
-            F.col(emb_col),
-            vec_field,
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform(vec_field, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    return dot / (_norm(emb_col) * nrm)
 
 
 def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,24 +163,33 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the index build viable at 100 TB (cost = one scan).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = (
-        emb.where(F.col("vec_id").isin(list(CENTROID_IDS)))
-        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv"))
-        .agg(F.collect_list(F.struct("centroid_id", "cv")).alias("cents"))
-    )
-    best = F.array_max(
-        F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                _cosine_lambda("embedding", c["cv"]).alias("cs"),
-                (-c["centroid_id"]).alias("ncid"),
-            ),
-        )
-    )
-    return (
-        emb.crossJoin(F.broadcast(cents))
-        .select("vec_id", (-best["ncid"]).alias("centroid_id"))
-    )
+    cents = _collect_index_vectors(emb, CENTROID_IDS)
+    return _with_centroid(emb, cents).select("vec_id", "centroid_id")
+
+
+def _centroid_udf(cents: dict[int, list]):
+    """Arrow-batched nearest-centroid UDF: argmax of batched cosine GEMM.
+
+    np.argmax returns the FIRST max, and centroid ids are sorted ascending,
+    so ties break to the smallest centroid_id — the oracle's row_number
+    ordering (cos DESC, centroid_id ASC).
+    """
+    cids = np.array(sorted(cents), dtype=np.int64)
+    C = np.array([cents[c] for c in cids], dtype=np.float64)
+    cnorm = np.linalg.norm(C, axis=1)
+
+    @F.pandas_udf("long")
+    def nearest(emb: pd.Series) -> pd.Series:
+        E = np.array(emb.tolist(), dtype=np.float64)
+        cs = (E @ C.T) / (np.linalg.norm(E, axis=1, keepdims=True) * cnorm)
+        return pd.Series(cids[np.argmax(cs, axis=1)])
+
+    return nearest
+
+
+def _with_centroid(emb: DataFrame, cents: dict[int, list]) -> DataFrame:
+    """emb + in-row argmax centroid assignment (map-only, keeps all columns)."""
+    return emb.withColumn("centroid_id", _centroid_udf(cents)("embedding"))
 
 
 def knn_ivf(
@@ -197,7 +204,6 @@ def knn_ivf(
     the corpus — the IVF recall/cost dial (vs LSH's fixed bucket grid).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    assign = ivf_assignments(spark, sf_dir)
     query = emb.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qv")
     )
@@ -209,11 +215,14 @@ def knn_ivf(
         .limit(NPROBE)
         .select("centroid_id")
     )
-    cands = assign.join(F.broadcast(probe), "centroid_id").where(
-        F.col("vec_id") != query_vec_id
-    )
+    # One scan, zero wide shuffles: assignment is the in-row argmax, the
+    # probe filter is a 2-row broadcast join, and the row already carries its
+    # embedding — no join-back into the corpus by vec_id.
+    cents = _collect_index_vectors(emb, CENTROID_IDS)
     return (
-        cands.join(emb, "vec_id")
+        _with_centroid(emb, cents)
+        .join(F.broadcast(probe), "centroid_id")
+        .where(F.col("vec_id") != query_vec_id)
         .crossJoin(F.broadcast(query))
         .select("vec_id", F.round(_cosine("embedding", "qv"), 6).alias("sim"))
         .orderBy(F.desc("sim"), "vec_id")
