@@ -78,30 +78,43 @@ def personalized_pagerank(
     """
     n_sources = len(sources)
 
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
+    # ONE exploded-ends aggregation yields the node set, out-degrees, AND the
+    # dangling set (deg == 0) in a single shuffle — replacing the separate
+    # union+distinct node scan, degree groupBy, and dangling anti-join.
+    node_deg = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("node"), F.lit(1).alias("out")),
+                    F.struct(F.col("dst").alias("node"), F.lit(0).alias("out")),
+                )
+            ).alias("e")
+        )
+        .select("e.*")
+        .groupBy("node")
+        .agg(F.sum("out").alias("deg"))
     )
+    nodes = node_deg.select("node")
     # Dangling correction as data, not as a per-iteration aggregate job: a
     # node with no out-edges gets |S| virtual edges to the sources, weight
     # 1/|S| each — algebraically identical to the reference's side-file mass
     # redistribution (a4/RunPersonalizedPageRankBasic.java:140-155) but it
     # keeps every iteration a single join+agg with NO driver-side action.
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    real = edges.join(out_deg, "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
-    )
-    dangling_nodes = nodes.join(
-        edges.select("src").distinct(), nodes.node == F.col("src"), "left_anti"
-    ).select(F.col("node").alias("src"))
-    virtual = dangling_nodes.crossJoin(
-        F.broadcast(
-            edges.sparkSession.createDataFrame(
-                [(int(s),) for s in sources], "dst long"
+    real = edges.join(
+        node_deg.withColumnRenamed("node", "src"), "src"
+    ).select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+    virtual = (
+        node_deg.where(F.col("deg") == 0)
+        .select(F.col("node").alias("src"))
+        .crossJoin(
+            F.broadcast(
+                edges.sparkSession.createDataFrame(
+                    [(int(s),) for s in sources], "dst long"
+                )
             )
         )
-    ).select("src", "dst", F.lit(1.0 / n_sources).alias("w"))
+        .select("src", "dst", F.lit(1.0 / n_sources).alias("w"))
+    )
     # Co-locate the (static) weighted edge list by src once; every
     # iteration's join reuses this layout (a4/PartitionGraph analogue).
     wedges = real.union(virtual).repartition("src").cache()
