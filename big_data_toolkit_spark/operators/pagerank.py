@@ -158,9 +158,11 @@ def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 nodes by personalized rank on the derived graph (A12/O5).
 
     Rank rounded to 6 decimals (the reference prints ``%.5f``,
-    a4/FindMaxPageRankNodes.java:99). Rows-only correctness check (iterative,
-    non-SQL); exact-value parity vs a NumPy power-iteration replica is
-    asserted in tests.
+    a4/FindMaxPageRankNodes.java:99). Oracle-checked: the fixed iteration
+    count makes the power iteration SQL-expressible by unrolling each step
+    as a chained CTE (see ``pagerank_oracle_sql``); the 6-decimal rounding
+    absorbs summation-order float drift between engines. Exact-value parity
+    vs a NumPy power-iteration replica is additionally asserted in tests.
     """
     edges = derive_graph(spark, sf_dir)
     ranks = personalized_pagerank(spark, edges)
@@ -181,5 +183,67 @@ def partition_graph(edges: DataFrame, n: int, mode: str = "hash") -> DataFrame:
     raise ValueError(f"mode must be 'hash' or 'range', got {mode!r}")
 
 
+def pagerank_oracle_sql(
+    sources: tuple[int, ...] = DEFAULT_SOURCES,
+    alpha: float = ALPHA,
+    iters: int = DEFAULT_ITERS,
+    mod: int = N_NODES_MOD,
+    k: int = 20,
+) -> str:
+    """ANSI-SQL replica of ``pagerank_top20`` with the iteration unrolled.
+
+    A fixed iteration count is just a 10-deep expression DAG, so the whole
+    algorithm — graph derivation, out-degrees, dangling-to-sources virtual
+    edges, pre-scaled message union, α-teleport — is one SQL statement of
+    chained CTEs r0..rN, each the exact relational form of one Spark
+    iteration. Every arithmetic step ((1-α)·rank·w, 1/|S|, α/|S|) is the
+    same IEEE-double expression both engines evaluate, so after ROUND(...,6)
+    the hash-compare is exact.
+    """
+    n = len(sources)
+    src_list = ", ".join(str(s) for s in sources)
+    vals = ", ".join(f"({s})" for s in sources)
+    sql = f"""WITH edges AS (
+  SELECT DISTINCT CAST(l_orderkey % {mod} AS BIGINT) AS src,
+                  CAST(l_partkey % {mod} AS BIGINT) AS dst
+  FROM lineitem
+  WHERE (l_orderkey % {mod}) <> (l_partkey % {mod})
+), node_deg AS (
+  SELECT node, SUM(out) AS deg FROM (
+    SELECT src AS node, 1 AS out FROM edges
+    UNION ALL
+    SELECT dst AS node, 0 AS out FROM edges
+  ) GROUP BY node
+), wedges AS (
+  SELECT e.src, e.dst, 1.0 / d.deg AS w
+  FROM edges e JOIN node_deg d ON e.src = d.node
+  UNION ALL
+  SELECT d.node AS src, s.dst, 1.0 / {n} AS w
+  FROM node_deg d CROSS JOIN (VALUES {vals}) AS s(dst)
+  WHERE d.deg = 0
+), base AS (
+  SELECT node,
+         CASE WHEN node IN ({src_list}) THEN {alpha} / {n} ELSE 0.0 END AS m
+  FROM node_deg
+), r0 AS (
+  SELECT node,
+         CASE WHEN node IN ({src_list}) THEN 1.0 / {n} ELSE 0.0 END AS "rank"
+  FROM node_deg
+)"""
+    for i in range(1, iters + 1):
+        sql += f""", r{i} AS (
+  SELECT node, SUM(m) AS "rank" FROM (
+    SELECT w.dst AS node, (1.0 - {alpha}) * r."rank" * w.w AS m
+    FROM r{i - 1} r JOIN wedges w ON r.node = w.src
+    UNION ALL
+    SELECT node, m FROM base
+  ) GROUP BY node
+)"""
+    sql += f"""
+SELECT node, ROUND("rank", 6) AS "rank" FROM r{iters}
+ORDER BY "rank" DESC, node LIMIT {k}"""
+    return sql
+
+
 QUERIES = {"pagerank_top20": pagerank_top20}
-ORACLE_SQL: dict[str, str] = {}  # iterative — rows-only per driver contract
+ORACLE_SQL = {"pagerank_top20": pagerank_oracle_sql()}

@@ -68,3 +68,15 @@ def test_top20_shape(spark):
     assert len(rows) == 20
     vals = [r["rank"] for r in rows]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_pagerank_oracle_parity(spark):
+    """The unrolled-CTE DuckDB oracle reproduces pagerank_top20 exactly
+    (after the 6-decimal rounding both sides apply)."""
+    from tests.oracle_utils import compare
+
+    compare(
+        pr.pagerank_top20(spark, SF_SMOKE),
+        pr.ORACLE_SQL["pagerank_top20"],
+        SF_SMOKE,
+    )
