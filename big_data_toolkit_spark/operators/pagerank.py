@@ -93,6 +93,7 @@ def personalized_pagerank(
         .select("e.*")
         .groupBy("node")
         .agg(F.sum("out").alias("deg"))
+        .cache()
     )
     nodes = node_deg.select("node")
     # Dangling correction as data, not as a per-iteration aggregate job: a
@@ -117,7 +118,20 @@ def personalized_pagerank(
     )
     # Co-locate the (static) weighted edge list by src once; every
     # iteration's join reuses this layout (a4/PartitionGraph analogue).
-    wedges = real.union(virtual).repartition("src").cache()
+    # Partition count is sized by edge count (~1M weighted edges per
+    # partition) rather than the global shuffle default: the iteration loop
+    # re-executes over this exact layout 10+ times, so a layout with more
+    # tasks than data costs 10× the scheduler overhead, while at billions
+    # of edges the same rule scales the task count up with the graph. The
+    # count comes from the (cached, needed-anyway) degree table: real edges
+    # = Σdeg, virtual dangling edges = |deg==0|·|S| — no extra edge scan.
+    stats = node_deg.agg(
+        F.sum("deg").alias("e"),
+        F.sum((F.col("deg") == 0).cast("long")).alias("d"),
+    ).first()
+    n_edges = int(stats["e"] or 0) + int(stats["d"] or 0) * n_sources
+    n_parts = max(1, min(n_edges // 1_000_000 + 1, 2000))
+    wedges = real.union(virtual).repartition(n_parts, "src").cache()
     wedges.count()  # materialize once
 
     is_source = F.col("node").isin(list(sources))
