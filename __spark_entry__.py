@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from big_data_toolkit_spark.multimodal import binary_ops as multimodal
 from big_data_toolkit_spark.operators import (
     analytics_ext,
+    curation,
     dedup,
     inverted_index,
     pagerank,
@@ -39,6 +40,7 @@ _MODULES = [
     relational_ext,
     analytics_ext,
     multimodal,
+    curation,
 ]
 
 

@@ -1,0 +1,244 @@
+"""Training-data curation: deterministic sampling, source mixing, shard packing.
+
+Beyond-the-reference operators a 100 TB pretraining pipeline needs between
+"raw corpus" and "training shards". The reference's only sampling-adjacent
+op is the seeded random shuffle before SGD (``a5/TrainSpamClassifier.scala:44-46``);
+everything here generalizes that idea with *hash-deterministic* randomness —
+``md5(doc_id)`` replaces RNG state, so every operator is reproducible,
+cluster-size-independent, and expressible in ANSI SQL for the DuckDB oracle.
+
+Scale design:
+
+* **No RNG, no collect.** Sampling decisions are pure column expressions on a
+  content hash; re-running on 1 or 1000 executors yields byte-identical
+  output (``F.rand`` is partition-dependent; hashes are not).
+* **Mix quotas are integer arithmetic** (largest whole number of mix units),
+  computed as a tiny per-source aggregate joined back by broadcast — no
+  driver round-trip, no float boundary drift between engines.
+* **Shard packing is a distributed prefix sum**: within-bucket running sums
+  (windows partitioned by hash bucket) plus a bucket-offset table (one row
+  per bucket, broadcast back). The only global ordering ever materialized is
+  over ``N_BUCKETS`` rows, so the 100 TB case never funnels the corpus
+  through a single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_toolkit_spark.catalog import load_table
+
+SAMPLE_BP = 1000  # basis points of 10000 → 10% deterministic sample
+STRATUM_K = 10  # docs kept per source in the stratified sample
+N_BUCKETS = 32  # prefix-sum fan-out; sized ~ cluster parallelism at scale
+SHARD_TOKENS = 4096  # token budget per training shard
+
+# Pinned source → integer mix weight (srcN ↦ N%4+1). Integer weights make
+# quota arithmetic exact in both engines: u = min_s floor(cnt_s / w_s) mix
+# units, quota_s = w_s · u.
+MIX_WEIGHTS = {f"src{i}": (i % 4) + 1 for i in range(20)}
+
+
+def _hash32(col):
+    """Deterministic 32-bit hash via md5 hex prefix (same value in DuckDB)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+_H32_SQL = "('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8))::BIGINT"
+
+
+def hash_sample(
+    spark: SparkSession, sf_dir: str, rate_bp: int = SAMPLE_BP
+) -> DataFrame:
+    """Deterministic ~``rate_bp``/10000 Bernoulli sample of documents.
+
+    ``md5(doc_id) % 10000 < rate_bp`` — the sample is a pure filter (no
+    shuffle, no RNG), so it composes with any downstream plan and pushes
+    into the scan where the predicate allows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(_hash32(F.col("doc_id")) % 10000 < rate_bp).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def stratified_sample(
+    spark: SparkSession, sf_dir: str, k: int = STRATUM_K
+) -> DataFrame:
+    """First ``k`` docs per source in hash order — equal-allocation strata.
+
+    One shuffle (window partitioned by source); hash order makes the pick
+    pseudo-random yet reproducible.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", "source", _hash32(F.col("doc_id")).alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("doc_id", "source")
+    )
+
+
+def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample sources to the pinned MIX_WEIGHTS ratios, maximally.
+
+    u = min over sources of floor(count_s / weight_s) is the largest whole
+    number of "mix units" every source can supply; each source then
+    contributes its first weight_s·u docs in hash order. All-integer, so
+    Spark and the oracle agree exactly. The weights table and the 1-row
+    unit count travel by broadcast join — nothing touches the driver.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        [(s, w) for s, w in MIX_WEIGHTS.items()], "source string, w long"
+    )
+    counts = docs.groupBy("source").agg(F.count("*").alias("cnt"))
+    units = (
+        counts.join(F.broadcast(weights), "source")
+        .select(F.floor(F.col("cnt") / F.col("w")).alias("u_s"))
+        .agg(F.min("u_s").alias("u"))
+    )
+    quota = weights.crossJoin(F.broadcast(units)).select(
+        "source", (F.col("w") * F.col("u")).alias("quota")
+    )
+    w_rank = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", "source", _hash32(F.col("doc_id")).alias("h"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .join(F.broadcast(quota), "source")
+        .where(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "source")
+    )
+
+
+def shard_pack(
+    spark: SparkSession, sf_dir: str, budget: int = SHARD_TOKENS
+) -> DataFrame:
+    """Assign each doc to a ~``budget``-token training shard.
+
+    Distributed prefix sum: docs land in ``N_BUCKETS`` hash buckets; a
+    window partitioned by bucket computes the within-bucket exclusive
+    running token sum (hash order); per-bucket totals (N_BUCKETS rows) get
+    a global exclusive prefix and broadcast back. shard_id = global token
+    offset DIV budget — integer arithmetic end to end. At 100 TB the heavy
+    windows stay partitioned by bucket; only the 32-row offset table is
+    globally ordered.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split("text", " +"), lambda t: t != F.lit("")))
+    b = docs.select(
+        "doc_id",
+        toks.cast("long").alias("ws_tokens"),
+        _hash32(F.col("doc_id")).alias("h"),
+    ).withColumn("bucket", F.col("h") % N_BUCKETS)
+
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = b.withColumn(
+        "pre", F.coalesce(F.sum("ws_tokens").over(w_in), F.lit(0))
+    )
+
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        b.groupBy("bucket")
+        .agg(F.sum("ws_tokens").alias("btot"))
+        .withColumn("off", F.coalesce(F.sum("btot").over(w_off), F.lit(0)))
+        .select("bucket", "off")
+    )
+
+    return (
+        pre.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "ws_tokens",
+            F.expr(f"(pre + off) DIV {budget}").alias("shard_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_H = _H32_SQL.format(col="doc_id")
+_MIX_VALUES = ", ".join(f"('{s}', {w})" for s, w in MIX_WEIGHTS.items())
+
+ORACLE_SQL: dict[str, str] = {
+    "hash_sample": f"""
+        SELECT doc_id, source, n_chars
+        FROM documents
+        WHERE {_H} % 10000 < {SAMPLE_BP}
+    """,
+    "stratified_sample": f"""
+        WITH r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY {_H}, doc_id) AS rn
+          FROM documents
+        )
+        SELECT doc_id, source FROM r WHERE rn <= {STRATUM_K}
+    """,
+    "source_mix": f"""
+        WITH weights(source, w) AS (VALUES {_MIX_VALUES}),
+        counts AS (
+          SELECT source, count(*) AS cnt FROM documents GROUP BY source
+        ),
+        units AS (
+          SELECT min(cnt // w) AS u
+          FROM counts JOIN weights USING (source)
+        ),
+        quota AS (
+          SELECT source, w * u AS quota FROM weights CROSS JOIN units
+        ),
+        r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY {_H}, doc_id) AS rn
+          FROM documents
+        )
+        SELECT doc_id, r.source
+        FROM r JOIN quota ON r.source = quota.source
+        WHERE rn <= quota
+    """,
+    "shard_pack": f"""
+        WITH b AS (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(text, ' +'),
+                                 t -> t <> ''))::BIGINT AS ws_tokens,
+                 {_H} AS h,
+                 {_H} % {N_BUCKETS} AS bucket
+          FROM documents
+        ),
+        pre AS (
+          SELECT *,
+                 COALESCE(SUM(ws_tokens) OVER (
+                   PARTITION BY bucket ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+          FROM b
+        ),
+        offsets AS (
+          SELECT bucket,
+                 COALESCE(SUM(SUM(ws_tokens)) OVER (
+                   ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+          FROM b GROUP BY bucket
+        )
+        SELECT pre.doc_id, pre.ws_tokens,
+               (pre.pre + offsets.off) // {SHARD_TOKENS} AS shard_id
+        FROM pre JOIN offsets USING (bucket)
+    """,
+}
+
+QUERIES = {
+    "hash_sample": hash_sample,
+    "stratified_sample": stratified_sample,
+    "source_mix": source_mix,
+    "shard_pack": shard_pack,
+}

@@ -1,0 +1,86 @@
+"""Training-data curation operators: oracle parity + scale plan shapes."""
+
+import pytest
+
+from big_data_toolkit_spark.operators import curation
+from tests.oracle_utils import compare
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", sorted(curation.QUERIES))
+def test_oracle_parity(spark, name):
+    compare(curation.QUERIES[name](spark, SF), curation.ORACLE_SQL[name], SF)
+
+
+def test_hash_sample_is_pure_filter(spark):
+    """No shuffle: the sample must be scan+filter only (composable,
+    pushdown-friendly); an Exchange would mean it repartitioned 100 TB
+    just to drop rows."""
+    plan = (
+        curation.hash_sample(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_hash_sample_rate(spark):
+    """~10% of 500 docs, deterministic across runs."""
+    a = sorted(r["doc_id"] for r in curation.hash_sample(spark, SF).collect())
+    b = sorted(r["doc_id"] for r in curation.hash_sample(spark, SF).collect())
+    assert a == b
+    assert 20 <= len(a) <= 80
+
+
+def test_stratified_equal_allocation(spark):
+    rows = curation.stratified_sample(spark, SF).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], 0)
+        by_src[r["source"]] += 1
+    assert set(by_src.values()) == {curation.STRATUM_K}
+
+
+def test_source_mix_ratios(spark):
+    """Selected counts per source are exactly weight·u for one shared u."""
+    rows = curation.source_mix(spark, SF).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], 0)
+        by_src[r["source"]] += 1
+    units = {
+        cnt // curation.MIX_WEIGHTS[s] for s, cnt in by_src.items()
+    }
+    assert len(units) == 1
+    u = units.pop()
+    assert all(
+        cnt == curation.MIX_WEIGHTS[s] * u for s, cnt in by_src.items()
+    )
+
+
+def test_shard_pack_budget_and_totality(spark):
+    """Every doc is assigned; every shard except the last stays within
+    budget + one doc of overshoot (a doc never splits across shards)."""
+    rows = curation.shard_pack(spark, SF).collect()
+    assert len(rows) == 500  # every document assigned
+    shards = {}
+    for r in rows:
+        shards.setdefault(r["shard_id"], 0)
+        shards[r["shard_id"]] += r["ws_tokens"]
+    assert sorted(shards) == list(range(len(shards)))  # dense ids
+    max_doc = max(r["ws_tokens"] for r in rows)
+    for sid, tot in shards.items():
+        if sid != max(shards):
+            assert tot <= curation.SHARD_TOKENS + max_doc
+
+
+def test_shard_pack_no_global_window_over_docs(spark):
+    """The corpus-wide windows are partitioned by bucket; only the
+    N_BUCKETS-row offset table is globally ordered. A SinglePartition
+    exchange feeding a 500-row+ window would be the 100 TB bottleneck."""
+    df = curation.shard_pack(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # The doc-level window must be hash-partitioned by bucket.
+    assert "hashpartitioning(bucket" in plan
