@@ -91,10 +91,19 @@ def fake_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 arr = np.frombuffer(bytes(b), dtype=np.uint8)
                 hist = np.bincount(arr % N_FEATURES, minlength=N_FEATURES)
                 total = max(len(arr), 1)
-                feats.append((hist / total).round(6).tolist())
+                feats.append((hist / total).tolist())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
-    return imgs.mapInPandas(decode, schema="doc_id long, features array<double>")
+    # Rounding happens JVM-side, not in numpy: numpy rounds ties half-to-even
+    # while SQL round() is half-up, and the cross-engine oracle needs the two
+    # sides to agree at exact .5 boundaries (byte_len is occasionally a power
+    # of two, where histogram ratios terminate right at a tie).
+    return imgs.mapInPandas(
+        decode, schema="doc_id long, features array<double>"
+    ).select(
+        "doc_id",
+        F.transform("features", lambda x: F.round(x, 6)).alias("features"),
+    )
 
 
 def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,6 +154,27 @@ ORACLE_SQL: dict[str, str] = {
                octet_length(encode(text)) AS byte_len,
                md5(text) AS checksum
         FROM documents
+    """,
+    # Valid because TESTDATA documents.text is pure ASCII (asserted in
+    # tests): UTF-8 payload bytes == character codes, so the byte histogram
+    # is computable from ord() per character. The fake codec is thereby
+    # SQL-expressible even though the Spark side runs the real
+    # mapInPandas/Arrow decode path.
+    "image_features": f"""
+        WITH img AS (
+          SELECT doc_id,
+                 list_transform(
+                   list_filter(string_split_regex(text, ''), c -> c <> ''),
+                   c -> ord(c) % {N_FEATURES}) AS cs,
+                 greatest(length(text), 1) AS total
+          FROM documents
+          WHERE doc_id % 3 = 0
+        )
+        SELECT doc_id,
+               list_transform(range(0, {N_FEATURES}),
+                 k -> round(len(list_filter(cs, c -> c = k))
+                            / CAST(total AS DOUBLE), 6)) AS features
+        FROM img
     """,
 }
 

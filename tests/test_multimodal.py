@@ -43,3 +43,25 @@ def test_frame_sample_fanout(spark):
 def test_audio_stub_raises(spark):
     with pytest.raises(NotImplementedError):
         mm.decode_audio(spark, SF_SMOKE)
+
+
+def test_image_features_oracle_parity(spark):
+    """The byte-histogram oracle is only valid while documents.text is pure
+    ASCII (UTF-8 bytes == character codes); assert the precondition, then
+    the parity."""
+    from pyspark.sql import functions as F
+
+    from big_data_toolkit_spark.catalog import load_table
+    from tests.oracle_utils import compare
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    non_ascii = docs.where(
+        F.length("text") != F.length(F.encode("text", "UTF-8"))
+    ).count()
+    assert non_ascii == 0, "oracle precondition broken: non-ASCII text"
+
+    compare(
+        mm.fake_decode_features(spark, SF_SMOKE),
+        mm.ORACLE_SQL["image_features"],
+        SF_SMOKE,
+    )
