@@ -40,6 +40,29 @@ def write_sorted_bucketed(
     )
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet"
+) -> None:
+    """Hive-style directory-partitioned layout — the 100 TB scan story.
+
+    Beyond the reference (which re-reads whole inputs every job): laying
+    fact tables out as ``path/col=value/`` directories turns equality and
+    range predicates on the partition columns into *directory pruning* —
+    the scan never opens, lists, or schedules non-matching partitions
+    (``PartitionFilters`` in the plan, asserted in tests), which is the
+    difference between touching 100 TB and touching one day of it.
+    Partition columns should be low-cardinality (date, region); high-
+    cardinality layouts explode into small files — that case belongs to
+    ``write_sorted_bucketed`` row-group pruning instead.
+    """
+    (
+        df.write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .format(fmt)
+        .save(path)
+    )
+
+
 def foreach_batch_per_window_sink(prefix: str):
     """S10/S11: foreachBatch fn writing one directory per micro-batch,
     path stamped with the batch id (the reference's ``part-%08d`` naming,

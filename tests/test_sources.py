@@ -122,3 +122,26 @@ def test_write_table_overwrite_and_sorted_bucketed(spark, tmp_path):
 
     plan = explain_str(back.where("id = 42"))
     assert "PushedFilters" in plan
+
+
+def test_write_partitioned_prunes_directories(spark, tmp_path):
+    """A filter on the partition column must become PartitionFilters
+    (directory pruning), and the pruned scan must read only the matching
+    partition's files."""
+    from big_data_toolkit_spark.plans.scale import explain_str
+
+    df = spark.range(1000).selectExpr(
+        "id", "CAST(id % 10 AS INT) AS day", "id * 2 AS v"
+    )
+    p = str(tmp_path / "parts")
+    writers.write_partitioned(df, p, ["day"])
+
+    back = spark.read.parquet(p)
+    pruned = back.where("day = 3")
+    plan = explain_str(pruned)
+    assert "PartitionFilters" in plan
+    assert "day" in plan.split("PartitionFilters")[1][:200]
+    assert pruned.count() == 100
+    # Non-partition predicate must still push down to parquet as usual.
+    plan2 = explain_str(back.where("v = 42"))
+    assert "PushedFilters" in plan2
