@@ -25,6 +25,7 @@ def _registry():
     from big_data_toolkit_spark.multimodal import binary_ops as multimodal
     from big_data_toolkit_spark.operators import (
         analytics_ext,
+        curation,
         dedup,
         inverted_index,
         pagerank,
@@ -51,6 +52,7 @@ def _registry():
         relational_ext,
         analytics_ext,
         multimodal,
+        curation,
     ):
         out.update(mod.QUERIES)
     return out

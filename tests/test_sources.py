@@ -145,3 +145,30 @@ def test_write_partitioned_prunes_directories(spark, tmp_path):
     # Non-partition predicate must still push down to parquet as usual.
     plan2 = explain_str(back.where("v = 42"))
     assert "PushedFilters" in plan2
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Join a day-partitioned fact to a filtered dimension: Catalyst must
+    plan dynamic partition pruning (the dim filter's day set prunes fact
+    directories at runtime) — at 100 TB this is what keeps a
+    star-schema join from scanning every partition."""
+    fact = spark.range(2000).selectExpr(
+        "id", "CAST(id % 20 AS INT) AS day", "id * 3 AS v"
+    )
+    p = str(tmp_path / "fact")
+    writers.write_partitioned(fact, p, ["day"])
+
+    dim = spark.range(20).selectExpr(
+        "CAST(id AS INT) AS day", "CASE WHEN id < 2 THEN 'keep' ELSE 'drop' END AS tag"
+    )
+    out = (
+        spark.read.parquet(p)
+        .join(dim.where("tag = 'keep'"), "day")
+        .selectExpr("sum(v) AS s")
+    )
+    from big_data_toolkit_spark.plans.scale import explain_str
+
+    plan = explain_str(out)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    expected = sum(i * 3 for i in range(2000) if i % 20 < 2)
+    assert out.collect()[0]["s"] == expected
