@@ -72,3 +72,46 @@ def test_stripes_format_matches_pairs(spark):
     # stripe-local marginal sums to 1 (A6 semantics)
     for stripe in stripes.values():
         assert sum(stripe.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, tmp_path):
+    """When the dim side is too big to broadcast (the 100 TB posture),
+    Catalyst injects a runtime bloom filter: the selective dim side builds
+    bloom_filter_agg and the fact side gains a might_contain filter, so
+    non-matching fact rows drop before the join shuffle. The 10 GB
+    application-side gate is lowered to observe the plan at test scale."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.range(50000).selectExpr(
+            "id", "id % 1000 AS k", "id * 2 AS v"
+        ).write.mode("overwrite").parquet(str(tmp_path / "fact"))
+        spark.range(1000).selectExpr(
+            "id AS k", "CASE WHEN id < 10 THEN 'x' ELSE 'y' END AS tag"
+        ).write.mode("overwrite").parquet(str(tmp_path / "dim"))
+
+        fact = spark.read.parquet(str(tmp_path / "fact"))
+        dim = spark.read.parquet(str(tmp_path / "dim")).where("tag = 'x'")
+        out = fact.join(dim, "k")
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        assert out.count() == 500  # 10 dim keys × 50 fact rows each
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
