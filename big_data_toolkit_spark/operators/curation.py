@@ -50,6 +50,13 @@ def _hash32(col):
 _H32_SQL = "('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8))::BIGINT"
 
 
+def hash_sample_predicate(rate_bp: int = SAMPLE_BP):
+    """The sampling decision as a Column — stateless, so the same predicate
+    drops into batch plans and readStream pipelines unchanged (a stream
+    sample needs no state store; oracle-checked via the batch form)."""
+    return _hash32(F.col("doc_id")) % 10000 < rate_bp
+
+
 def hash_sample(
     spark: SparkSession, sf_dir: str, rate_bp: int = SAMPLE_BP
 ) -> DataFrame:
@@ -60,7 +67,7 @@ def hash_sample(
     into the scan where the predicate allows.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return docs.where(_hash32(F.col("doc_id")) % 10000 < rate_bp).select(
+    return docs.where(hash_sample_predicate(rate_bp)).select(
         "doc_id", "source", "n_chars"
     )
 

@@ -20,7 +20,12 @@ sorted MapFile for the index. The engine standardizes on Parquet:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+import os
+import shutil
+import urllib.parse
+
+from pyspark.sql import DataFrame, SparkSession
 
 
 def write_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
@@ -38,6 +43,35 @@ def write_sorted_bucketed(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_table(
+    spark: SparkSession, path: str, target_mb: int = 128
+) -> int:
+    """Rewrite a parquet directory into ~``target_mb`` files; returns the
+    new file count.
+
+    The small-files maintenance op every long-lived 100 TB table needs:
+    streaming sinks and fine-grained partitioned writes accrete KB-scale
+    files whose per-file open/footer/task overhead eventually dominates
+    scans. Sizing is by measured on-disk bytes (not file count), matching
+    the 128 MB scan-split/row-group sweet spot. Local-FS implementation
+    swaps directories via rename; on HDFS/S3 the same plan runs against the
+    FileSystem API or a table format's atomic commit.
+    """
+    df = spark.read.parquet(path)
+    total = sum(
+        os.path.getsize(urllib.parse.urlparse(f).path)
+        for f in df.inputFiles()
+    )
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + ".compacting"
+    df.repartition(n).write.mode("overwrite").parquet(tmp)
+    backup = path.rstrip("/") + ".precompact"
+    shutil.move(path, backup)
+    shutil.move(tmp, path)
+    shutil.rmtree(backup)
+    return n
 
 
 def write_partitioned(

@@ -84,3 +84,59 @@ def test_shard_pack_no_global_window_over_docs(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # The doc-level window must be hash-partitioned by bucket.
     assert "hashpartitioning(bucket" in plan
+
+
+def test_hash_sample_predicate_works_on_stream(spark, tmp_path):
+    """The sampling predicate is stateless, so the identical expression
+    running over readStream selects exactly the batch sample — streaming
+    curation needs no separate implementation or state store."""
+    import os
+
+    from big_data_toolkit_spark.catalog import load_table
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "src")
+    # two files → a genuine multi-batch replay
+    docs.where("doc_id % 2 = 0").write.parquet(os.path.join(src, "batch_0"))
+    docs.where("doc_id % 2 = 1").write.parquet(os.path.join(src, "batch_1"))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "batch_*"))
+    )
+    q = (
+        stream.where(curation.hash_sample_predicate())
+        .select("doc_id")
+        .writeStream.format("memory")
+        .queryName("stream_sample")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["doc_id"] for r in spark.sql("select * from stream_sample").collect()
+    )
+    want = sorted(
+        r["doc_id"] for r in curation.hash_sample(spark, SF).collect()
+    )
+    assert got == want
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    """Many tiny files in, size-targeted few files out, identical rows."""
+    from big_data_toolkit_spark.sources import writers
+
+    p = str(tmp_path / "t")
+    df = spark.range(10000).selectExpr("id", "id * 2 AS v")
+    df.repartition(64).write.parquet(p)  # 64 tiny files
+    before = spark.read.parquet(p)
+    assert len(before.inputFiles()) == 64
+    rows_before = sorted((r["id"], r["v"]) for r in before.collect())
+
+    n = writers.compact_table(spark, p)
+    after = spark.read.parquet(p)
+    assert len(after.inputFiles()) == n == 1  # tiny table → one 128MB target
+    assert sorted((r["id"], r["v"]) for r in after.collect()) == rows_before
