@@ -90,38 +90,47 @@ def spam_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     score_sum = Σ_k score_k, vote = majority of per-model (score_k > split
     mean_k). All-integer per-model scores keep the oracle exact.
     """
+    # Single-pass formulation: one shuffle builds ALL split models at once
+    # (groupBy(split, feature)), one shuffle scores every doc under every
+    # model (groupBy(doc_id, split)), one pivot widens the K scores — 3
+    # exchanges total, vs K separate model pipelines (3 groupBys + a K-way
+    # doc_id join ≈ 3K exchanges). Per-split means travel by broadcast.
     feats = _doc_features(spark, sf_dir)
     exploded = feats.select("doc_id", F.explode("features").alias("feature"))
 
-    per_model_scores = []
-    for k in range(N_SPLITS):
-        model_k = (
-            exploded.where(F.col("doc_id") % N_SPLITS == k)
-            .groupBy("feature")
-            .agg(F.count("*").alias("weight"))
+    weights = (
+        exploded.withColumn(
+            "split", (F.col("doc_id") % N_SPLITS).cast("int")
         )
-        score_k = (
-            exploded.join(F.broadcast(model_k), "feature")
-            .groupBy("doc_id")
-            .agg(F.coalesce(F.sum("weight"), F.lit(0)).alias(f"score_{k}"))
-        )
-        mean_k = score_k.agg(F.avg(f"score_{k}").alias(f"mean_{k}"))
-        per_model_scores.append(
-            score_k.crossJoin(F.broadcast(mean_k)).select(
-                "doc_id",
-                f"score_{k}",
-                (F.col(f"score_{k}") > F.col(f"mean_{k}"))
-                .cast("int")
-                .alias(f"vote_{k}"),
-            )
-        )
-
-    out = per_model_scores[0]
-    for nxt in per_model_scores[1:]:
-        out = out.join(nxt, "doc_id")
-    vote_sum = sum(F.col(f"vote_{k}") for k in range(N_SPLITS))
-    score_sum = sum(F.col(f"score_{k}") for k in range(N_SPLITS))
-    return out.select(
+        .groupBy("split", "feature")
+        .agg(F.count("*").alias("weight"))
+    )
+    scores = (
+        exploded.join(F.broadcast(weights), "feature")
+        .groupBy("doc_id", "split")
+        .agg(F.sum("weight").alias("score"))
+    )
+    means = scores.groupBy("split").agg(F.avg("score").alias("mean"))
+    voted = scores.join(F.broadcast(means), "split").select(
+        "doc_id",
+        "split",
+        "score",
+        (F.col("score") > F.col("mean")).cast("int").alias("vote"),
+    )
+    wide = (
+        voted.groupBy("doc_id")
+        .pivot("split", list(range(N_SPLITS)))
+        .agg(F.first("score").alias("score"), F.first("vote").alias("vote"))
+    )
+    # A doc absent from some split's scoring (no shared features) is dropped,
+    # matching the original K-way inner join on doc_id.
+    present_all = [F.col(f"{k}_score").isNotNull() for k in range(N_SPLITS)]
+    keep = present_all[0]
+    for c in present_all[1:]:
+        keep = keep & c
+    vote_sum = sum(F.col(f"{k}_vote") for k in range(N_SPLITS))
+    score_sum = sum(F.col(f"{k}_score") for k in range(N_SPLITS))
+    return wide.where(keep).select(
         "doc_id",
         score_sum.alias("score_sum"),
         F.when(vote_sum * 2 > N_SPLITS, F.lit("spam"))
