@@ -66,6 +66,22 @@ def ordered_cooccurrence_pairs(tokens: Column) -> Column:
     )
 
 
+def unordered_cooccurrence_pairs(tokens: Column) -> Column:
+    """Each unordered pair once, as (a, b) with a < b — in-place generation.
+
+    Half the rows of ``ordered_cooccurrence_pairs``: symmetric statistics
+    (PMI: count(a,b) == count(b,a)) only need one orientation through the
+    shuffle; the other is reconstructed by mirroring the (far smaller)
+    aggregate. Tokens are distinct within a row, so ``y > x`` emits every
+    pair exactly once.
+    """
+    t = _sql(tokens)
+    return F.expr(
+        f"flatten(transform({t}, x -> "
+        f"transform(filter({t}, y -> y > x), y -> struct(x AS a, y AS b))))"
+    )
+
+
 def _sql(col: Column | str) -> str:
     """Render a simple column reference for use inside F.expr."""
     if isinstance(col, str):

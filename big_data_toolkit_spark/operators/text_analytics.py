@@ -36,8 +36,8 @@ from big_data_toolkit_spark.catalog import load_table
 from big_data_toolkit_spark.functions.text import (
     DUCKDB_TOKENS,
     adjacent_pairs,
-    ordered_cooccurrence_pairs,
     tokenize,
+    unordered_cooccurrence_pairs,
 )
 
 # Engine test-bench parameters.
@@ -127,12 +127,23 @@ def pmi_pairs(
     )
     toks.cache()  # reused by pair counts and unigram counts
 
-    pair_counts = (
-        toks.select(F.explode(ordered_cooccurrence_pairs(F.col("words"))).alias("p"))
+    # PMI is symmetric (count(a,b) == count(b,a)), so only the a<b
+    # orientation goes through the explode + shuffle — half the pair rows —
+    # and the output's ordered-pair form is reconstructed by mirroring the
+    # thresholded aggregate, which is orders of magnitude smaller.
+    half = (
+        toks.select(
+            F.explode(unordered_cooccurrence_pairs(F.col("words"))).alias("p")
+        )
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("pair_cnt"))
         .where(F.col("pair_cnt") >= threshold)
+    )
+    pair_counts = half.unionByName(
+        half.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "pair_cnt"
+        )
     )
     word_counts = (
         toks.select(F.explode("words").alias("w"))

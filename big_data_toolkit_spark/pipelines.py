@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from big_data_toolkit_spark.functions.text import (
     adjacent_pairs,
-    ordered_cooccurrence_pairs,
+    unordered_cooccurrence_pairs,
     tokenize,
 )
 from big_data_toolkit_spark.sources.readers import (
@@ -90,12 +90,19 @@ def pmi_text(
         "line_id", F.array_distinct(F.slice(tokenize("text"), 1, cap)).alias("words")
     )
     toks.cache()
-    pair_counts = (
-        toks.select(F.explode(ordered_cooccurrence_pairs(F.col("words"))).alias("p"))
+    half = (
+        toks.select(
+            F.explode(unordered_cooccurrence_pairs(F.col("words"))).alias("p")
+        )
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("pair_cnt"))
         .where(F.col("pair_cnt") >= threshold)
+    )
+    # symmetric statistic: only a<b went through the shuffle; mirror the
+    # thresholded aggregate to recover the ordered-pair output form
+    pair_counts = half.unionByName(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"), "pair_cnt")
     )
     word_counts = (
         toks.select(F.explode("words").alias("w"))
