@@ -124,8 +124,9 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus",
         )
         .agg(
-            F.grouping("o_orderpriority").alias("g_priority"),
-            F.grouping("o_orderstatus").alias("g_status"),
+            # long: DuckDB grouping() is BIGINT; Spark's is tinyint — pin.
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
             F.count("*").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
         )
@@ -154,9 +155,10 @@ def customer_order_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.row_number().over(w).alias("seq"),
+        # long casts: DuckDB row_number()/date_diff() are BIGINT vs Spark int
+        F.row_number().over(w).cast("long").alias("seq"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(run).alias("run_spend"),
-        F.datediff(day, F.lag(day).over(w)).alias("days_since_prev"),
+        F.datediff(day, F.lag(day).over(w)).cast("long").alias("days_since_prev"),
     )
 
 
@@ -177,9 +179,10 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "spend",
         "n_orders",
-        F.rank().over(w).alias("rk"),
-        F.dense_rank().over(w).alias("drk"),
-        F.ntile(N_QUARTILES).over(w).alias("quartile"),
+        # long casts: DuckDB rank/dense_rank/ntile are BIGINT vs Spark int
+        F.rank().over(w).cast("long").alias("rk"),
+        F.dense_rank().over(w).cast("long").alias("drk"),
+        F.ntile(N_QUARTILES).over(w).cast("long").alias("quartile"),
     )
 
 
@@ -275,16 +278,16 @@ ORACLE_SQL: dict[str, str] = {
                grouping(o_orderpriority) AS g_priority,
                grouping(o_orderstatus) AS g_status,
                count(*) AS n_orders,
-               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue
         FROM orders
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
     """,
     "customer_order_timeline": """
         SELECT o_custkey, o_orderkey,
                row_number() OVER w AS seq,
-               sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                  ROWS UNBOUNDED PRECEDING) AS run_spend,
+                  ROWS UNBOUNDED PRECEDING) AS DECIMAL(28,2)) AS run_spend,
                date_diff('day',
                          lag(CAST(o_orderdate AS DATE)) OVER w,
                          CAST(o_orderdate AS DATE)) AS days_since_prev
@@ -294,7 +297,7 @@ ORACLE_SQL: dict[str, str] = {
     "customer_spend_quartiles": f"""
         WITH totals AS (
           SELECT o_custkey,
-                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS spend,
                  count(*) AS n_orders
           FROM orders GROUP BY o_custkey
         )
@@ -317,7 +320,7 @@ ORACLE_SQL: dict[str, str] = {
     "json_props_stats": """
         SELECT event_type,
                count(*) AS n,
-               sum(CAST(props->>'k' AS INT)) AS sum_k,
+               CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
                round(avg(CAST(props->>'k' AS INT)), 6) AS avg_k
         FROM events GROUP BY event_type
     """,

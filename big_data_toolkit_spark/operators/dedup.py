@@ -9,18 +9,25 @@ operators a 100 TB LLM-data pipeline layers on top, built Spark-first:
 * **n-gram Jaccard** — 3-token shingles; candidate pairs = docs sharing a
   shingle (inverted-index join, never the O(n²) cross join); exact Jaccard
   from shingle-set sizes; threshold. The shared-shingle join IS the blocking
-  step — a shingle shared by many docs fans out quadratically, so hot
-  shingles (stop-phrases) should be df-capped in production; the TESTDATA
-  corpus doesn't need it.
+  step, and it is df-capped: shingles appearing in more than
+  ``MAX_SHINGLE_DF`` documents (stop-phrases) are excluded from BOTH the
+  pair join and the per-doc set sizes, so one hot shingle shared by 1M docs
+  can no longer create a 10¹²-pair fan-out. Jaccard is computed over the
+  capped shingle sets on both engines (oracle mirrors the cap), keeping the
+  comparison exact. The per-doc size table joins without a broadcast hint —
+  it grows with the corpus, so AQE decides the strategy.
 * **MinHash+LSH** — k=16 signatures of universal-hash minima over shingles,
   banded 4×4; docs sharing a band become candidates; exact Jaccard verify.
   All hashing is md5-derived (32-bit) with fixed odd multipliers mod the
   Mersenne prime 2^61−1, so the DuckDB oracle reproduces it bit-for-bit —
   no reliance on engine-internal hash functions.
-* **SimHash** — 32-bit fingerprint: per token-bit, tf-weighted ±1 votes,
-  sign → bit. Near-dup pairs = hamming(fp1, fp2) ≤ 3, found via 4-byte-block
-  banding (pigeonhole: ≤3 differing bits leaves ≥1 of 4 blocks equal, so
-  banding loses nothing), verified by popcount.
+* **SimHash** — 64-bit fingerprint: per token-bit, tf-weighted ±1 votes,
+  sign → bit (two md5-derived 32-bit halves supply the 64 token bits).
+  Near-dup pairs = hamming(fp1, fp2) ≤ 3, found via 16-bit-block banding
+  (pigeonhole: ≤3 differing bits leaves ≥1 of 4 blocks equal, so banding
+  loses nothing), verified by popcount. 16-bit bands give 65 536 distinct
+  values per band (×4 band positions) — vs 256 for the naive 8-bit blocks —
+  so per-bucket candidate fan-out stays sub-quadratic at corpus scale.
 
 Everything is expressions + joins + aggregations — no UDFs anywhere, fully
 whole-stage-codegen'd, and every variant is DuckDB-oracle-checked.
@@ -28,7 +35,7 @@ whole-stage-codegen'd, and every variant is DuckDB-oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_toolkit_spark.catalog import load_table
@@ -36,6 +43,10 @@ from big_data_toolkit_spark.functions.text import DUCKDB_TOKENS, tokenize
 
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.5
+# Shingles in more docs than this are dropped from the exact-Jaccard pair
+# join (blocking hygiene: a df-D shingle alone contributes D² candidate
+# pairs). Far above anything in TESTDATA; the cap exists for corpus scale.
+MAX_SHINGLE_DF = 1000
 MINHASH_K = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
 MERSENNE_P = (1 << 61) - 1
@@ -43,7 +54,9 @@ MERSENNE_P = (1 << 61) - 1
 # shared verbatim with the oracle SQL).
 HASH_A = [2 * k + 1 for k in range(1, MINHASH_K + 1)]
 HASH_B = [1_000_003 * (k + 7) for k in range(MINHASH_K)]
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 16-bit blocks; complete for hamming <= SIMHASH_BANDS - 1
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 SIMHASH_MAX_HAMMING = 3
 
 
@@ -78,11 +91,31 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_pairs(shingles: DataFrame) -> DataFrame:
-    """Exact Jaccard for all doc pairs sharing ≥1 shingle."""
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
-    left = shingles.select(F.col("doc_id").alias("d1"), "shingle")
-    right = shingles.select(F.col("doc_id").alias("d2"), "shingle")
+def _jaccard_pairs(
+    shingles: DataFrame, max_shingle_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
+    """Exact Jaccard for doc pairs sharing ≥1 (df-capped) shingle.
+
+    Blocking hygiene for 100 TB: a shingle present in D docs contributes
+    D·(D−1)/2 candidate pairs, so one stop-phrase in every doc makes the
+    pair join quadratic in the corpus. Shingles with df > max_shingle_df
+    are dropped BEFORE the self-join, and the per-doc set sizes count only
+    surviving shingles, so the Jaccard stays internally consistent (both
+    engines apply the same cap). The df filter is a window count over the
+    same `shingle` partitioning the pair join needs — the exchange is
+    shared, not doubled. Sizes join carries no broadcast hint: the per-doc
+    table grows with the corpus, so the join strategy is left to AQE.
+    """
+    capped = (
+        shingles.withColumn(
+            "df", F.count("*").over(Window.partitionBy("shingle"))
+        )
+        .where(F.col("df") <= max_shingle_df)
+        .drop("df")
+    )
+    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
+    left = capped.select(F.col("doc_id").alias("d1"), "shingle")
+    right = capped.select(F.col("doc_id").alias("d2"), "shingle")
     inter = (
         left.join(right, "shingle")
         .where(F.col("d1") < F.col("d2"))
@@ -92,8 +125,8 @@ def _jaccard_pairs(shingles: DataFrame) -> DataFrame:
     s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     return (
-        inter.join(F.broadcast(s1), "d1")
-        .join(F.broadcast(s2), "d2")
+        inter.join(s1, "d1")
+        .join(s2, "d2")
         .select(
             "d1",
             "d2",
@@ -193,36 +226,57 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash): 32-bit tf-weighted SimHash over tokens."""
+    """(doc_id, simhash): 64-bit tf-weighted SimHash over tokens.
+
+    Token bits come from two md5-derived 32-bit halves (hex chars 1–8 and
+    9–16), so both engines derive identical bit streams without relying on
+    any engine-internal 64-bit hash.
+    """
     docs = load_table(spark, sf_dir, "documents")
     tf = (
         docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
         .withColumn(
-            "h", F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+            "h1", F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+        )
+        .withColumn(
+            "h2", F.conv(F.substring(F.md5("token"), 9, 8), 16, 10).cast("long")
         )
     )
-    # One aggregate column per bit instead of a 32x row explosion: each
+    # One aggregate column per bit instead of a 64x row explosion: each
     # sum(tf * (2*bit - 1)) partial-aggregates map-side, so the shuffle
-    # carries 32 longs per doc, not 32 rows per (doc, token).
+    # carries 64 longs per doc, not 64 rows per (doc, token).
     votes = [
-        F.sum(F.expr(f"tf * (2 * (shiftright(h, {b}) & 1) - 1)")).alias(f"v{b}")
+        F.sum(
+            F.expr(
+                f"tf * (2 * (shiftright({'h1' if b < 32 else 'h2'}, {b % 32}) & 1) - 1)"
+            )
+        ).alias(f"v{b}")
         for b in range(SIMHASH_BITS)
     ]
     per_doc = tf.groupBy("doc_id").agg(*votes)
-    fingerprint = sum(
-        F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
-        for b in range(SIMHASH_BITS)
-    )
+    # Assemble via bitwise OR (not arithmetic sum): bit 63 is the sign bit
+    # of the long, and OR of disjoint bit patterns is overflow-proof.
+    fingerprint = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        term = (
+            F.when(
+                F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        fingerprint = fingerprint.bitwiseOR(term)
     return per_doc.select("doc_id", fingerprint.alias("simhash"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: (d1, d2, hamming ≤ 3).
 
-    Pairs found via 4-byte-block banding (complete for hamming ≤ 3 by
-    pigeonhole), verified by popcount of the XOR.
+    Pairs found via 16-bit-block banding (4 blocks of a 64-bit fingerprint —
+    complete for hamming ≤ 3 by pigeonhole), verified by popcount of the
+    XOR. 16-bit blocks keep 65 536 distinct values per band position, so
+    bucket sizes — and the candidate join fan-out — stay sub-quadratic even
+    at billions of documents (8-bit blocks saturate at 256 buckets).
     """
     fps = simhash_fingerprints(spark, sf_dir)
     blocks = fps.select(
@@ -234,9 +288,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.concat_ws(
                         "_",
                         F.lit(i),
-                        (F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255))),
+                        (
+                            F.shiftright(
+                                F.col("simhash"), SIMHASH_BAND_BITS * i
+                            ).bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                        ),
                     )
-                    for i in range(4)
+                    for i in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("block"),
@@ -322,17 +380,28 @@ _SHINGLES = f"""
   WHERE len(t) >= {SHINGLE_N}
 """
 
-_JACCARD_PAIRS = """
-  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+_JACCARD_PAIRS_T = """
+  sizes AS (SELECT doc_id, count(*) AS n FROM {src} GROUP BY doc_id),
   inter AS (
     SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM {src} a JOIN {src} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY 1, 2
   ),
   pairs AS (
     SELECT d1, d2,
            round(inter::DOUBLE / (s1.n + s2.n - inter), 6) AS jaccard
     FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  )
+"""
+_JACCARD_PAIRS = _JACCARD_PAIRS_T.format(src="sh")
+
+# Mirror of the engine's hot-shingle df-cap for the exact n-gram path.
+_SH_CAPPED = f"""
+  sh_capped AS (
+    SELECT doc_id, shingle FROM (
+      SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+      FROM sh
+    ) WHERE df <= {MAX_SHINGLE_DF}
   )
 """
 
@@ -357,7 +426,8 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents GROUP BY 1
     """,
     "dedup_ngram_jaccard": f"""
-        WITH sh AS ({_SHINGLES}), {_JACCARD_PAIRS}
+        WITH sh AS ({_SHINGLES}), {_SH_CAPPED},
+        {_JACCARD_PAIRS_T.format(src="sh_capped").lstrip()}
         SELECT d1, d2, jaccard FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
     """,
     "dedup_minhash_lsh": f"""
@@ -379,49 +449,50 @@ ORACLE_SQL: dict[str, str] = {
         FROM cands c JOIN pairs p ON c.d1 = p.d1 AND c.d2 = p.d2
         WHERE p.jaccard >= {JACCARD_THRESHOLD}
     """,
-    "simhash_fingerprints": f"""
-        WITH tf AS (
+}
+
+# 64-bit SimHash fingerprints, shared by both simhash oracles. Bit 63 is the
+# BIGINT sign bit: DuckDB refuses 1::BIGINT << 63, so it is spelled as the
+# min-long literal; the sum runs in HUGEINT and is pinned back to BIGINT
+# (matching Spark's long) at the end.
+_SIMHASH_FPS = f"""
+        tf AS (
           SELECT doc_id, token, count(*) AS tf,
-                 {_HASH32.format(col='token')} AS h
+                 {_HASH32.format(col='token')} AS h1,
+                 ('0x' || substr(md5(token), 9, 8))::BIGINT AS h2
           FROM (SELECT doc_id, unnest({_T}) AS token FROM documents)
           GROUP BY doc_id, token
         ),
         bits AS (
           SELECT doc_id, unnest(range({SIMHASH_BITS})) AS b,
-                 unnest([tf * (2 * ((h >> x) & 1) - 1)
-                         for x in range({SIMHASH_BITS})]) AS vote
-          FROM tf
-        ),
-        votes AS (SELECT doc_id, b, sum(vote) AS v FROM bits GROUP BY doc_id, b)
-        SELECT doc_id,
-               sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
-        FROM votes GROUP BY doc_id
-    """,
-    "dedup_simhash": f"""
-        WITH tf AS (
-          SELECT doc_id, token, count(*) AS tf,
-                 {_HASH32.format(col='token')} AS h
-          FROM (SELECT doc_id, unnest({_T}) AS token FROM documents)
-          GROUP BY doc_id, token
-        ),
-        bits AS (
-          SELECT doc_id, unnest(range({SIMHASH_BITS})) AS b,
-                 unnest([tf * (2 * ((h >> x) & 1) - 1)
+                 unnest([tf * (2 * ((CASE WHEN x < 32 THEN (h1 >> x)
+                                     ELSE (h2 >> (x - 32)) END) & 1) - 1)
                          for x in range({SIMHASH_BITS})]) AS vote
           FROM tf
         ),
         votes AS (SELECT doc_id, b, sum(vote) AS v FROM bits GROUP BY doc_id, b),
         fps AS (
           SELECT doc_id,
-                 sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+                 CAST(sum(CASE WHEN v > 0 THEN
+                            (CASE WHEN b = 63 THEN (-9223372036854775807::BIGINT - 1)
+                                  ELSE (1::BIGINT << b) END)
+                          ELSE 0 END) AS BIGINT) AS simhash
           FROM votes GROUP BY doc_id
         )
-        SELECT a.doc_id AS d1, b.doc_id AS d2,
-               bit_count(xor(a.simhash, b.simhash)) AS hamming
-        FROM fps a JOIN fps b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
-    """,
-}
+"""
+
+ORACLE_SQL["simhash_fingerprints"] = f"""
+    WITH {_SIMHASH_FPS}
+    SELECT doc_id, simhash FROM fps
+"""
+
+ORACLE_SQL["dedup_simhash"] = f"""
+    WITH {_SIMHASH_FPS}
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
 
 _DOT = (
     "list_sum(list_transform(range(1, len({a})+1), "

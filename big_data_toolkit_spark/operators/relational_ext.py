@@ -156,8 +156,9 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.rollup("o_orderpriority", "o_orderstatus")
         .agg(
-            F.grouping("o_orderpriority").alias("g_priority"),
-            F.grouping("o_orderstatus").alias("g_status"),
+            # long: pin to DuckDB's BIGINT grouping() so the oracle hash agrees
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
             F.count("*").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
         )
@@ -178,8 +179,8 @@ def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.cube("event_type", "hour")
         .agg(
-            F.grouping("event_type").alias("g_type"),
-            F.grouping("hour").alias("g_hour"),
+            F.grouping("event_type").cast("long").alias("g_type"),
+            F.grouping("hour").cast("long").alias("g_hour"),
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).alias("value_sum"),
         )
@@ -293,7 +294,7 @@ ORACLE_SQL: dict[str, str] = {
                grouping(o_orderpriority) AS g_priority,
                grouping(o_orderstatus) AS g_status,
                count(*) AS n_orders,
-               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue
         FROM orders
         GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
@@ -302,7 +303,7 @@ ORACLE_SQL: dict[str, str] = {
                grouping(event_type) AS g_type,
                grouping(EXTRACT(hour FROM ts)::INT) AS g_hour,
                count(*) AS n_events,
-               sum(CAST(value AS DECIMAL(18,2))) AS value_sum
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS value_sum
         FROM events
         GROUP BY CUBE (event_type, EXTRACT(hour FROM ts)::INT)
     """,

@@ -220,7 +220,8 @@ ORACLE_SQL: dict[str, str] = {
         WITH feats AS (SELECT doc_id, unnest({_FEATS}) AS feature FROM documents),
         weights AS (SELECT feature, count(*) AS weight FROM feats GROUP BY feature),
         scores AS (
-          SELECT f.doc_id, sum(w.weight) AS score
+          -- CAST: DuckDB widens sum(BIGINT) to HUGEINT; Spark keeps bigint.
+          SELECT f.doc_id, CAST(sum(w.weight) AS BIGINT) AS score
           FROM feats f JOIN weights w USING (feature)
           GROUP BY f.doc_id
         ),
@@ -231,20 +232,20 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "spam_ensemble": f"""
         WITH feats AS (SELECT doc_id, unnest({_FEATS}) AS feature FROM documents),
-        s0 AS (SELECT f.doc_id, sum(w.weight) AS score FROM feats f JOIN
+        s0 AS (SELECT f.doc_id, CAST(sum(w.weight) AS BIGINT) AS score FROM feats f JOIN
                (SELECT feature, count(*) AS weight FROM feats WHERE doc_id % 3 = 0
                 GROUP BY feature) w USING (feature) GROUP BY f.doc_id),
-        s1 AS (SELECT f.doc_id, sum(w.weight) AS score FROM feats f JOIN
+        s1 AS (SELECT f.doc_id, CAST(sum(w.weight) AS BIGINT) AS score FROM feats f JOIN
                (SELECT feature, count(*) AS weight FROM feats WHERE doc_id % 3 = 1
                 GROUP BY feature) w USING (feature) GROUP BY f.doc_id),
-        s2 AS (SELECT f.doc_id, sum(w.weight) AS score FROM feats f JOIN
+        s2 AS (SELECT f.doc_id, CAST(sum(w.weight) AS BIGINT) AS score FROM feats f JOIN
                (SELECT feature, count(*) AS weight FROM feats WHERE doc_id % 3 = 2
                 GROUP BY feature) w USING (feature) GROUP BY f.doc_id),
         m0 AS (SELECT avg(score) AS m FROM s0),
         m1 AS (SELECT avg(score) AS m FROM s1),
         m2 AS (SELECT avg(score) AS m FROM s2)
         SELECT s0.doc_id,
-               s0.score + s1.score + s2.score AS score_sum,
+               CAST(s0.score + s1.score + s2.score AS BIGINT) AS score_sum,
                CASE WHEN (CASE WHEN s0.score > m0.m THEN 1 ELSE 0 END +
                           CASE WHEN s1.score > m1.m THEN 1 ELSE 0 END +
                           CASE WHEN s2.score > m2.m THEN 1 ELSE 0 END) * 2 > 3
