@@ -134,6 +134,19 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def frame_sample_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable view of ``frame_sample``: frames decoded to UTF-8.
+
+    The binary column collects as ``bytearray`` in Spark but ``bytes`` from
+    DuckDB, so the oracle compares the decoded text instead (TESTDATA text
+    is pure ASCII — asserted in tests — so bytes == characters). The real
+    mapInPandas fan-out path runs unchanged underneath.
+    """
+    return frame_sample(spark, sf_dir).select(
+        "doc_id", "frame_idx", F.decode("frame_bytes", "UTF-8").alias("frame_text")
+    )
+
+
 def decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio decode STUB — raises, documenting the missing-codec boundary."""
     raise NotImplementedError(
@@ -176,10 +189,29 @@ ORACLE_SQL: dict[str, str] = {
                             / CAST(total AS DOUBLE), 6)) AS features
         FROM img
     """,
+    # Frame slices as substr over the ASCII text (bytes == characters):
+    # frame i covers characters [i*CHUNK+1, (i+1)*CHUNK], every STRIDE-th
+    # frame of ceil(len/CHUNK) total — mirroring the mapInPandas sampler.
+    "video_frame_sample": f"""
+        WITH vids AS (
+          SELECT doc_id, text, length(text) AS len
+          FROM documents WHERE doc_id % 3 = 2
+        )
+        SELECT doc_id,
+               frame_idx::INT AS frame_idx,
+               substr(text, frame_idx::INT * {FRAME_CHUNK} + 1, {FRAME_CHUNK})
+                 AS frame_text
+        FROM (
+          SELECT doc_id, text,
+                 unnest(range(0, CAST(ceil(len / {FRAME_CHUNK}.0) AS BIGINT),
+                              {FRAME_STRIDE})) AS frame_idx
+          FROM vids
+        )
+    """,
 }
 
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "image_features": fake_decode_features,
-    "video_frame_sample": frame_sample,
+    "video_frame_sample": frame_sample_checked,
 }

@@ -269,16 +269,10 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.select("doc_id", fingerprint.alias("simhash"))
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: (d1, d2, hamming ≤ 3).
-
-    Pairs found via 16-bit-block banding (4 blocks of a 64-bit fingerprint —
-    complete for hamming ≤ 3 by pigeonhole), verified by popcount of the
-    XOR. 16-bit blocks keep 65 536 distinct values per band position, so
-    bucket sizes — and the candidate join fan-out — stay sub-quadratic even
-    at billions of documents (8-bit blocks saturate at 256 buckets).
-    """
-    fps = simhash_fingerprints(spark, sf_dir)
+def simhash_candidates(fps: DataFrame) -> DataFrame:
+    """Banded candidate pairs (d1, d2, f1, f2) over a (doc_id, simhash)
+    DataFrame — the pre-verify stage, exposed so tests can measure the
+    banding fan-out directly (the verify filter would mask it)."""
     blocks = fps.select(
         "doc_id",
         "simhash",
@@ -311,11 +305,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return cands
+
+
+def simhash_pairs_from_fps(fps: DataFrame) -> DataFrame:
+    """Candidate generation + popcount verify over (doc_id, simhash) rows.
+    Factored out of ``dedup_simhash`` so banding completeness (hamming ≤ 3)
+    and fan-out bounds are testable on synthetic fingerprints."""
     return (
-        cands.withColumn("hamming", F.bit_count(F.col("f1").bitwiseXOR(F.col("f2"))))
+        simhash_candidates(fps)
+        .withColumn("hamming", F.bit_count(F.col("f1").bitwiseXOR(F.col("f2"))))
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("d1", "d2", "hamming")
     )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: (d1, d2, hamming ≤ 3).
+
+    Pairs found via 16-bit-block banding (4 blocks of a 64-bit fingerprint —
+    complete for hamming ≤ 3 by pigeonhole), verified by popcount of the
+    XOR. 16-bit blocks keep 65 536 distinct values per band position, so
+    bucket sizes — and the candidate join fan-out — stay sub-quadratic even
+    at billions of documents (8-bit blocks saturate at 256 buckets).
+    """
+    return simhash_pairs_from_fps(simhash_fingerprints(spark, sf_dir))
 
 
 COSINE_DUP_THRESHOLD = 0.45

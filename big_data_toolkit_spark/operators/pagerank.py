@@ -135,10 +135,6 @@ def personalized_pagerank(
     wedges.count()  # materialize once
 
     is_source = F.col("node").isin(list(sources))
-    ranks = nodes.select(
-        "node",
-        F.when(is_source, F.lit(1.0 / n_sources)).otherwise(F.lit(0.0)).alias("rank"),
-    )
 
     # Static per-node teleport mass (α/|S| on sources, 0 elsewhere). Keeping
     # the zero rows makes the union below a complete substitute for the
@@ -148,6 +144,15 @@ def personalized_pagerank(
         "node",
         F.when(is_source, F.lit(alpha / n_sources)).otherwise(F.lit(0.0)).alias("m"),
     ).cache()
+    base.count()  # materialize so node_deg can be released now
+    node_deg.unpersist()
+
+    # Initial ranks read from the cached base (not node_deg, already
+    # released): 1/|S| on sources, 0 elsewhere.
+    ranks = base.select(
+        "node",
+        F.when(is_source, F.lit(1.0 / n_sources)).otherwise(F.lit(0.0)).alias("rank"),
+    )
 
     for i in range(iters):
         # rank'(m) = Σ (1-α)·rank(n)·w(n→m)  ⊎  base(m) — messages pre-scaled
@@ -165,6 +170,12 @@ def personalized_pagerank(
         if (i + 1) % CHECKPOINT_EVERY == 0 and (i + 1) < iters:
             ranks = ranks.localCheckpoint(eager=True)
 
+    # Final lineage truncation lets the cached inputs go: without it the
+    # returned (lazy) plan still references wedges/base, and library callers
+    # would accrete executor storage with every invocation.
+    ranks = ranks.localCheckpoint(eager=True)
+    wedges.unpersist()
+    base.unpersist()
     return ranks
 
 

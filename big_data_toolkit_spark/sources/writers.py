@@ -58,8 +58,28 @@ def compact_table(
     the 128 MB scan-split/row-group sweet spot. Local-FS implementation
     swaps directories via rename; on HDFS/S3 the same plan runs against the
     FileSystem API or a table format's atomic commit.
+
+    Safety: refuses hive-partitioned layouts (a flat rewrite would demote
+    partition directories to ordinary columns and destroy the
+    PartitionFilters pruning ``write_partitioned`` establishes), and the
+    pre-compaction backup is only deleted after the rewritten copy's row
+    count is verified against the original — a crash mid-swap leaves either
+    the original or the verified rewrite plus a ``.precompact`` backup,
+    never nothing.
     """
+    part_dirs = [
+        e
+        for e in os.listdir(path)
+        if "=" in e and os.path.isdir(os.path.join(path, e))
+    ]
+    if part_dirs:
+        raise ValueError(
+            f"refusing to compact hive-partitioned layout at {path} "
+            f"(found {part_dirs[:3]}...); compact per-partition or rewrite "
+            "with write_partitioned to preserve partition pruning"
+        )
     df = spark.read.parquet(path)
+    n_rows = df.count()
     total = sum(
         os.path.getsize(urllib.parse.urlparse(f).path)
         for f in df.inputFiles()
@@ -67,9 +87,22 @@ def compact_table(
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     tmp = path.rstrip("/") + ".compacting"
     df.repartition(n).write.mode("overwrite").parquet(tmp)
+    rewritten = spark.read.parquet(tmp).count()
+    if rewritten != n_rows:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compaction row-count mismatch at {path}: "
+            f"{n_rows} original vs {rewritten} rewritten; original untouched"
+        )
     backup = path.rstrip("/") + ".precompact"
     shutil.move(path, backup)
     shutil.move(tmp, path)
+    # Re-verify through the final path before dropping the only backup.
+    if spark.read.parquet(path).count() != n_rows:
+        raise RuntimeError(
+            f"post-swap verification failed at {path}; "
+            f"backup preserved at {backup}"
+        )
     shutil.rmtree(backup)
     return n
 

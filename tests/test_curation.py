@@ -140,3 +140,21 @@ def test_compact_table_merges_small_files(spark, tmp_path):
     after = spark.read.parquet(p)
     assert len(after.inputFiles()) == n == 1  # tiny table → one 128MB target
     assert sorted((r["id"], r["v"]) for r in after.collect()) == rows_before
+
+
+def test_compact_table_refuses_partitioned_layout(spark, tmp_path):
+    """A flat rewrite of a hive layout would destroy partition pruning —
+    compact_table must refuse rather than silently flatten."""
+    import pytest
+
+    from big_data_toolkit_spark.sources import writers
+
+    p = str(tmp_path / "parted")
+    df = spark.range(100).selectExpr("id", "id % 3 AS part")
+    writers.write_partitioned(df, p, ["part"])
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        writers.compact_table(spark, p)
+    # layout untouched
+    assert sorted(r["id"] for r in spark.read.parquet(p).collect()) == list(
+        range(100)
+    )

@@ -42,6 +42,68 @@ def test_simhash_no_udf_in_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def _s64(x: int) -> int:
+    """Python int → two's-complement signed 64-bit (Spark long)."""
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def test_simhash_banding_complete_for_hamming_3(spark):
+    """Pigeonhole: any pair within hamming ≤ 3 must survive 4x16 banding."""
+    import random
+
+    rng = random.Random(7)
+    rows, expected = [], set()
+    for i in range(40):
+        base = rng.getrandbits(64)
+        twin = base
+        for b in rng.sample(range(64), rng.randint(0, dedup.SIMHASH_MAX_HAMMING)):
+            twin ^= 1 << b
+        rows.append((2 * i, _s64(base)))
+        rows.append((2 * i + 1, _s64(twin)))
+        expected.add((2 * i, 2 * i + 1))
+    fps = spark.createDataFrame(rows, "doc_id long, simhash long")
+    found = {(r["d1"], r["d2"]) for r in dedup.simhash_pairs_from_fps(fps).collect()}
+    assert expected <= found
+
+
+def test_simhash_16bit_bands_bound_fanout(spark):
+    """Adversarial corpus: every fingerprint shares the low byte of every
+    8-bit block (the old 32-bit/8-bit banding would make ALL ~20k pairs
+    candidates) but is unique per 16-bit band — candidate fan-out must be 0."""
+    rows = []
+    for i in range(200):
+        band = ((i + 1) << 8) | 0x34  # low byte shared, high byte unique
+        fp = 0
+        for blk in range(dedup.SIMHASH_BANDS):
+            fp |= band << (dedup.SIMHASH_BAND_BITS * blk)
+        rows.append((i, _s64(fp)))
+    fps = spark.createDataFrame(rows, "doc_id long, simhash long")
+    assert dedup.simhash_candidates(fps).count() == 0
+
+
+def test_ngram_dfcap_bounds_fanout(spark):
+    """One stop-phrase shared by every doc: the df-cap must keep it out of
+    the pair join (uncapped it alone creates n(n-1)/2 pairs)."""
+    rows = [(i, "the quick fox") for i in range(100)] + [
+        (i, f"uniq shingle {i}") for i in range(100)
+    ]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    assert dedup._jaccard_pairs(sh, max_shingle_df=10).count() == 0
+    assert dedup._jaccard_pairs(sh, max_shingle_df=1000).count() == 100 * 99 // 2
+
+
+def test_ngram_no_broadcast_hint(spark):
+    """The per-doc sizes table grows with the corpus — it must not carry a
+    broadcast hint (AQE decides the join strategy from runtime stats)."""
+    plan = (
+        dedup.dedup_ngram_jaccard(spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "ResolvedHint" not in plan
+
+
 def test_embedding_lsh_subset_of_exact(spark):
     exact = {(r["d1"], r["d2"]): r["cos"]
              for r in dedup.dedup_embedding_cosine(spark, SF_ORACLE).collect()}

@@ -62,6 +62,24 @@ def test_dangling_and_teleport_mass_conservation(spark):
     assert total == pytest.approx(1.0, abs=1e-9)
 
 
+def test_no_cache_leak(spark):
+    """Library callers must not accrete executor storage: every DataFrame
+    personalized_pagerank caches internally is unpersisted before return."""
+    spark.catalog.clearCache()
+    df = spark.createDataFrame([(1, 2), (2, 3), (4, 1)], ["src", "dst"])
+    ranks = pr.personalized_pagerank(spark, df, sources=(1,), iters=5)
+    ranks.collect()
+    cached = spark.sparkContext._jsc.getPersistentRDDs()  # java.util.Map
+    # localCheckpoint RDDs are reclaimed by GC, not tracked as user caches;
+    # what must be gone are the cache()d node_deg/base/wedges DataFrames.
+    leaked = [
+        str(rdd)
+        for rdd in cached.values()
+        if "localcheckpoint" not in str(rdd).lower()
+    ]
+    assert not leaked, f"leaked cached RDDs: {leaked}"
+
+
 def test_top20_shape(spark):
     out = pr.pagerank_top20(spark, SF_SMOKE)
     rows = out.collect()
