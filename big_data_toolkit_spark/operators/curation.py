@@ -96,26 +96,41 @@ def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = min over sources of floor(count_s / weight_s) is the largest whole
     number of "mix units" every source can supply; each source then
     contributes its first weight_s·u docs in hash order. All-integer, so
-    Spark and the oracle agree exactly. The weights table and the 1-row
-    unit count travel by broadcast join — nothing touches the driver.
+    Spark and the oracle agree exactly.
+
+    Hot-source guard: ``u`` is fetched as ONE scalar from a |sources|-row
+    aggregate (the same plan-parameterizing fetch the kNN index build
+    uses — not a data collect), which makes the rank cut-off a literal.
+    The literal ``rn <= max_quota`` filter sits directly on the window, so
+    Catalyst plans WindowGroupLimit: each map task keeps only the top
+    max_quota rows per source BEFORE the shuffle-sort, and a source owning
+    90% of the corpus is rank-pruned instead of fully sorted in one
+    partition (max_quota is bounded by the smallest source, so the prune is
+    sharpest exactly when the mix is skewed). The exact per-source quota
+    then filters within the surviving rows.
     """
     docs = load_table(spark, sf_dir, "documents")
     weights = spark.createDataFrame(
         [(s, w) for s, w in MIX_WEIGHTS.items()], "source string, w long"
     )
     counts = docs.groupBy("source").agg(F.count("*").alias("cnt"))
-    units = (
+    u_row = (
         counts.join(F.broadcast(weights), "source")
         .select(F.floor(F.col("cnt") / F.col("w")).alias("u_s"))
         .agg(F.min("u_s").alias("u"))
+        .first()
     )
-    quota = weights.crossJoin(F.broadcast(units)).select(
-        "source", (F.col("w") * F.col("u")).alias("quota")
+    u = int(u_row["u"] or 0)
+    quotas = {s: w * u for s, w in MIX_WEIGHTS.items()}
+    max_quota = max(quotas.values()) if u else 0
+    quota = spark.createDataFrame(
+        [(s, q) for s, q in quotas.items()], "source string, quota long"
     )
     w_rank = Window.partitionBy("source").orderBy("h", "doc_id")
     return (
         docs.select("doc_id", "source", _hash32(F.col("doc_id")).alias("h"))
         .withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= F.lit(max_quota))  # literal → WindowGroupLimit
         .join(F.broadcast(quota), "source")
         .where(F.col("rn") <= F.col("quota"))
         .select("doc_id", "source")

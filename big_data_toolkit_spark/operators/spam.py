@@ -141,9 +141,17 @@ def spam_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def shuffled_order(df: DataFrame, seed: int = 42) -> DataFrame:
     """O4 (``a5/TrainSpamClassifier.scala:44-46``): seeded random shuffle of
-    training order — ``orderBy(rand(seed))`` replaces the reference's
-    tag-with-random + sortByKey + strip dance. Deterministic per seed."""
-    return df.orderBy(F.rand(seed))
+    training order, partition-count-independent.
+
+    ``orderBy(rand(seed))`` would NOT be stable: Spark seeds ``rand`` per
+    partition, so the order changes with the input partitioning. Ordering by
+    a seeded row hash is deterministic for a given (seed, row content) on 1
+    or 1000 executors — the engine analogue of the reference's
+    tag-with-random + sortByKey + strip dance.
+    """
+    return df.orderBy(
+        F.xxhash64(F.lit(seed), *[F.col(c) for c in df.columns]), *df.columns
+    )
 
 
 # ---------------------------------------------------------------------------

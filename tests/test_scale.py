@@ -41,6 +41,27 @@ def test_salted_join_equals_plain(spark, skewed):
     assert salted == plain
 
 
+def test_stratified_sample_plans_window_group_limit(spark):
+    """The rank filter must push down as WindowGroupLimit so a source
+    owning most of the corpus is top-k-pruned map-side, never fully
+    sorted in one partition."""
+    from big_data_toolkit_spark.operators import curation
+
+    df = curation.stratified_sample(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_source_mix_plans_window_group_limit(spark):
+    """source_mix's literal max-quota pre-filter makes the hot-source sort
+    rank-limited too (the exact per-source quota filters afterwards)."""
+    from big_data_toolkit_spark.operators import curation
+
+    df = curation.source_mix(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
 def test_partition_graph_modes(spark):
     edges = pr.derive_graph(spark, SF_SMOKE)
     assert pr.partition_graph(edges, 4, "hash").rdd.getNumPartitions() == 4
@@ -57,6 +78,18 @@ def test_shuffled_order_deterministic_per_seed(spark):
     assert a == b
     assert a != c
     assert sorted(a) == list(range(1000))
+
+
+def test_shuffled_order_partition_count_independent(spark):
+    """The seeded shuffle must not depend on the physical partitioning —
+    rand(seed) would (Spark seeds it per partition); the row-hash order
+    is identical on 1, 13, or 1000 partitions."""
+    df = spark.range(500).selectExpr("id", "id % 7 AS grp")
+    orders = [
+        [r["id"] for r in spam.shuffled_order(df.repartition(n), seed=3).collect()]
+        for n in (1, 13, 32)
+    ]
+    assert orders[0] == orders[1] == orders[2]
 
 
 def test_stripes_format_matches_pairs(spark):

@@ -44,8 +44,12 @@ def test_sgd_train_matches_reference_python_loop(spark):
 
     got = {r["feature"]: r["weight"] for r in spam.sgd_train(spark, SF_SMOKE).collect()}
     assert got.keys() == w.keys()
-    for f in w:
-        assert got[f] == pytest.approx(w[f], abs=1e-12)
+    # EXACT equality, not approx: both folds visit docs in doc_id order and
+    # features in first-occurrence order, so every float op sequence is
+    # identical — any drift means the update rule changed, which is the one
+    # thing the DuckDB oracle can never catch for order-dependent training.
+    mismatch = {f: (got[f], w[f]) for f in w if got[f] != w[f]}
+    assert not mismatch, f"weight drift (first 5): {dict(list(mismatch.items())[:5])}"
 
 
 def test_sgd_score_labels_present(spark):
