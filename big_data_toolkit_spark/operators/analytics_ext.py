@@ -19,7 +19,7 @@ quantile sketch) that replace their exact forms at 100 TB:
   grouping-set list in ONE Expand+Aggregate pass — rollup/cube's general
   form (those live in ``relational_ext``).
 * **Window-function suite** (``customer_order_timeline``,
-  ``customer_spend_quartiles``): running DECIMAL totals, ``row_number``,
+  ``customer_spend_quartiles``): running exact integer-cent totals, ``row_number``,
   ``lag`` day-deltas per customer (shuffle only on ``o_custkey``); and
   ``rank``/``dense_rank``/``ntile`` over *pre-aggregated* per-customer
   totals — the global window sees one row per customer, not per order, which
@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_toolkit_spark.catalog import load_table
+from big_data_toolkit_spark.operators.relational_ext import _cents
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 N_QUARTILES = 4
@@ -128,7 +129,7 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("o_orderpriority").cast("long").alias("g_priority"),
             F.grouping("o_orderstatus").cast("long").alias("g_status"),
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.sum(_cents("o_totalprice")).alias("revenue_cents"),
         )
         .select(
             "o_orderpriority",
@@ -136,7 +137,7 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g_priority",
             "g_status",
             "n_orders",
-            "revenue",
+            "revenue_cents",
         )
     )
 
@@ -145,8 +146,8 @@ def customer_order_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer order sequence: running spend, order seq, days since prev.
 
     One shuffle (o_custkey) + one sort per partition serves all three window
-    functions — they share the frame. Money runs through DECIMAL so the
-    cumulative sum is exact and order-independent across engines.
+    functions — they share the frame. Money runs as exact integer cents so
+    the cumulative sum is exact and order-independent across engines.
     """
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -157,7 +158,7 @@ def customer_order_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         # long casts: DuckDB row_number()/date_diff() are BIGINT vs Spark int
         F.row_number().over(w).cast("long").alias("seq"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(run).alias("run_spend"),
+        F.sum(_cents("o_totalprice")).over(run).alias("run_spend_cents"),
         F.datediff(day, F.lag(day).over(w)).cast("long").alias("days_since_prev"),
     )
 
@@ -171,13 +172,13 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     totals = orders.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
+        F.sum(_cents("o_totalprice")).alias("spend_cents"),
         F.count("*").alias("n_orders"),
     )
-    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    w = Window.orderBy(F.desc("spend_cents"), F.asc("o_custkey"))
     return totals.select(
         "o_custkey",
-        "spend",
+        "spend_cents",
         "n_orders",
         # long casts: DuckDB rank/dense_rank/ntile are BIGINT vs Spark int
         F.rank().over(w).cast("long").alias("rk"),
@@ -278,16 +279,17 @@ ORACLE_SQL: dict[str, str] = {
                grouping(o_orderpriority) AS g_priority,
                grouping(o_orderstatus) AS g_status,
                count(*) AS n_orders,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS revenue_cents
         FROM orders
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
     """,
     "customer_order_timeline": """
         SELECT o_custkey, o_orderkey,
                row_number() OVER w AS seq,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER
                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                  ROWS UNBOUNDED PRECEDING) AS DECIMAL(28,2)) AS run_spend,
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_spend_cents,
                date_diff('day',
                          lag(CAST(o_orderdate AS DATE)) OVER w,
                          CAST(o_orderdate AS DATE)) AS days_since_prev
@@ -297,16 +299,17 @@ ORACLE_SQL: dict[str, str] = {
     "customer_spend_quartiles": f"""
         WITH totals AS (
           SELECT o_custkey,
-                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS spend,
+                 CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                      AS BIGINT) AS spend_cents,
                  count(*) AS n_orders
           FROM orders GROUP BY o_custkey
         )
-        SELECT o_custkey, spend, n_orders,
+        SELECT o_custkey, spend_cents, n_orders,
                rank() OVER w AS rk,
                dense_rank() OVER w AS drk,
                ntile({N_QUARTILES}) OVER w AS quartile
         FROM totals
-        WINDOW w AS (ORDER BY spend DESC, o_custkey)
+        WINDOW w AS (ORDER BY spend_cents DESC, o_custkey)
     """,
     "user_event_matrix": """
         SELECT user_id,

@@ -20,8 +20,9 @@ operators, each with a plan shape chosen for 100 TB:
   shuffle-bounded at scale. Exact predicate re-checked after the equi-join.
 * **Rollup / cube** (``orders_rollup``, ``events_cube``): hierarchical and
   full-lattice subtotals in ONE pass (Spark expands grouping sets inside the
-  aggregate, not one job per level). Money sums go through DECIMAL(18,2) so
-  engine-vs-oracle equality is exact, not float-lucky.
+  aggregate, not one job per level). Money sums are exact integer cents
+  (DECIMAL(18,2) quantize -> *100 -> BIGINT), not float-lucky — and immune
+  to cross-engine decimal serialization differences.
 * **Top-k per group** (``top_orders_per_priority``): ``row_number`` window +
   rank filter. The partial-sort happens map-side per partition; no global
   sort.
@@ -50,6 +51,17 @@ from big_data_toolkit_spark.catalog import load_table
 from big_data_toolkit_spark.operators import quality as quality_ops
 
 BURST_GAP_US = 600_000_000  # 10 minutes, band width == max pair gap
+
+
+def _cents(col: str) -> F.Column:
+    """Money column -> exact integer cents (BIGINT).
+
+    The double goes through DECIMAL(18,2) first (exact 2-dp quantize, same
+    rounding both engines), then *100 is integral by construction, so the
+    long cast is lossless. Integer cents survive any hash/serialization
+    layer that Decimal objects might not.
+    """
+    return (F.col(col).cast("decimal(18,2)") * 100).cast("long")
 SESSION_GAP = "30 minutes"
 TOP_K = 3
 MIN_QUALITY = 0.5
@@ -147,10 +159,14 @@ def error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP (o_orderpriority, o_orderstatus): count + exact decimal revenue.
+    """ROLLUP (o_orderpriority, o_orderstatus): count + exact revenue in cents.
 
     Subtotal levels are tagged with grouping flags (null dimension values
     alone are ambiguous); all grouping sets aggregate in a single pass.
+    Money is summed as integer cents (BIGINT): exact at any aggregation
+    depth, 8 bytes on the shuffle wire, and bit-identical across engines —
+    decimal sums proved value-identical but serialization-sensitive in the
+    r1/r2 correctness gate (see BASELINE.md, driver-hash sensitivities).
     """
     orders = load_table(spark, sf_dir, "orders")
     return (
@@ -160,7 +176,7 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("o_orderpriority").cast("long").alias("g_priority"),
             F.grouping("o_orderstatus").cast("long").alias("g_status"),
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.sum(_cents("o_totalprice")).alias("revenue_cents"),
         )
         .select(
             "o_orderpriority",
@@ -168,13 +184,13 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g_priority",
             "g_status",
             "n_orders",
-            "revenue",
+            "revenue_cents",
         )
     )
 
 
 def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE (event_type, hour-of-day): count + exact decimal value sum."""
+    """CUBE (event_type, hour-of-day): count + exact value sum in cents."""
     ev = load_table(spark, sf_dir, "events").withColumn("hour", F.hour("ts"))
     return (
         ev.cube("event_type", "hour")
@@ -182,10 +198,10 @@ def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("event_type").cast("long").alias("g_type"),
             F.grouping("hour").cast("long").alias("g_hour"),
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("value_sum"),
+            F.sum(_cents("value")).alias("value_cents"),
         )
         .select(
-            "event_type", "hour", "g_type", "g_hour", "n_events", "value_sum"
+            "event_type", "hour", "g_type", "g_hour", "n_events", "value_cents"
         )
     )
 
@@ -294,7 +310,8 @@ ORACLE_SQL: dict[str, str] = {
                grouping(o_orderpriority) AS g_priority,
                grouping(o_orderstatus) AS g_status,
                count(*) AS n_orders,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS revenue_cents
         FROM orders
         GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
@@ -303,7 +320,8 @@ ORACLE_SQL: dict[str, str] = {
                grouping(event_type) AS g_type,
                grouping(EXTRACT(hour FROM ts)::INT) AS g_hour,
                count(*) AS n_events,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS value_sum
+               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS value_cents
         FROM events
         GROUP BY CUBE (event_type, EXTRACT(hour FROM ts)::INT)
     """,
