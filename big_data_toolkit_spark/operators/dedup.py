@@ -58,6 +58,16 @@ SIMHASH_BITS = 64
 SIMHASH_BANDS = 4  # 16-bit blocks; complete for hamming <= SIMHASH_BANDS - 1
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 SIMHASH_MAX_HAMMING = 3
+# Embedding near-dup LSH: 24 random-hyperplane sign bits banded 2×12.
+# 2^12 = 4096 bucket values PER BAND (vs 256 for the old single 8-bit
+# signature, which hard-capped the bucket space: at N vectors the
+# within-bucket self-join degraded toward N²/256). Banding unions the
+# candidates of B independent 12-bit tables — MinHash-style — so cost is
+# B·Σ bucket² ≈ 2·N²/4096, an 8× candidate reduction with recall recovered
+# through the band OR.
+EMB_LSH_PLANES = tuple(range(1, 25))  # vec_ids used as hyperplanes
+EMB_LSH_BANDS = 2
+EMB_LSH_BAND_BITS = len(EMB_LSH_PLANES) // EMB_LSH_BANDS
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,31 +364,121 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs, LSH-bucket-blocked: compare only vectors
-    sharing a random-hyperplane signature bucket, then exact cosine.
+def emb_band_candidates(sigs: DataFrame) -> DataFrame:
+    """Banded candidate pairs from (vec_id, bits) signature rows: (d1, d2).
 
-    Same output schema as the exact variant minus cross-bucket recall loss;
-    cost scales with Σ bucket_size² instead of n². This is the variant that
-    survives a 100×-scale-up (bucket-partitioned storage prunes the join).
+    A pair is a candidate iff ALL ``EMB_LSH_BAND_BITS`` bits of at least one
+    band match — the MinHash banding shape applied to hyperplane signatures.
+    Factored out so adversarial fan-out tests can feed synthetic bit strings.
     """
-    from big_data_toolkit_spark.operators.similarity import _cosine, lsh_signatures
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    sigs = lsh_signatures(spark, sf_dir)
-    tagged = emb.join(sigs, "vec_id")
-    a = tagged.select(
-        F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"), "bucket"
-    )
-    b = tagged.select(
-        F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"), "bucket"
+    bands_long = sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(b),
+                        F.substring(
+                            "bits", b * EMB_LSH_BAND_BITS + 1, EMB_LSH_BAND_BITS
+                        ),
+                    )
+                    for b in range(EMB_LSH_BANDS)
+                ]
+            )
+        ).alias("band"),
     )
     return (
-        a.join(b, ["bucket"])
+        bands_long.alias("x")
+        .join(bands_long.alias("y"), "band")
+        .select(F.col("x.vec_id").alias("d1"), F.col("y.vec_id").alias("d2"))
         .where(F.col("d1") < F.col("d2"))
+        .distinct()
+    )
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, banded-LSH-blocked: compare only vectors
+    sharing all 12 sign bits of at least one of 2 hyperplane bands, then
+    exact cosine on the candidates.
+
+    Same output schema as the exact variant minus cross-band recall loss;
+    cost scales with B·Σ bucket_size² over a 4096-value-per-band bucket
+    space instead of n² (and instead of the old single 256-bucket signature,
+    which saturated at corpus scale). Bucket-partitioned storage prunes the
+    band self-join at 100 TB.
+
+    Regime note: sign-bit banding is the right block for HIGH-similarity
+    dedup (cos ≳ 0.85, per-bit agreement ≳ 0.9 → 12-bit band hit ≈ 0.3–0.8).
+    At this pipeline's moderate threshold (0.45) per-bit agreement is ~0.65
+    and recall is near zero by construction — use ``dedup_embedding_ivf``
+    there, which keeps recall without giving back the scale bound.
+    """
+    from big_data_toolkit_spark.operators.similarity import (
+        _bucket_udf,
+        _collect_index_vectors,
+        _cosine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _collect_index_vectors(emb, EMB_LSH_PLANES)
+    sigs = emb.select("vec_id", _bucket_udf(planes)("embedding").alias("bits"))
+    cands = emb_band_candidates(sigs)
+    return _verify_pairs_cosine(emb, cands)
+
+
+def _verify_pairs_cosine(emb: DataFrame, cands: DataFrame) -> DataFrame:
+    """Exact-cosine verify of candidate (d1, d2) pairs: (d1, d2, cos)."""
+    from big_data_toolkit_spark.operators.similarity import _cosine
+
+    e1 = emb.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"))
+    e2 = emb.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"))
+    return (
+        cands.join(e1, "d1")
+        .join(e2, "d2")
         .select("d1", "d2", F.round(_cosine("e1", "e2"), 6).alias("cos"))
         .where(F.col("cos") >= COSINE_DUP_THRESHOLD)
     )
+
+
+def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, IVF-blocked: candidates = vectors sharing at
+    least one of their NPROBE nearest centroids, then exact cosine.
+
+    The moderate-similarity scale path. Sign-bit LSH recall decays as
+    (1-θ/π)^bits — at this pipeline's threshold (cos ≥ 0.45, θ ≈ 1.1 rad,
+    per-bit agreement ≈ 0.65) any saturation-proof band width finds almost
+    nothing, so banded LSH is only the right block above ~0.85 cosine. IVF
+    blocking keeps recall at moderate cosine AND scales: the bucket space is
+    the centroid count K, chosen ∝ corpus size (√N..N/target_bucket), so the
+    per-bucket self-join stays ~N·bucket_size·nprobe² — linear in N — where
+    any fixed 2^bits hyperplane grid degrades toward N²/2^bits. Assignment
+    is the same map-only Arrow GEMM as ``knn_ivf``'s index build; multi-assign
+    (nprobe=2) recovers pairs straddling a centroid boundary.
+    """
+    from big_data_toolkit_spark.operators.similarity import (
+        CENTROID_IDS,
+        NPROBE,
+        _collect_index_vectors,
+        _topn_centroids_udf,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _collect_index_vectors(emb, CENTROID_IDS)
+    assigns = emb.select(
+        "vec_id",
+        F.explode(_topn_centroids_udf(cents, NPROBE)("embedding")).alias(
+            "centroid_id"
+        ),
+    )
+    cands = (
+        assigns.alias("x")
+        .join(assigns.alias("y"), "centroid_id")
+        .select(F.col("x.vec_id").alias("d1"), F.col("y.vec_id").alias("d2"))
+        .where(F.col("d1") < F.col("d2"))
+        .distinct()
+    )
+    return _verify_pairs_cosine(emb, cands)
 
 
 # ---------------------------------------------------------------------------
@@ -527,7 +627,7 @@ ORACLE_SQL["dedup_embedding_cosine"] = f"""
 ORACLE_SQL["dedup_embedding_lsh"] = f"""
     WITH planes AS (
       SELECT vec_id AS plane_id, embedding AS pv FROM embeddings
-      WHERE vec_id BETWEEN 1 AND 8
+      WHERE vec_id BETWEEN {EMB_LSH_PLANES[0]} AND {EMB_LSH_PLANES[-1]}
     ),
     bits AS (
       SELECT e.vec_id, p.plane_id,
@@ -536,14 +636,53 @@ ORACLE_SQL["dedup_embedding_lsh"] = f"""
       FROM embeddings e, planes p
     ),
     sigs AS (
-      SELECT vec_id, string_agg(bit::VARCHAR, '' ORDER BY plane_id) AS bucket
+      SELECT vec_id, string_agg(bit::VARCHAR, '' ORDER BY plane_id) AS bits
       FROM bits GROUP BY vec_id
+    ),
+    bands AS (
+      SELECT vec_id,
+             b::VARCHAR || '_' ||
+             substr(bits, b * {EMB_LSH_BAND_BITS} + 1, {EMB_LSH_BAND_BITS})
+               AS band
+      FROM sigs, (SELECT unnest(range({EMB_LSH_BANDS})) AS b)
+    ),
+    cands AS (
+      SELECT DISTINCT x.vec_id AS d1, y.vec_id AS d2
+      FROM bands x JOIN bands y ON x.band = y.band AND x.vec_id < y.vec_id
     )
-    SELECT a.vec_id AS d1, b.vec_id AS d2, round({_COS_AB}, 6) AS cos
-    FROM embeddings a
-    JOIN sigs sa ON a.vec_id = sa.vec_id
-    JOIN sigs sb ON sa.bucket = sb.bucket
-    JOIN embeddings b ON b.vec_id = sb.vec_id AND a.vec_id < b.vec_id
+    SELECT c.d1, c.d2, round({_COS_AB}, 6) AS cos
+    FROM cands c
+    JOIN embeddings a ON a.vec_id = c.d1
+    JOIN embeddings b ON b.vec_id = c.d2
+    WHERE round({_COS_AB}, 6) >= {COSINE_DUP_THRESHOLD}
+"""
+
+ORACLE_SQL["dedup_embedding_ivf"] = f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+      WHERE vec_id IN ({", ".join(str(c) for c in range(10, 26))})
+    ),
+    scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ({_DOT.format(a='e.embedding', b='c.cv')} /
+                         ({_NORM.format(a='e.embedding')} *
+                          {_NORM.format(a='c.cv')})) DESC,
+                        c.centroid_id
+             ) AS rn
+      FROM embeddings e, cents c
+    ),
+    assigns AS (SELECT vec_id, centroid_id FROM scored WHERE rn <= 2),
+    cands AS (
+      SELECT DISTINCT x.vec_id AS d1, y.vec_id AS d2
+      FROM assigns x JOIN assigns y
+        ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+    )
+    SELECT c.d1, c.d2, round({_COS_AB}, 6) AS cos
+    FROM cands c
+    JOIN embeddings a ON a.vec_id = c.d1
+    JOIN embeddings b ON b.vec_id = c.d2
     WHERE round({_COS_AB}, 6) >= {COSINE_DUP_THRESHOLD}
 """
 
@@ -555,4 +694,5 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    "dedup_embedding_ivf": dedup_embedding_ivf,
 }

@@ -192,6 +192,28 @@ def _with_centroid(emb: DataFrame, cents: dict[int, list]) -> DataFrame:
     return emb.withColumn("centroid_id", _centroid_udf(cents)("embedding"))
 
 
+def _topn_centroids_udf(cents: dict[int, list], n: int):
+    """Arrow-batched top-n centroid assignment: array<long> of the n nearest
+    centroid ids by cosine DESC, centroid_id ASC.
+
+    ``kind="stable"`` argsort keeps ascending index order on ties and cids
+    are sorted ascending, so ties break to the smallest centroid_id — the
+    oracle's ``row_number() OVER (ORDER BY cos DESC, centroid_id)``.
+    """
+    cids = np.array(sorted(cents), dtype=np.int64)
+    C = np.array([cents[c] for c in cids], dtype=np.float64)
+    cnorm = np.linalg.norm(C, axis=1)
+
+    @F.pandas_udf("array<long>")
+    def topn(emb: pd.Series) -> pd.Series:
+        E = np.array(emb.tolist(), dtype=np.float64)
+        cs = (E @ C.T) / (np.linalg.norm(E, axis=1, keepdims=True) * cnorm)
+        order = np.argsort(-cs, axis=1, kind="stable")[:, :n]
+        return pd.Series([cids[row].tolist() for row in order])
+
+    return topn
+
+
 def knn_ivf(
     spark: SparkSession, sf_dir: str, query_vec_id: int = QUERY_VEC_ID, k: int = TOP_K
 ) -> DataFrame:

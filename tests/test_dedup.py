@@ -104,6 +104,20 @@ def test_ngram_no_broadcast_hint(spark):
     assert "ResolvedHint" not in plan
 
 
+def test_emb_banding_bounds_fanout(spark):
+    """Adversarial signatures: every vector shares its 8-bit prefix with 15
+    others (the old single 8-bit bucket scheme made ~1.5k candidate pairs of
+    this fixture), but every full 12-bit band is unique — banded candidates
+    must be 0. Positive control: a band shared by all → all pairs."""
+    uniq = [(i, format(i, "012b") * 2) for i in range(200)]
+    sigs = spark.createDataFrame(uniq, "vec_id long, bits string")
+    assert dedup.emb_band_candidates(sigs).count() == 0
+
+    shared = [(i, "101010101010" + format(i, "012b")) for i in range(50)]
+    sigs = spark.createDataFrame(shared, "vec_id long, bits string")
+    assert dedup.emb_band_candidates(sigs).count() == 50 * 49 // 2
+
+
 def test_embedding_lsh_subset_of_exact(spark):
     exact = {(r["d1"], r["d2"]): r["cos"]
              for r in dedup.dedup_embedding_cosine(spark, SF_ORACLE).collect()}
@@ -111,4 +125,17 @@ def test_embedding_lsh_subset_of_exact(spark):
            for r in dedup.dedup_embedding_lsh(spark, SF_ORACLE).collect()}
     assert set(lsh) <= set(exact)  # blocking never fabricates pairs
     for k, v in lsh.items():
+        assert v == exact[k]
+
+
+def test_embedding_ivf_recall_vs_exact(spark):
+    """IVF blocking must keep useful recall at the moderate (0.45) threshold
+    where sign-bit banding finds ~nothing: subset of exact + recall ≥ 0.5."""
+    exact = {(r["d1"], r["d2"]): r["cos"]
+             for r in dedup.dedup_embedding_cosine(spark, SF_ORACLE).collect()}
+    ivf = {(r["d1"], r["d2"]): r["cos"]
+           for r in dedup.dedup_embedding_ivf(spark, SF_ORACLE).collect()}
+    assert set(ivf) <= set(exact)
+    assert len(ivf) >= 0.5 * len(exact)
+    for k, v in ivf.items():
         assert v == exact[k]
