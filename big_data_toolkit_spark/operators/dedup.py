@@ -247,13 +247,25 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
-        .withColumn(
-            "h1", F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
-        )
-        .withColumn(
-            "h2", F.conv(F.substring(F.md5("token"), 9, 8), 16, 10).cast("long")
+    )
+    # md5 → two 32-bit halves ONCE PER DISTINCT TOKEN (a vocabulary-sized
+    # dict, ≪ the (doc, token) pair count), joined back with no strategy
+    # hint — AQE broadcasts a small vocabulary and falls back to a shuffle
+    # join for a corpus-scale one. The dict branch reuses tf's exchange.
+    tok_dict = (
+        tf.select("token")
+        .distinct()
+        .select(
+            "token",
+            F.conv(F.substring(F.md5("token"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h1"),
+            F.conv(F.substring(F.md5("token"), 9, 8), 16, 10)
+            .cast("long")
+            .alias("h2"),
         )
     )
+    tf = tf.join(tok_dict, "token")
     # One aggregate column per bit instead of a 64x row explosion: each
     # sum(tf * (2*bit - 1)) partial-aggregates map-side, so the shuffle
     # carries 64 longs per doc, not 64 rows per (doc, token).
@@ -428,15 +440,35 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _verify_pairs_cosine(emb: DataFrame, cands: DataFrame) -> DataFrame:
-    """Exact-cosine verify of candidate (d1, d2) pairs: (d1, d2, cos)."""
-    from big_data_toolkit_spark.operators.similarity import _cosine
+    """Exact-cosine verify of candidate (d1, d2) pairs: (d1, d2, cos).
 
-    e1 = emb.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"))
-    e2 = emb.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"))
+    Norms are computed ONCE per vector before the pair join (higher-order
+    array folds are interpreted, not codegen'd — per-pair they dominated
+    this stage at 3 folds/pair; per-vector it is 1 fold/vector + one cheap
+    multiply per pair). ``dot/(n1*n2)`` is the same float expression tree as
+    ``_cosine``, so results are bit-identical to the oracle's.
+    """
+    from big_data_toolkit_spark.operators.similarity import _dot, _norm
+
+    nemb = emb.select("vec_id", "embedding", _norm("embedding").alias("nrm"))
+    e1 = nemb.select(
+        F.col("vec_id").alias("d1"),
+        F.col("embedding").alias("e1"),
+        F.col("nrm").alias("n1"),
+    )
+    e2 = nemb.select(
+        F.col("vec_id").alias("d2"),
+        F.col("embedding").alias("e2"),
+        F.col("nrm").alias("n2"),
+    )
     return (
         cands.join(e1, "d1")
         .join(e2, "d2")
-        .select("d1", "d2", F.round(_cosine("e1", "e2"), 6).alias("cos"))
+        .select(
+            "d1",
+            "d2",
+            F.round(_dot("e1", "e2") / (F.col("n1") * F.col("n2")), 6).alias("cos"),
+        )
         .where(F.col("cos") >= COSINE_DUP_THRESHOLD)
     )
 

@@ -136,3 +136,45 @@ def test_trend_alert_boundaries(spark, tmp_path):
     )
     # 10 >= 10 and 10 >= 2*5 → exactly-at-boundary trending is True
     assert [r["trending"] for r in rows] == [False, True]
+
+
+def test_stream_trending_matches_batch_full_sf001(spark, tmp_path):
+    """ST4 full-table equivalence at sf0.01: replay ALL 10k events as
+    time-ordered micro-batches; the final update per (key, window) from the
+    stateful stream must equal the oracle-green batch twin row-for-row
+    (cnt, prev_cnt, trending)."""
+    src = str(tmp_path / "src")
+    dirs = _write_stream_files(spark, SF_ORACLE, src, n_files=6)
+    assert len(dirs) == 6
+    stream = (
+        spark.readStream.schema(load_table(spark, SF_ORACLE, "events").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "batch_*"))
+    )
+    q = (
+        trending.stream_trending(stream)
+        .writeStream.format("memory")
+        .queryName("trend_full")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_full"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # Updates within one (key, window) only grow cnt and share one prev_cnt
+    # (prev changes only when a NEWER window opens, which emits under that
+    # window's key) — so the final state per window is the max-cnt update.
+    final: dict = {}
+    for r in spark.sql("select * from trend_full").collect():
+        k = (r["event_type"], r["window_start"])
+        if k not in final or r["cnt"] > final[k]["cnt"]:
+            final[k] = r
+    got = {
+        (k[0], k[1], v["cnt"], v["prev_cnt"], v["trending"])
+        for k, v in final.items()
+    }
+    expected = {
+        (r["event_type"], r["window_start"], r["cnt"], r["prev_cnt"], r["trending"])
+        for r in windows.trending_events(spark, SF_ORACLE).collect()
+    }
+    assert got == expected
