@@ -25,6 +25,7 @@ from big_data_toolkit_spark.operators import (
     sql_analytics,
     text_analytics,
 )
+from big_data_toolkit_spark.plans import scale
 from big_data_toolkit_spark.streaming import windows as streaming_windows
 
 _MODULES = [
@@ -41,6 +42,7 @@ _MODULES = [
     analytics_ext,
     multimodal,
     curation,
+    scale,
 ]
 
 
@@ -65,6 +67,8 @@ _DEFERRED = [
     "fingerprint",  # twice green; map-only column expressions
     "customers_without_orders",  # twice green; never_ordered_parts stays
     "lang_id",  # twice green; map-only column expressions (quality_score stays)
+    "next_word_after",  # twice green; bigram_relative_frequency + word_count stay
+    "region_event_count",  # twice green; event_count_hourly + trending_events stay
 ]
 
 

@@ -32,6 +32,7 @@ from big_data_toolkit_spark.operators import (  # noqa: E402
     sql_analytics,
     text_analytics,
 )
+from big_data_toolkit_spark.plans import scale  # noqa: E402
 from big_data_toolkit_spark.session import build_spark  # noqa: E402
 from big_data_toolkit_spark.streaming import windows as streaming_windows  # noqa: E402
 
@@ -82,6 +83,8 @@ HEADLINE = {
     "hash_sample": curation.hash_sample,
     "source_mix": curation.source_mix,
     "shard_pack": curation.shard_pack,
+    "distinct_users_by_type": scale.distinct_users_by_type,
+    "skewed_join_enrich": scale.skewed_join_enrich,
 }
 
 

@@ -22,8 +22,10 @@ situations still need explicit plan shapes at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from big_data_toolkit_spark.catalog import load_table
 
 
 def salted_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
@@ -72,6 +74,70 @@ def bucketize(
         .option("path", path)
         .saveAsTable(table)
     )
+
+
+def two_phase_distinct(df: DataFrame, key: str, value: str) -> DataFrame:
+    """Skew-safe exact ``count(DISTINCT value)`` per key.
+
+    Plain distinct-count shuffles every (key, value) pair to the key's one
+    reducer — the aggregation shape map-side combine CANNOT save (unlike
+    count/sum, where partial agg already absorbs skew and salting would be
+    pure overhead). Phase 1 groups on (key, value) — the hot key's pairs
+    spread over all reducers of the pair space; phase 2 counts the
+    now-deduplicated pairs per key. Identical result, no single-reducer
+    hotspot.
+    """
+    pairs = df.groupBy(key, value).agg(F.lit(1))
+    return pairs.groupBy(key).agg(F.count("*").alias(f"distinct_{value}"))
+
+
+# ---------------------------------------------------------------------------
+# Driver-gated queries exercising the scale fragments on real tables.
+# ``events.event_type`` is the skewed key: 5 values over the whole table, so
+# every key is a heavy hitter by construction.
+# ---------------------------------------------------------------------------
+
+
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, distinct_user_id): two-phase exact distinct per hot key."""
+    events = load_table(spark, sf_dir, "events")
+    return two_phase_distinct(events, "event_type", "user_id")
+
+
+def skewed_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, event_type, type_cnt): every event joined to its type's
+    row count through ``salted_join_skewed_left`` — the hot-key fact-to-dim
+    join shape where the left's 5-value key would otherwise concentrate on
+    5 reducers. The salt fans each hot key over 16 reducers; the row set is
+    identical to the plain join (the salt column never leaves the plan).
+    Counts (not float sums) keep the oracle comparison exact.
+    """
+    events = load_table(spark, sf_dir, "events")
+    type_cnt = events.groupBy("event_type").agg(F.count("*").alias("type_cnt"))
+    joined = salted_join_skewed_left(
+        events.select("event_id", "event_type"), type_cnt, "event_type"
+    )
+    return joined.select("event_id", "event_type", "type_cnt")
+
+
+QUERIES = {
+    "distinct_users_by_type": distinct_users_by_type,
+    "skewed_join_enrich": skewed_join_enrich,
+}
+
+ORACLE_SQL = {
+    "distinct_users_by_type": """
+        SELECT event_type, count(DISTINCT user_id) AS distinct_user_id
+        FROM events GROUP BY event_type
+    """,
+    "skewed_join_enrich": """
+        SELECT e.event_id, e.event_type, t.type_cnt
+        FROM events e
+        JOIN (SELECT event_type, count(*) AS type_cnt
+              FROM events GROUP BY event_type) t
+          ON e.event_type = t.event_type
+    """,
+}
 
 
 def explain_str(df: DataFrame) -> str:

@@ -148,3 +148,40 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize("name", sorted(scale.QUERIES))
+def test_scale_query_oracle_match(spark, name):
+    from tests.oracle_utils import compare
+
+    compare(scale.QUERIES[name](spark, SF_ORACLE), scale.ORACLE_SQL[name], SF_ORACLE)
+
+
+def test_two_phase_distinct_equals_plain(spark, skewed):
+    plain = {
+        r["k"]: r["d"]
+        for r in skewed.groupBy("k").agg(F.countDistinct("v").alias("d")).collect()
+    }
+    two = {
+        r["k"]: r["distinct_v"]
+        for r in scale.two_phase_distinct(skewed, "k", "v").collect()
+    }
+    assert two == plain
+
+
+def test_skewed_join_enrich_equals_plain_join(spark):
+    from big_data_toolkit_spark.catalog import load_table
+
+    events = load_table(spark, SF_ORACLE, "events")
+    type_cnt = events.groupBy("event_type").agg(F.count("*").alias("type_cnt"))
+    plain = sorted(
+        tuple(r)
+        for r in events.select("event_id", "event_type")
+        .join(type_cnt, "event_type")
+        .select("event_id", "event_type", "type_cnt")
+        .collect()
+    )
+    salted = sorted(
+        tuple(r) for r in scale.skewed_join_enrich(spark, SF_ORACLE).collect()
+    )
+    assert salted == plain
