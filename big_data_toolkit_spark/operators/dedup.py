@@ -178,22 +178,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals ``dedup_ngram_jaccard`` up to LSH recall (at threshold 0.5 with
     4x4 banding, detection probability is ~1 for true near-dups).
     """
-    sigs = minhash_signatures(spark, sf_dir)
-    rows_per_band = MINHASH_K // LSH_BANDS
-    band_cols = [
-        F.concat_ws(
-            "_",
-            F.lit(b),
-            *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)],
-        ).alias(f"band_{b}")
-        for b in range(LSH_BANDS)
+    # ONE aggregation pass produces both the 16 signature minima and the
+    # per-doc shingle array the verify step needs — the old plan ran the
+    # shingle lineage (tokenize + explode + distinct) twice, once per branch.
+    sh = _shingles(spark, sf_dir).withColumn("h", _shingle_hash32())
+    aggs = [
+        F.min((F.lit(HASH_A[k]) * F.col("h") + F.lit(HASH_B[k])) % MERSENNE_P).alias(
+            f"sig_{k}"
+        )
+        for k in range(MINHASH_K)
     ]
-    banded = sigs.select("doc_id", *band_cols)
-    bands_long = banded.select(
+    per_doc = sh.groupBy("doc_id").agg(*aggs, F.collect_list("shingle").alias("sh"))
+    rows_per_band = MINHASH_K // LSH_BANDS
+    bands_long = per_doc.select(
         "doc_id",
-        F.explode(F.array(*[F.col(f"band_{b}") for b in range(LSH_BANDS)])).alias(
-            "band"
-        ),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(b),
+                        *[
+                            F.col(f"sig_{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band"),
     )
     cands = (
         bands_long.alias("x")
@@ -208,13 +221,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and compute Jaccard with in-row array ops. Unlike the exact path's
     # shared-shingle pair expansion, cost here scales with |candidates| — the
     # whole point of LSH at 100 TB.
-    shingle_sets = (
-        _shingles(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(F.collect_list("shingle").alias("sh"))
-    )
-    s1 = shingle_sets.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
-    s2 = shingle_sets.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    s1 = per_doc.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    s2 = per_doc.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
     return (
         cands.join(s1, "d1")
         .join(s2, "d2")
