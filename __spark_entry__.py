@@ -69,6 +69,9 @@ _DEFERRED = [
     "lang_id",  # twice green; map-only column expressions (quality_score stays)
     "next_word_after",  # twice green; bigram_relative_frequency + word_count stay
     "region_event_count",  # twice green; event_count_hourly + trending_events stay
+    "word_count",  # twice green; bigram/pmi/inverted_index exercise the same path
+    "event_count_hourly",  # twice green; trending_events is the richer twin
+    "dedup_ngram_jaccard",  # twice green; minhash_lsh verifies with exact Jaccard
 ]
 
 

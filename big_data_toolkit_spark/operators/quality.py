@@ -131,6 +131,99 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, n_distinct_bigrams, dup_bigram_ratio).
+
+    Gopher-style within-document repetition filter: the fraction of adjacent
+    bigram instances that are repeats of an earlier bigram in the same doc.
+    Pure in-row array expressions — map-only, no shuffle; integer counts and
+    a single final division keep the oracle comparison exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "CASE WHEN size(t) < 2 THEN array() "
+        "ELSE transform(sequence(0, size(t) - 2), "
+        "i -> concat_ws(' ', t[i], t[i+1])) END"
+    )
+    n = F.size("bg")
+    d = F.size(F.array_distinct("bg"))
+    return (
+        docs.select("doc_id", tokenize("text").alias("t"))
+        .select("doc_id", bigrams.alias("bg"))
+        .select(
+            "doc_id",
+            n.alias("n_bigrams"),
+            d.alias("n_distinct_bigrams"),
+            F.when(n > 0, F.round((n - d) / n, 6))
+            .otherwise(F.lit(0.0))
+            .alias("dup_bigram_ratio"),
+        )
+    )
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, mean_logprob) — corpus-unigram perplexity proxy.
+
+    Fit and score in one plan: token → corpus count (one aggregation), the
+    corpus total as an in-plan one-row broadcast (the A8 pattern —
+    no driver-side collect), then every token instance joins its count and
+    each doc averages log10 p(token). The per-doc sum folds over the SORTED
+    logp list (``sort_array`` / ``list_sort``), so float addition order is
+    pinned and both engines produce bit-identical means regardless of
+    partitioning. Docs whose token list is empty have no instances and are
+    absent — same in the oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    cnts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = cnts.agg(F.sum("cnt").alias("total"))
+    lp = (
+        toks.join(cnts, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id", (F.log10("cnt") - F.log10("total")).alias("logp")
+        )
+    )
+    per_doc = lp.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sort_array(F.collect_list("logp")).alias("lps"),
+    )
+    fold = F.expr("aggregate(lps, 0D, (acc, v) -> acc + v)")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(fold / F.col("n_tokens"), 6).alias("mean_logprob"),
+    )
+
+
+BENCHMARK_MOD = 50  # doc_id % 50 == 0 → the stand-in held-out benchmark set
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, overlap_cnt) — n-gram decontamination against a benchmark set.
+
+    The training-data hygiene pass: flag corpus documents sharing any
+    3-token shingle with a held-out benchmark (stand-in: doc_id %
+    ``BENCHMARK_MOD`` == 0 — deterministic, so the oracle reproduces it; a
+    real run swaps in the benchmark table). The benchmark's distinct-shingle
+    side is benchmark-sized (small by construction), so AQE broadcasts it
+    and the check is a map-only scan of the corpus shingles at 100 TB — no
+    self-join, no shuffle of corpus text.
+    """
+    from big_data_toolkit_spark.operators.dedup import _shingles
+
+    sh = _shingles(spark, sf_dir)
+    bench_sh = (
+        sh.where(F.col("doc_id") % BENCHMARK_MOD == 0).select("shingle").distinct()
+    )
+    return (
+        sh.where(F.col("doc_id") % BENCHMARK_MOD != 0)
+        .join(bench_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("overlap_cnt"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -201,6 +294,58 @@ ORACLE_SQL: dict[str, str] = {
                ) AS rolling_hash
         FROM documents
     """,
+    "repetition_score": f"""
+        WITH x AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) < 2 THEN []
+                      ELSE [t[i] || ' ' || t[i+1]
+                            for i in range(1, len(t))]
+                 END AS bg
+          FROM (SELECT doc_id, {_T} AS t FROM documents)
+        )
+        SELECT doc_id,
+               len(bg) AS n_bigrams,
+               len(list_distinct(bg)) AS n_distinct_bigrams,
+               CASE WHEN len(bg) > 0
+                    THEN round((len(bg) - len(list_distinct(bg)))::DOUBLE / len(bg), 6)
+                    ELSE 0.0 END AS dup_bigram_ratio
+        FROM x
+    """,
+    "unigram_logprob": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_T}) AS token FROM documents
+        ),
+        cnts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+        tot AS (SELECT sum(cnt) AS total FROM cnts),
+        lp AS (
+          SELECT t.doc_id, log10(c.cnt) - log10(tot.total) AS logp
+          FROM toks t JOIN cnts c USING (token), tot
+        ),
+        per AS (
+          SELECT doc_id, count(*) AS n_tokens,
+                 list_sort(list(logp)) AS lps
+          FROM lp GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens,
+               round(list_sum(lps) / n_tokens, 6) AS mean_logprob
+        FROM per
+    """,
+    "benchmark_contamination": f"""
+        WITH sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([t[i-1] || ' ' || t[i] || ' ' || t[i+1]
+                                       for i in range(2, len(t))])) AS shingle
+          FROM (SELECT doc_id, {_T} AS t FROM documents)
+          WHERE len(t) >= 3
+        )
+        SELECT s.doc_id, count(*) AS overlap_cnt
+        FROM sh s
+        JOIN (SELECT DISTINCT shingle FROM sh
+              WHERE doc_id % {BENCHMARK_MOD} = 0) b
+          USING (shingle)
+        WHERE s.doc_id % {BENCHMARK_MOD} <> 0
+        GROUP BY s.doc_id
+    """,
 }
 
 QUERIES = {
@@ -208,4 +353,7 @@ QUERIES = {
     "quality_score": quality_score,
     "token_count": token_count,
     "fingerprint": fingerprint,
+    "repetition_score": repetition_score,
+    "unigram_logprob": unigram_logprob,
+    "benchmark_contamination": benchmark_contamination,
 }

@@ -16,7 +16,7 @@ def test_oracle_match(spark, name):
 def test_map_only_no_shuffle(spark):
     """Row-wise curation ops must not shuffle: single stage, no Exchange."""
     for fn in (quality.lang_id, quality.quality_score, quality.token_count,
-               quality.fingerprint):
+               quality.fingerprint, quality.repetition_score):
         plan = fn(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, f"{fn.__name__} shuffles"
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
