@@ -72,6 +72,7 @@ _DEFERRED = [
     "word_count",  # twice green; bigram/pmi/inverted_index exercise the same path
     "event_count_hourly",  # twice green; trending_events is the richer twin
     "dedup_ngram_jaccard",  # twice green; minhash_lsh verifies with exact Jaccard
+    "dedup_exact",  # twice green; fingerprint/curated_corpus share the md5 path
 ]
 
 

@@ -46,6 +46,7 @@ HEADLINE = {
     "pmi_pairs": text_analytics.pmi_pairs,
     "inverted_index": inverted_index.postings,
     "boolean_mixed": inverted_index.boolean_mixed,
+    "ranked_tfidf": inverted_index.ranked_retrieval_tfidf,
     "spam_score": spam.spam_score,
     "spam_ensemble": spam.spam_ensemble,
     "pagerank": pagerank.pagerank_top20,

@@ -134,6 +134,54 @@ def boolean_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boolean_retrieval(spark, sf_dir, QUERY_MIXED)
 
 
+RANKED_TERMS = ("spark", "fast", "slow")
+RANKED_TOP_K = 20
+
+
+def ranked_retrieval_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score): tf-idf ranked retrieval, top-20 by score.
+
+    Ranked extension of the reference's boolean stack machine (a3 stops at
+    set operations): score(d) = Σ_{t ∈ q ∩ d} tf(t,d) · log10(N/df(t)).
+    The term filter lands ON the scan (only query-term postings are built);
+    N is an in-plan one-row broadcast; df is a window count over the 3
+    surviving term groups. The per-doc sum folds over the SORTED tf·idf
+    list so float addition order is pinned — both engines produce
+    bit-identical scores, making the top-k cut deterministic (ties break by
+    doc_id). Top-k itself is TakeOrderedAndProject: per-partition heaps,
+    k rows to the driver.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count("*").alias("n"))
+    tf = (
+        docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+        .where(F.col("term").isin(list(RANKED_TERMS)))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = (
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            (F.col("tf") * F.log10(F.col("n").cast("double") / F.col("df"))).alias(
+                "w"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("w")).alias("ws"))
+        .select(
+            "doc_id",
+            F.expr("aggregate(ws, 0D, (acc, v) -> acc + v)").alias("score_raw"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score_raw"), "doc_id")
+        .limit(RANKED_TOP_K)
+        .select("doc_id", F.round("score_raw", 6).alias("score"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -174,6 +222,25 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT d.doc_id, d.text FROM hits JOIN documents d USING (doc_id)
     """,
+    "ranked_retrieval_tfidf": f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+        tf AS (
+          SELECT term, doc_id, count(*) AS tf FROM tok
+          WHERE term IN ('spark', 'fast', 'slow')
+          GROUP BY term, doc_id
+        ),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n FROM documents),
+        s AS (
+          SELECT tf.doc_id,
+                 list_sum(list_sort(list(tf.tf * log10(n.n::DOUBLE / df.df))))
+                   AS score_raw
+          FROM tf JOIN df USING (term), n
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score_raw, 6) AS score
+        FROM s ORDER BY score_raw DESC, doc_id LIMIT 20
+    """,
 }
 
 QUERIES = {
@@ -181,4 +248,5 @@ QUERIES = {
     "boolean_and": boolean_and,
     "boolean_or": boolean_or,
     "boolean_mixed": boolean_mixed,
+    "ranked_retrieval_tfidf": ranked_retrieval_tfidf,
 }
