@@ -73,6 +73,7 @@ _DEFERRED = [
     "event_count_hourly",  # twice green; trending_events is the richer twin
     "dedup_ngram_jaccard",  # twice green; minhash_lsh verifies with exact Jaccard
     "dedup_exact",  # twice green; fingerprint/curated_corpus share the md5 path
+    "knn_ivf",  # twice green; dedup_embedding_ivf exercises the same assignment
 ]
 
 

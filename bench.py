@@ -54,6 +54,7 @@ HEADLINE = {
     "region_event_count": streaming_windows.region_event_count,
     "trending_events": streaming_windows.trending_events,
     "dedup_exact": dedup.dedup_exact,
+    "dedup_incremental": dedup.dedup_incremental,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
     "dedup_simhash": dedup.dedup_simhash,
     "knn_brute_force": similarity.knn_brute_force,

@@ -365,6 +365,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 COSINE_DUP_THRESHOLD = 0.45
 
 
+NEW_BATCH_MOD = 5  # doc_id % 5 == 4 → the incoming snapshot delta (20%)
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, content_md5): snapshot-delta dedup — docs of the incoming
+    batch whose content fingerprint is NOT already in the existing corpus.
+
+    The cross-snapshot ingestion op: each crawl/delta is deduped against
+    the standing corpus by order-insensitive content fingerprint (md5 of
+    the sorted distinct token set — robust to token reordering and
+    duplicated whitespace, unlike raw-text md5). A LEFT ANTI join on the
+    uniform md5 key is one well-distributed shuffle; at 100 TB the
+    existing side is a pre-materialized fingerprint table (here derived
+    in-plan from the deterministic doc_id split so the oracle reproduces
+    it).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(tokenize("text"))))
+        ).alias("content_md5"),
+    )
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    existing = fp.where(~is_new).select("content_md5").distinct()
+    return fp.where(is_new).join(existing, "content_md5", "left_anti").select(
+        "doc_id", "content_md5"
+    )
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs by exact pairwise cosine ≥ threshold.
 
@@ -726,12 +756,27 @@ ORACLE_SQL["dedup_embedding_ivf"] = f"""
     WHERE round({_COS_AB}, 6) >= {COSINE_DUP_THRESHOLD}
 """
 
+ORACLE_SQL["dedup_incremental"] = f"""
+    WITH c AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct({_T})), ' '))
+               AS content_md5
+      FROM documents
+    )
+    SELECT doc_id, content_md5 FROM c
+    WHERE doc_id % {NEW_BATCH_MOD} = {NEW_BATCH_MOD - 1}
+      AND content_md5 NOT IN (
+        SELECT content_md5 FROM c WHERE doc_id % {NEW_BATCH_MOD} <> {NEW_BATCH_MOD - 1}
+      )
+"""
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "simhash_fingerprints": simhash_fingerprints,
     "dedup_simhash": dedup_simhash,
+    "dedup_incremental": dedup_incremental,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_embedding_ivf": dedup_embedding_ivf,
