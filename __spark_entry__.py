@@ -74,6 +74,7 @@ _DEFERRED = [
     "dedup_ngram_jaccard",  # twice green; minhash_lsh verifies with exact Jaccard
     "dedup_exact",  # twice green; fingerprint/curated_corpus share the md5 path
     "knn_ivf",  # twice green; dedup_embedding_ivf exercises the same assignment
+    "top_orders_per_priority",  # twice green; source_mix shares WindowGroupLimit
 ]
 
 

@@ -87,6 +87,7 @@ HEADLINE = {
     "shard_pack": curation.shard_pack,
     "distinct_users_by_type": scale.distinct_users_by_type,
     "skewed_join_enrich": scale.skewed_join_enrich,
+    "chunk_documents": curation.chunk_documents,
     "repetition_score": quality.repetition_score,
     "unigram_logprob": quality.unigram_logprob,
     "benchmark_contamination": quality.benchmark_contamination,

@@ -185,6 +185,42 @@ def shard_pack(
     )
 
 
+CHUNK_TOKENS = 32  # context-window chunk length (tokens)
+CHUNK_STRIDE = 24  # start-to-start stride → 8-token overlap
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_id, n_chunk_tokens, chunk_text): fixed-window chunking.
+
+    Context-window splitting for training/RAG ingestion: overlapping
+    ``CHUNK_TOKENS``-token windows every ``CHUNK_STRIDE`` tokens (the
+    standard HF-style ``range(0, len, stride)`` sweep, last chunk ragged).
+    Pure in-row array expressions — chunk generation is map-only with no
+    shuffle, so it inherits the scan's partitioning at any corpus size.
+    Whitespace tokens (not the letters-only tokenizer) so chunk text
+    round-trips the original words.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(F.split("text", " +"), lambda w: w != F.lit(""))
+    chunks = F.expr(
+        f"transform(sequence(0, (size(t) - 1) DIV {CHUNK_STRIDE}), "
+        f"k -> struct(k AS chunk_id, "
+        f"concat_ws(' ', slice(t, k * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS})) "
+        f"AS chunk_text))"
+    )
+    return (
+        docs.select("doc_id", t.alias("t"))
+        .where(F.size("t") > 0)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.size(F.split("c.chunk_text", " ")).alias("n_chunk_tokens"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -258,9 +294,32 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["chunk_documents"] = f"""
+    WITH x AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, ' +'), w -> w <> '') AS t
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             unnest([{{'chunk_id': k,
+                       'chunk_text': array_to_string(
+                         list_slice(t, k * {CHUNK_STRIDE} + 1,
+                                    k * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ')}}
+                     for k in range(0, (len(t) - 1) // {CHUNK_STRIDE} + 1)],
+                    recursive := true)
+      FROM x WHERE len(t) > 0
+    )
+    SELECT doc_id, chunk_id,
+           len(string_split(chunk_text, ' ')) AS n_chunk_tokens,
+           chunk_text
+    FROM c
+"""
+
 QUERIES = {
     "hash_sample": hash_sample,
     "stratified_sample": stratified_sample,
     "source_mix": source_mix,
     "shard_pack": shard_pack,
+    "chunk_documents": chunk_documents,
 }

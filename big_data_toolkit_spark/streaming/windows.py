@@ -170,6 +170,29 @@ def stream_dedup_events(
     return events_stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def stream_dedup_incremental(
+    new_docs_stream: DataFrame, corpus_fp: DataFrame
+) -> DataFrame:
+    """Stream-static LEFT ANTI join: the streaming form of snapshot-delta
+    ingestion dedup (batch twin: ``dedup.dedup_incremental``).
+
+    Incoming docs are fingerprinted in-row (md5 of the sorted distinct
+    token set) and dropped when the fingerprint already exists in the
+    STATIC corpus fingerprint table. The static side re-reads per
+    micro-batch (Spark's stream-static contract), so at scale it should be
+    a compact fingerprint table, not raw text — which is exactly what the
+    batch op materializes.
+    """
+    from big_data_toolkit_spark.functions.text import tokenize
+
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokenize("text")))))
+    return (
+        new_docs_stream.withColumn("content_md5", fp)
+        .join(corpus_fp.select("content_md5"), "content_md5", "left_anti")
+        .select("doc_id", "content_md5")
+    )
+
+
 def stream_click_purchase_join(
     clicks: DataFrame,
     purchases: DataFrame,

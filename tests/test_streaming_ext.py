@@ -128,3 +128,59 @@ def test_stream_sessions_merge_out_of_order_events(spark, tmp_path):
     }
     # one single merged session — not the two provisional ones
     assert final == {(1, _m(0), _m(50 + 30), 3)}
+
+
+def test_stream_incremental_dedup_matches_batch(spark, tmp_path):
+    """Stream-static anti-join twin of dedup.dedup_incremental at sf0.01:
+    replay the delta batch (doc_id % 5 == 4) as two micro-batches against
+    the static corpus fingerprints; output set must equal the batch op."""
+    import glob
+
+    from big_data_toolkit_spark.catalog import load_table
+    from big_data_toolkit_spark.operators import dedup
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    is_new = (F.col("doc_id") % dedup.NEW_BATCH_MOD) == dedup.NEW_BATCH_MOD - 1
+    new_docs = docs.where(is_new).orderBy("doc_id").collect()
+    src = str(tmp_path / "docsrc")
+    half = len(new_docs) // 2
+    for i, part in enumerate([new_docs[:half], new_docs[half:]]):
+        spark.createDataFrame(part, docs.schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i:03d}")
+        )
+    assert len(glob.glob(os.path.join(src, "b*"))) == 2
+
+    corpus_fp = docs.where(~is_new).select(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.array_sort(
+                    F.array_distinct(
+                        F.filter(
+                            F.split(F.lower("text"), "[^a-z]+"),
+                            lambda w: w != F.lit(""),
+                        )
+                    )
+                ),
+            )
+        ).alias("content_md5")
+    ).distinct()
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "b*"))
+    )
+    _run_to_memory(
+        windows.stream_dedup_incremental(stream, corpus_fp), "inc_dedup", tmp_path
+    )
+    got = {
+        (r["doc_id"], r["content_md5"])
+        for r in spark.sql("select * from inc_dedup").collect()
+    }
+    expected = {
+        (r["doc_id"], r["content_md5"])
+        for r in dedup.dedup_incremental(spark, SF_ORACLE).collect()
+    }
+    assert got == expected
