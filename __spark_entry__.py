@@ -75,6 +75,7 @@ _DEFERRED = [
     "dedup_exact",  # twice green; fingerprint/curated_corpus share the md5 path
     "knn_ivf",  # twice green; dedup_embedding_ivf exercises the same assignment
     "top_orders_per_priority",  # twice green; source_mix shares WindowGroupLimit
+    "q3_part_supplier_shipped",  # twice green; q4 exercises the broadcast chain
 ]
 
 

@@ -84,6 +84,7 @@ HEADLINE = {
     "event_reach_approx": analytics_ext.event_reach_approx,
     "hash_sample": curation.hash_sample,
     "source_mix": curation.source_mix,
+    "temperature_mix": curation.temperature_mix,
     "shard_pack": curation.shard_pack,
     "distinct_users_by_type": scale.distinct_users_by_type,
     "skewed_join_enrich": scale.skewed_join_enrich,

@@ -185,6 +185,50 @@ def shard_pack(
     )
 
 
+TEMPERATURE_BUDGET_DIV = 2  # keep total DIV 2 docs across the mixed corpus
+
+
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source): temperature-scaled source mixing, τ = 0.5.
+
+    The LLM data-mixing op: sample sources proportionally to count^τ
+    (τ < 1 upweights small sources vs natural frequency; τ = 0.5 uses
+    ``sqrt``, which is correctly-rounded IEEE — bit-identical in Python,
+    Spark, and DuckDB, unlike a libm ``pow``). Per-source quota =
+    floor(B·√n_s / Σ√n), B = total DIV 2; the Σ folds over sources in
+    sorted order on BOTH engines so double addition order is pinned.
+
+    Quotas are computed from a |sources|-row aggregate fetch (the same
+    plan-parameterizing pattern as ``source_mix``'s ``u``), making the
+    rank cut-off a literal: the ``rn <= max_quota`` filter plans as
+    WindowGroupLimit, so a hot source is top-k-pruned map-side instead of
+    fully sorted in one partition. Selection is deterministic hash order.
+    """
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = sorted(
+        (r["source"], r["cnt"])
+        for r in docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    )
+    wsum = sum(math.sqrt(c) for _, c in counts)  # sorted-source fold order
+    budget = sum(c for _, c in counts) // TEMPERATURE_BUDGET_DIV
+    quotas = {s: int(math.floor(budget * math.sqrt(c) / wsum)) for s, c in counts}
+    max_quota = max(quotas.values(), default=0)
+    quota = spark.createDataFrame(
+        [(s, q) for s, q in quotas.items()], "source string, quota long"
+    )
+    w_rank = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", "source", _hash32(F.col("doc_id")).alias("h"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= F.lit(max_quota))  # literal → WindowGroupLimit
+        .join(F.broadcast(quota), "source")
+        .where(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "source")
+    )
+
+
 CHUNK_TOKENS = 32  # context-window chunk length (tokens)
 CHUNK_STRIDE = 24  # start-to-start stride → 8-token overlap
 
@@ -316,10 +360,42 @@ ORACLE_SQL["chunk_documents"] = f"""
     FROM c
 """
 
+ORACLE_SQL["temperature_mix"] = f"""
+    WITH counts AS (
+      SELECT source, count(*) AS cnt FROM documents GROUP BY source
+    ),
+    agg AS (
+      SELECT list_sort(list({{'source': source, 'cnt': cnt}})) AS arr
+      FROM counts
+    ),
+    w AS (
+      SELECT list_sum(list_transform(arr, x -> sqrt(x.cnt))) AS wsum,
+             list_sum(list_transform(arr, x -> x.cnt)) AS total
+      FROM agg
+    ),
+    quota AS (
+      SELECT c.source,
+             floor(((w.total // {TEMPERATURE_BUDGET_DIV}) * sqrt(c.cnt)) / w.wsum)::BIGINT
+               AS quota
+      FROM counts c, w
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source ORDER BY {_H32_SQL.format(col="doc_id")}, doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source
+    FROM ranked JOIN quota USING (source)
+    WHERE rn <= quota
+"""
+
 QUERIES = {
     "hash_sample": hash_sample,
     "stratified_sample": stratified_sample,
     "source_mix": source_mix,
+    "temperature_mix": temperature_mix,
     "shard_pack": shard_pack,
     "chunk_documents": chunk_documents,
 }
