@@ -36,6 +36,7 @@ def _registry():
         sql_analytics,
         text_analytics,
     )
+    from big_data_toolkit_spark.plans import scale
     from big_data_toolkit_spark.streaming import windows as streaming_windows
 
     out = {}
@@ -53,6 +54,7 @@ def _registry():
         analytics_ext,
         multimodal,
         curation,
+        scale,
     ):
         out.update(mod.QUERIES)
     return out
