@@ -76,6 +76,8 @@ _DEFERRED = [
     "knn_ivf",  # twice green; dedup_embedding_ivf exercises the same assignment
     "top_orders_per_priority",  # twice green; source_mix shares WindowGroupLimit
     "q3_part_supplier_shipped",  # twice green; q4 exercises the broadcast chain
+    "q2_orders_shipped",  # twice green; q4 exercises the join+agg+sort shape
+    "user_sessions",  # twice green; sliding/session reps in streaming tests
 ]
 
 

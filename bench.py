@@ -89,6 +89,8 @@ HEADLINE = {
     "distinct_users_by_type": scale.distinct_users_by_type,
     "skewed_join_enrich": scale.skewed_join_enrich,
     "chunk_documents": curation.chunk_documents,
+    "quality_quantile_filter": quality.quality_quantile_filter,
+    "corpus_stats_by_source": quality.corpus_stats_by_source,
     "repetition_score": quality.repetition_score,
     "unigram_logprob": quality.unigram_logprob,
     "benchmark_contamination": quality.benchmark_contamination,

@@ -224,6 +224,57 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUANTILE_P = 0.75  # keep the top quartile
+
+
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, quality): docs at/above the corpus P75 quality threshold.
+
+    Quantile-threshold curation: the cut is computed by EXACT linear-
+    interpolation percentile (sort-based; both engines apply
+    a + (b-a)·f to the same sorted values, so the threshold is
+    bit-identical — verified for int and rounded-double columns) and
+    broadcast as a one-row frame. At 100 TB swap ``percentile`` for
+    ``approx_percentile`` and the plan is unchanged — only the aggregate
+    differs; the exact form keeps the oracle comparison strict.
+    """
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    thr = q.agg(F.expr(f"percentile(quality, {QUANTILE_P}D)").alias("thr"))
+    return (
+        q.crossJoin(F.broadcast(thr))
+        .where(F.col("quality") >= F.col("thr"))
+        .select("doc_id", "quality")
+    )
+
+
+def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_langs, total_tokens, total_chars, min_chars,
+    max_chars): per-source corpus report.
+
+    The pipeline dashboard aggregate: one shuffle on the low-cardinality
+    source key, partial-aggregated map-side. Integer sums and min/max only
+    — no float accumulation — so results are exact at any partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            "lang",
+            "n_chars",
+            F.size(tokenize("text")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -348,6 +399,38 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+_QUALITY_EXPR = """
+          SELECT doc_id,
+                 round(least(len(t) / 50.0, 1.0) * 0.25
+                       + least((CASE WHEN len(t) > 0
+                                     THEN len(list_filter(t, w -> list_contains({sw}, w)))::DOUBLE / len(t)
+                                     ELSE 0.0 END) / 0.1, 1.0) * 0.25
+                       + (CASE WHEN len(t) > 0 THEN len(list_distinct(t))::DOUBLE / len(t) ELSE 0.0 END) * 0.25
+                       + least((CASE WHEN len(t) > 0 THEN letters::DOUBLE / len(t) ELSE 0.0 END) / 5.0, 1.0) * 0.25,
+                       6) AS quality
+          FROM (SELECT doc_id, {t} AS t,
+                       length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS letters
+                FROM documents)
+"""
+
+ORACLE_SQL["quality_quantile_filter"] = f"""
+    WITH q AS ({_QUALITY_EXPR.format(sw=_SW, t=_T)}),
+    thr AS (SELECT quantile_cont(quality, {QUANTILE_P}) AS thr FROM q)
+    SELECT doc_id, quality FROM q, thr WHERE quality >= thr.thr
+"""
+
+ORACLE_SQL["corpus_stats_by_source"] = f"""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           sum(len({_T}))::BIGINT AS total_tokens,
+           sum(n_chars)::BIGINT AS total_chars,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY source
+"""
+
 QUERIES = {
     "lang_id": lang_id,
     "quality_score": quality_score,
@@ -356,4 +439,6 @@ QUERIES = {
     "repetition_score": repetition_score,
     "unigram_logprob": unigram_logprob,
     "benchmark_contamination": benchmark_contamination,
+    "quality_quantile_filter": quality_quantile_filter,
+    "corpus_stats_by_source": corpus_stats_by_source,
 }

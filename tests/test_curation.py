@@ -158,3 +158,30 @@ def test_compact_table_refuses_partitioned_layout(spark, tmp_path):
     assert sorted(r["id"] for r in spark.read.parquet(p).collect()) == list(
         range(100)
     )
+
+
+def test_chunk_documents_slices_and_covers(spark):
+    """Every chunk equals the corresponding token slice of its doc, chunk
+    ids are dense from 0, and the sweep covers the full token stream."""
+    from big_data_toolkit_spark.operators.curation import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_documents,
+    )
+
+    from big_data_toolkit_spark.catalog import load_table
+
+    docs = {
+        r["doc_id"]: [w for w in r["text"].split(" ") if w]
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    by_doc: dict = {}
+    for r in chunk_documents(spark, SF).collect():
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_text"].split(" ")
+    assert set(by_doc) == {d for d, t in docs.items() if t}
+    for doc_id, chunks in by_doc.items():
+        t = docs[doc_id]
+        n_expected = (len(t) - 1) // CHUNK_STRIDE + 1
+        assert sorted(chunks) == list(range(n_expected))
+        for k, ctoks in chunks.items():
+            assert ctoks == t[k * CHUNK_STRIDE : k * CHUNK_STRIDE + CHUNK_TOKENS]
