@@ -78,6 +78,7 @@ _DEFERRED = [
     "q3_part_supplier_shipped",  # twice green; q4 exercises the broadcast chain
     "q2_orders_shipped",  # twice green; q4 exercises the join+agg+sort shape
     "user_sessions",  # twice green; sliding/session reps in streaming tests
+    "curated_corpus",  # twice green; its component filters are gated singly
 ]
 
 

@@ -56,6 +56,7 @@ HEADLINE = {
     "dedup_exact": dedup.dedup_exact,
     "dedup_incremental": dedup.dedup_incremental,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+    "dedup_components": dedup.dedup_components,
     "dedup_simhash": dedup.dedup_simhash,
     "knn_brute_force": similarity.knn_brute_force,
     "knn_lsh": similarity.knn_lsh,

@@ -365,6 +365,48 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 COSINE_DUP_THRESHOLD = 0.45
 
 
+CC_ITERS = 6  # min-label propagation rounds (≥ near-dup cluster diameter)
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component): connected components over MinHash near-dup pairs.
+
+    The step that turns pairwise dedup output into actionable clusters
+    (keep component minimum, drop the rest). Min-label propagation:
+    comp(v) ← least(comp(v), min over neighbours' comp), ``CC_ITERS``
+    rounds — a fixed unrolled iteration exactly mirrored by the oracle's
+    CTE chain (convergence needs rounds ≥ cluster diameter; near-dup
+    clusters are shallow, and both engines run the same fixed count so
+    results match even pre-convergence). The pair graph is
+    ``localCheckpoint``-materialized once so the MinHash lineage is not
+    re-executed per round; each round is one join + aggregate on the
+    (tiny relative to corpus) pair set. At larger graph scale swap in
+    large-star/small-star; the per-round plan shape is unchanged.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    edges = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("d1").alias("doc_id"))
+        .distinct()
+        .withColumn("comp", F.col("doc_id"))
+    )
+    for _ in range(CC_ITERS):
+        nbr = (
+            edges.join(labels, edges["d2"] == labels["doc_id"])
+            .groupBy(edges["d1"].alias("doc_id"))
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        labels = labels.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+            ).alias("comp"),
+        )
+    return labels.select("doc_id", F.col("comp").alias("component"))
+
+
 NEW_BATCH_MOD = 5  # doc_id % 5 == 4 → the incoming snapshot delta (20%)
 
 
@@ -614,25 +656,7 @@ ORACLE_SQL: dict[str, str] = {
         {_JACCARD_PAIRS_T.format(src="sh_capped").lstrip()}
         SELECT d1, d2, jaccard FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
     """,
-    "dedup_minhash_lsh": f"""
-        WITH sh AS ({_SHINGLES}),
-        hashed AS (SELECT doc_id, {_HASH32.format(col='shingle')} AS h FROM sh),
-        sigs AS (SELECT doc_id, {_SIG_EXPRS} FROM hashed GROUP BY doc_id),
-        banded AS (SELECT doc_id, {_BAND_EXPRS} FROM sigs),
-        bands_long AS (
-          SELECT doc_id, unnest([band_0, band_1, band_2, band_3]) AS band
-          FROM banded
-        ),
-        cands AS (
-          SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-          FROM bands_long x JOIN bands_long y
-            ON x.band = y.band AND x.doc_id < y.doc_id
-        ),
-        {_JACCARD_PAIRS.lstrip()}
-        SELECT p.d1, p.d2, p.jaccard
-        FROM cands c JOIN pairs p ON c.d1 = p.d1 AND c.d2 = p.d2
-        WHERE p.jaccard >= {JACCARD_THRESHOLD}
-    """,
+    "dedup_minhash_lsh": "__SET_BELOW__",
 }
 
 # 64-bit SimHash fingerprints, shared by both simhash oracles. Bit 63 is the
@@ -756,6 +780,61 @@ ORACLE_SQL["dedup_embedding_ivf"] = f"""
     WHERE round({_COS_AB}, 6) >= {COSINE_DUP_THRESHOLD}
 """
 
+# Shared CTE chain producing the verified MinHash near-dup pairs as ``mh``
+# (reused by the connected-components oracle below).
+_MINHASH_CTES = f"""sh AS ({_SHINGLES}),
+    hashed AS (SELECT doc_id, {_HASH32.format(col='shingle')} AS h FROM sh),
+    sigs AS (SELECT doc_id, {_SIG_EXPRS} FROM hashed GROUP BY doc_id),
+    banded AS (SELECT doc_id, {_BAND_EXPRS} FROM sigs),
+    bands_long AS (
+      SELECT doc_id, unnest([band_0, band_1, band_2, band_3]) AS band
+      FROM banded
+    ),
+    cands AS (
+      SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      FROM bands_long x JOIN bands_long y
+        ON x.band = y.band AND x.doc_id < y.doc_id
+    ),
+    {_JACCARD_PAIRS.lstrip()},
+    mh AS (
+      SELECT p.d1, p.d2, p.jaccard
+      FROM cands c JOIN pairs p ON c.d1 = p.d1 AND c.d2 = p.d2
+      WHERE p.jaccard >= {JACCARD_THRESHOLD}
+    )"""
+
+ORACLE_SQL["dedup_minhash_lsh"] = f"""
+    WITH {_MINHASH_CTES}
+    SELECT d1, d2, jaccard FROM mh
+"""
+
+
+def dedup_components_oracle_sql(iters: int) -> str:
+    """Unrolled min-label-propagation replica of ``dedup_components``.
+
+    Like the PageRank oracle, a fixed iteration count is just an
+    ``iters``-deep CTE chain: l0 = identity labels, l{{i+1}}(v) =
+    least(l{{i}}(v), min over neighbours' l{{i}}) — the exact relational
+    form of each Spark iteration, so integer labels compare exactly.
+    """
+    sql = f"""WITH {_MINHASH_CTES},
+    edges AS (
+      SELECT d1, d2 FROM mh UNION ALL SELECT d2 AS d1, d1 AS d2 FROM mh
+    ),
+    nodes AS (SELECT DISTINCT d1 AS doc_id FROM edges),
+    l0 AS (SELECT doc_id, doc_id AS comp FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    l{i} AS (
+      SELECT l.doc_id, least(l.comp, coalesce(m.nbr_min, l.comp)) AS comp
+      FROM l{i - 1} l LEFT JOIN (
+        SELECT e.d1 AS doc_id, min(lp.comp) AS nbr_min
+        FROM edges e JOIN l{i - 1} lp ON e.d2 = lp.doc_id
+        GROUP BY e.d1
+      ) m USING (doc_id)
+    )"""
+    return sql + f"\n    SELECT doc_id, comp AS component FROM l{iters}"
+
+
 ORACLE_SQL["dedup_incremental"] = f"""
     WITH c AS (
       SELECT doc_id,
@@ -770,10 +849,13 @@ ORACLE_SQL["dedup_incremental"] = f"""
       )
 """
 
+ORACLE_SQL["dedup_components"] = dedup_components_oracle_sql(CC_ITERS)
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_components": dedup_components,
     "simhash_fingerprints": simhash_fingerprints,
     "dedup_simhash": dedup_simhash,
     "dedup_incremental": dedup_incremental,

@@ -139,3 +139,25 @@ def test_embedding_ivf_recall_vs_exact(spark):
     assert len(ivf) >= 0.5 * len(exact)
     for k, v in ivf.items():
         assert v == exact[k]
+
+
+def test_components_equal_transitive_closure(spark):
+    """Fixed-iteration label propagation must reach the TRUE connected
+    components at sf0.01 (validates CC_ITERS ≥ cluster diameter, beyond
+    the structural oracle match which would also pass pre-convergence)."""
+    pairs = [(r["d1"], r["d2"])
+             for r in dedup.dedup_minhash_lsh(spark, SF_ORACLE).collect()]
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    truth = {d: min(x for x in parent if find(x) == find(d)) for d in parent}
+    got = {r["doc_id"]: r["component"]
+           for r in dedup.dedup_components(spark, SF_ORACLE).collect()}
+    assert got == truth
