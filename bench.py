@@ -98,6 +98,25 @@ HEADLINE = {
 }
 
 
+# The query set benched since round 1; BASELINE.md's closing totals
+# (27.7-32.1 s at sf0.1) were measured over exactly these 45.
+BASELINE_QUERIES = frozenset(
+    {
+        "q1", "q2", "q3", "q4", "word_count", "bigram_relfreq", "pmi_pairs",
+        "inverted_index", "boolean_mixed", "spam_score", "spam_ensemble",
+        "pagerank", "event_count_hourly", "region_event_count",
+        "trending_events", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "knn_brute_force", "knn_lsh", "knn_ivf", "quality_score",
+        "token_count", "fingerprint", "dedup_embedding_lsh", "asof_join",
+        "range_join_bursts", "orders_rollup", "events_cube", "lineitem_stats",
+        "sliding_window", "session_window", "curated_corpus", "anti_join",
+        "full_outer_daily", "grouping_sets", "window_timeline",
+        "spend_quartiles", "pivot_matrix", "json_props_stats", "event_reach",
+        "event_reach_approx", "hash_sample", "source_mix", "shard_pack",
+    }
+)
+
+
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -128,10 +147,20 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # The 45 queries benched since round 1 — BASELINE.md's 27.7 s governs
+    # THIS subtotal; the full total also counts operators added later and
+    # grows whenever the engine's surface does.
+    baseline_subset = round(
+        sum(v for q, v in timings.items() if q in BASELINE_QUERIES), 3
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_seconds",
+                "baseline_subset_seconds": baseline_subset,
+                "baseline_subset_n": sum(
+                    1 for q in timings if q in BASELINE_QUERIES
+                ),
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
