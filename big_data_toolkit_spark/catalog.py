@@ -43,22 +43,34 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one TESTDATA table as a DataFrame.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright; it is read via the legacy
-    nanos-as-long escape hatch and truncated to a proper microsecond
-    timestamp (identical to how DuckDB's micro-precision timestamps read the
-    same column, so oracle comparisons stay exact).
+    ``events.ts`` has been written by different fixture generations as either
+    parquet TIMESTAMP(NANOS) — which Spark's vectorized reader rejects unless
+    read via the legacy nanos-as-long escape hatch — or plain
+    TIMESTAMP(MICROS).  The loader is schema-adaptive: it enables the escape
+    hatch (a no-op for non-nanos files), reads, and then converts only if the
+    column actually arrived as a raw nanosecond ``bigint``.  Either way the
+    result is normalized to a session-TZ (UTC) TIMESTAMP so every downstream
+    plan sees one stable type, matching DuckDB's micro-precision reads of the
+    same files exactly.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # integer `div`: double division would lose precision above 2^53 ns
-        return spark.read.parquet(table_path(sf_dir, name)).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = spark.read.parquet(table_path(sf_dir, name))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # nanos fixture: integer `div` — double division would lose
+            # precision above 2^53 ns
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(ts_type, T.TimestampType):
+            # micros fixture reads as TIMESTAMP_NTZ; value-identical cast
+            # under the UTC session TZ, keeps one type across generations
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 
