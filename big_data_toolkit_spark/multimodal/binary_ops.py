@@ -134,6 +134,20 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def image_features_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable long form of ``fake_decode_features``.
+
+    The driver's canonicalizer cannot sort list-valued cells (``array<double>``
+    collects as a Python list → unhashable), so the gate sees the exploded
+    ``(doc_id, feature_idx, value)`` form — same decode path, same values,
+    scalar columns. The array form stays registered for pytest
+    (``test_image_features_oracle_parity``).
+    """
+    return fake_decode_features(spark, sf_dir).select(
+        "doc_id", F.posexplode("features").alias("feature_idx", "value")
+    )
+
+
 def frame_sample_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable view of ``frame_sample``: frames decoded to UTF-8.
 
@@ -172,7 +186,8 @@ ORACLE_SQL: dict[str, str] = {
     # tests): UTF-8 payload bytes == character codes, so the byte histogram
     # is computable from ord() per character. The fake codec is thereby
     # SQL-expressible even though the Spark side runs the real
-    # mapInPandas/Arrow decode path.
+    # mapInPandas/Arrow decode path. Long (doc_id, feature_idx, value) form —
+    # scalar cells only, so the driver canonicalizer can sort them.
     "image_features": f"""
         WITH img AS (
           SELECT doc_id,
@@ -184,10 +199,10 @@ ORACLE_SQL: dict[str, str] = {
           WHERE doc_id % 3 = 0
         )
         SELECT doc_id,
-               list_transform(range(0, {N_FEATURES}),
-                 k -> round(len(list_filter(cs, c -> c = k))
-                            / CAST(total AS DOUBLE), 6)) AS features
-        FROM img
+               CAST(t.k AS INT) AS feature_idx,
+               round(len(list_filter(cs, c -> c = t.k))
+                     / CAST(total AS DOUBLE), 6) AS value
+        FROM img, range(0, {N_FEATURES}) AS t(k)
     """,
     # Frame slices as substr over the ASCII text (bytes == characters):
     # frame i covers characters [i*CHUNK+1, (i+1)*CHUNK], every STRIDE-th
@@ -210,8 +225,27 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+# Array-form oracle, pytest-only (driver gate uses the long form above):
+# oracle_utils.compare handles list cells, the driver canonicalizer doesn't.
+IMAGE_FEATURES_ARRAY_ORACLE = f"""
+    WITH img AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(string_split_regex(text, ''), c -> c <> ''),
+               c -> ord(c) % {N_FEATURES}) AS cs,
+             greatest(length(text), 1) AS total
+      FROM documents
+      WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id,
+           list_transform(range(0, {N_FEATURES}),
+             k -> round(len(list_filter(cs, c -> c = k))
+                        / CAST(total AS DOUBLE), 6)) AS features
+    FROM img
+"""
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
-    "image_features": fake_decode_features,
+    "image_features": image_features_checked,
     "video_frame_sample": frame_sample_checked,
 }

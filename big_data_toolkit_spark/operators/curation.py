@@ -319,21 +319,26 @@ ORACLE_SQL: dict[str, str] = {
           FROM documents
         ),
         pre AS (
+          -- DuckDB widens SUM(BIGINT) windows to HUGEINT; pin BIGINT so the
+          -- driver hash matches Spark's long (BASELINE.md integer protocol).
           SELECT *,
-                 COALESCE(SUM(ws_tokens) OVER (
+                 CAST(COALESCE(SUM(ws_tokens) OVER (
                    PARTITION BY bucket ORDER BY h, doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS pre
           FROM b
         ),
         offsets AS (
           SELECT bucket,
-                 COALESCE(SUM(SUM(ws_tokens)) OVER (
+                 CAST(COALESCE(SUM(SUM(ws_tokens)) OVER (
                    ORDER BY bucket
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS off
           FROM b GROUP BY bucket
         )
         SELECT pre.doc_id, pre.ws_tokens,
-               (pre.pre + offsets.off) // {SHARD_TOKENS} AS shard_id
+               CAST((pre.pre + offsets.off) // {SHARD_TOKENS} AS BIGINT)
+                 AS shard_id
         FROM pre JOIN offsets USING (bucket)
     """,
 }

@@ -60,8 +60,15 @@ def test_image_features_oracle_parity(spark):
     ).count()
     assert non_ascii == 0, "oracle precondition broken: non-ASCII text"
 
+    # array form (pytest-only oracle: compare handles list cells)
     compare(
         mm.fake_decode_features(spark, SF_SMOKE),
+        mm.IMAGE_FEATURES_ARRAY_ORACLE,
+        SF_SMOKE,
+    )
+    # long form — what the driver gate actually runs
+    compare(
+        mm.image_features_checked(spark, SF_SMOKE),
         mm.ORACLE_SQL["image_features"],
         SF_SMOKE,
     )
