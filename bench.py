@@ -138,13 +138,21 @@ def main() -> None:
     # The warmup run's cached intermediates (operators cache() reused
     # state internally) are dropped before timing, so the measured run
     # recomputes every data path — only codegen/footer caches stay warm.
+    # Failure isolation: one broken query must not zero the whole round's
+    # perf evidence — record an "err" row for it and keep timing the rest;
+    # the JSON line is always emitted.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in HEADLINE.items():
-        force(fn(spark, sf_dir))  # per-plan warmup
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        force(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            force(fn(spark, sf_dir))  # per-plan warmup
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — isolate, report, continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     # The 45 queries benched since round 1 — BASELINE.md's 27.7 s governs
@@ -164,6 +172,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf": sf_dir,
             }
         )

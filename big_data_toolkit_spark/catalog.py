@@ -59,18 +59,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
+        # The NTZ->timestamp cast below is only value-preserving under a UTC
+        # session TZ; a reused driver session may carry any TZ, which would
+        # silently shift every ts value. Pin it for the read + plan.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # Scope the legacy nanos escape hatch to this read: a later parquet
+        # read of a nanos column elsewhere should fail fast, not silently
+        # yield raw longs.
+        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, T.LongType):
-            # nanos fixture: integer `div` — double division would lose
-            # precision above 2^53 ns
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif not isinstance(ts_type, T.TimestampType):
-            # micros fixture reads as TIMESTAMP_NTZ; value-identical cast
-            # under the UTC session TZ, keeps one type across generations
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        try:
+            df = spark.read.parquet(table_path(sf_dir, name))
+            ts_type = df.schema["ts"].dataType
+            if isinstance(ts_type, T.LongType):
+                # nanos fixture: integer `div` — double division would lose
+                # precision above 2^53 ns
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            elif isinstance(ts_type, T.TimestampNTZType):
+                # micros fixture reads as TIMESTAMP_NTZ; value-identical
+                # cast under the pinned UTC session TZ, keeps one type
+                # across generations
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            elif not isinstance(ts_type, T.TimestampType):
+                # anything else (string, double, ...) is a new fixture
+                # generation we haven't audited — fail loud, never cast
+                # blindly to silent nulls
+                raise TypeError(
+                    f"events.ts arrived as unexpected type {ts_type}; "
+                    "audit the fixture before adding a conversion"
+                )
+            # force schema resolution before the conf is restored: the
+            # parquet footer is read at plan time, not collect time
+            df.schema
+            return df
+        finally:
+            if prior is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
     return spark.read.parquet(table_path(sf_dir, name))
 
 

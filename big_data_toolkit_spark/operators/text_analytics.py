@@ -155,8 +155,13 @@ def pmi_pairs(
     wc_a = word_counts.select(F.col("w").alias("a"), F.col("w_cnt").alias("cnt_a"))
     wc_b = word_counts.select(F.col("w").alias("b"), F.col("w_cnt").alias("cnt_b"))
     return (
-        pair_counts.join(F.broadcast(wc_a), "a")
-        .join(F.broadcast(wc_b), "b")
+        # No strategy hint on the unigram-count joins: at test scale AQE
+        # broadcasts the small vocabulary; at 100 TB the vocabulary is a
+        # heavy-tailed 1e8+-row table and a forced driver broadcast would
+        # OOM — AQE falls back to shuffle join there (same convention as
+        # the simhash dict join in dedup.py).
+        pair_counts.join(wc_a, "a")
+        .join(wc_b, "b")
         .crossJoin(F.broadcast(n_lines))
         .select(
             "a",

@@ -113,8 +113,10 @@ def pmi_text(
     wc_a = word_counts.select(F.col("w").alias("a"), F.col("w_cnt").alias("cnt_a"))
     wc_b = word_counts.select(F.col("w").alias("b"), F.col("w_cnt").alias("cnt_b"))
     return (
-        pair_counts.join(F.broadcast(wc_a), "a")
-        .join(F.broadcast(wc_b), "b")
+        # no hint: AQE broadcasts the small test-scale vocabulary and falls
+        # back to shuffle join when the vocabulary is huge (100 TB corpora)
+        pair_counts.join(wc_a, "a")
+        .join(wc_b, "b")
         .crossJoin(F.broadcast(n_lines))
         .select(
             "a", "b", "pair_cnt",

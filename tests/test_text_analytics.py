@@ -51,3 +51,15 @@ def test_cooccurrence_pairs(spark):
 def test_pmi_threshold_applied(spark):
     df = ta.pmi_pairs(spark, SF_ORACLE)
     assert df.where(F.col("pair_cnt") < ta.PMI_THRESHOLD).count() == 0
+
+
+def test_pmi_unigram_joins_unhinted(spark):
+    """The unigram-count joins must carry NO user broadcast hint: the
+    vocabulary is corpus-derived (heavy-tailed at 100 TB), so the strategy
+    is AQE's call. Only the one-row n_lines crossJoin may be hinted."""
+    df = ta.pmi_pairs(spark, SF_ORACLE)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    # the single permitted hint is the 1-row n_lines frame
+    assert logical.count("JoinHint") <= 1 and logical.count("BROADCAST") <= 1, (
+        logical
+    )
