@@ -260,6 +260,14 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dict, ≪ the (doc, token) pair count), joined back with no strategy
     # hint — AQE broadcasts a small vocabulary and falls back to a shuffle
     # join for a corpus-scale one. The dict branch reuses tf's exchange.
+    #
+    # Measured (round 5, sf0.1, 5 interleaved steady-state trials): this
+    # dict join is a WASH vs hashing inline per (doc, token) row — medians
+    # 3.26 s vs 3.27 s — so the r4 bench's 5.7 s was machine drift, not a
+    # regression. The dict join is kept because the crossover favors it
+    # with scale: the (doc, token) pair count grows ~1000× faster than the
+    # vocabulary, so per-distinct-token hashing saves that factor in md5
+    # CPU, while the extra exchange it costs stays vocabulary-sized.
     tok_dict = (
         tf.select("token")
         .distinct()
@@ -392,7 +400,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("comp", F.col("doc_id"))
     )
-    for _ in range(CC_ITERS):
+    for i in range(CC_ITERS):
         nbr = (
             edges.join(labels, edges["d2"] == labels["doc_id"])
             .groupBy(edges["d1"].alias("doc_id"))
@@ -404,6 +412,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
             ).alias("comp"),
         )
+        # Cap the unrolled lineage: without this, round N's plan nests 2N
+        # joins and the planner/codegen cost compounds (and a failure
+        # re-executes the whole chain). The label set is pair-graph-sized
+        # (≪ corpus), so materializing it every 2 rounds is cheap and
+        # keeps every plan ≤ 2 joins deep at any graph scale.
+        if i % 2 == 1 and i != CC_ITERS - 1:
+            labels = labels.localCheckpoint()
     return labels.select("doc_id", F.col("comp").alias("component"))
 
 
