@@ -65,10 +65,12 @@ _DEFERRED = [
     "q1_count_shipped",
     "q4_orders_by_nation",
     "bigram_relative_frequency",
-    # pmi_pairs stays GATED despite being twice green: its unigram joins
-    # dropped their broadcast hints this round, so it gets a fresh driver row
-    # under the AQE-chosen strategy (hash equality is strategy-independent,
-    # but prove it at the real surface).
+    # pmi_pairs rotates out twice green; its unigram joins dropped their
+    # broadcast hints this round, but hash equality is strategy-independent
+    # and was re-proven at the driver surface this session (driver-replica
+    # oracle compare at sf0.01) plus a plan test pinning the AQE-only
+    # strategy — the gate slot goes to a staler query.
+    "pmi_pairs",
     "inverted_index",
     "boolean_mixed",
     "spam_score",

@@ -35,4 +35,6 @@ def test_gate_window_has_oracle_coverage():
     q = list(entry.queries())
     o = entry.oracle_sql()
     head = q[:50]
-    assert sum(1 for k in head if k in o) == 49  # + event_reach_approx rows-only
+    # r5 rotation: every rows-only-by-design query is deferred, so the whole
+    # gate window carries a DuckDB oracle
+    assert sum(1 for k in head if k in o) == 50
