@@ -422,6 +422,104 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", F.col("comp").alias("component"))
 
 
+STAR_MAX_ROUNDS = 25  # alternating-star convergence backstop (O(log^2 n))
+
+
+def star_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """(doc_id, component) via alternating large-star/small-star — the
+    documented 100 TB swap for ``dedup_components``.
+
+    Min-label propagation needs rounds ≥ cluster diameter; a pathological
+    chain of near-dups (crawl mirrors of mirrors) makes the diameter — and
+    the number of full-graph shuffles — unbounded. The alternating-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) converges in O(log²n) rounds REGARDLESS of diameter
+    by rewiring the edge set itself toward a star per component:
+
+    * large-star: every node u links each STRICTLY LARGER neighbour to
+      m(u) = min({u} ∪ N(u));
+    * small-star: every node u rewires its ≤-neighbours (and itself) to
+      the minimum of that closed neighbourhood.
+
+    Both steps are one groupBy + one join over the current edge set —
+    exactly the per-round plan shape of the propagation variant, so the
+    cluster profile is identical; only the round count changes. Each round
+    ``localCheckpoint``s (lineage stays flat) and convergence is detected
+    by an aggregate equality probe (edge count + endpoint checksum — a
+    plan-parameterizing scalar fetch, not a data collect). Pure DataFrame
+    ops keep it JVM-side end to end.
+
+    Output matches ``dedup_components`` on converged graphs: every node of
+    a component labeled with the component's minimum doc_id; isolated
+    nodes (present in ``pairs`` only via self-reference) keep themselves.
+    """
+    edges = (
+        pairs.select(F.col("d1").alias("u"), F.col("d2").alias("v"))
+        .union(
+            pairs.select(F.col("d2").alias("u"), F.col("d1").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = edges.select(F.col("u").alias("doc_id")).distinct().localCheckpoint()
+
+    def _probe(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("u") + F.col("v")).alias("s"),
+            F.sum(F.col("u") * F.col("v")).alias("p"),
+        ).first()
+        return (row["n"], row["s"], row["p"])
+
+    sig = _probe(edges)
+    for _ in range(STAR_MAX_ROUNDS):
+        # large-star: m(u) over the closed neighbourhood; larger neighbours
+        # re-attach to m(u). Keeps (u, m) so u stays connected to its min.
+        m = edges.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        with_m = edges.join(m, "u")
+        edges = (
+            with_m.where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on the now larger→smaller directed edges: rewire each
+        # node's smaller neighbours (and itself) to the neighbourhood min.
+        m2 = edges.groupBy("u").agg(F.min("v").alias("m"))
+        edges = (
+            edges.join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m2.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # restore the symmetric invariant for the next large-star
+        edges = (
+            edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = _probe(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # converged: every node's min neighbour IS its component min (star
+    # graph); nodes with no smaller neighbour are their own component root
+    comp = edges.where(F.col("v") < F.col("u")).groupBy("u").agg(
+        F.min("v").alias("component")
+    )
+    return (
+        nodes.join(comp, nodes["doc_id"] == comp["u"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+    )
+
+
 NEW_BATCH_MOD = 5  # doc_id % 5 == 4 → the incoming snapshot delta (20%)
 
 

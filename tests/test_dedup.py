@@ -161,3 +161,50 @@ def test_components_equal_transitive_closure(spark):
     got = {r["doc_id"]: r["component"]
            for r in dedup.dedup_components(spark, SF_ORACLE).collect()}
     assert got == truth
+
+
+def test_star_components_matches_propagation_on_real_pairs(spark):
+    """On the sf-oracle MinHash pair graph (shallow clusters, both methods
+    fully converged) alternating-star must equal min-label propagation."""
+    pairs = dedup.dedup_minhash_lsh(spark, SF_ORACLE).select("d1", "d2")
+    via_star = {
+        (r["doc_id"], r["component"])
+        for r in dedup.star_components(spark, pairs).collect()
+    }
+    via_prop = {
+        (r["doc_id"], r["component"])
+        for r in dedup.dedup_components(spark, SF_ORACLE).collect()
+        if r["doc_id"] in {d for d, _ in via_star}
+    }
+    assert via_star == via_prop
+
+
+def test_star_components_converges_past_propagation_diameter(spark):
+    """A 41-node path graph has diameter 40 — far beyond CC_ITERS=6 rounds
+    of label propagation — and alternating-star must still fully converge
+    (every node labeled 0) well inside its O(log^2 n) bound."""
+    n = 41
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "d1 long, d2 long"
+    )
+    got = {
+        (r["doc_id"], r["component"])
+        for r in dedup.star_components(spark, pairs).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
+
+
+def test_star_components_multiple_components(spark):
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21), (30, 31), (31, 30)],
+        "d1 long, d2 long",
+    )
+    got = {
+        (r["doc_id"], r["component"])
+        for r in dedup.star_components(spark, pairs).collect()
+    }
+    assert got == {
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+        (30, 30), (31, 30),
+    }
