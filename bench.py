@@ -121,29 +121,25 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = build_spark(app_name="bdts-bench")
-    spark.sparkContext.setLogLevel("ERROR")
+def time_queries(
+    spark, sf_dir: str, headline: dict
+) -> tuple[dict[str, float], dict[str, str]]:
+    """Steady-state per-query timings with per-query failure isolation.
 
-    # Warmup: JVM + codegen + parquet footer caches.
-    force(sql_analytics.q1_count_shipped(spark, sf_dir))
+    JMH-style: execute each query once to pay its one-time plan-analysis +
+    whole-stage-codegen class-compilation cost, then time the second full
+    execution (the first run of a plan is 3-6x its steady state purely from
+    codegen). The warmup run's cached intermediates are dropped before
+    timing, so the measured run recomputes every data path — only
+    codegen/footer caches stay warm.
 
-    # Steady-state measurement (JMH-style): execute each query once to pay
-    # its one-time plan-analysis + whole-stage-codegen class-compilation
-    # cost, then time the second full execution. Profiling shows the
-    # first run of a plan is 3-6x its steady state purely from codegen —
-    # a fixed cost that amortizes to zero over a real workload, and would
-    # otherwise swamp the per-query signal at bench scale.
-    # The warmup run's cached intermediates (operators cache() reused
-    # state internally) are dropped before timing, so the measured run
-    # recomputes every data path — only codegen/footer caches stay warm.
-    # Failure isolation: one broken query must not zero the whole round's
-    # perf evidence — record an "err" row for it and keep timing the rest;
-    # the JSON line is always emitted.
+    Failure isolation: one broken query must not zero the whole round's
+    perf evidence — record an error row for it and keep timing the rest;
+    the caller always gets both maps (pinned by tests/test_bench_harness).
+    """
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, fn in HEADLINE.items():
+    for name, fn in headline.items():
         try:
             force(fn(spark, sf_dir))  # per-plan warmup
             spark.catalog.clearCache()
@@ -153,6 +149,18 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — isolate, report, continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             spark.catalog.clearCache()
+    return timings, errors
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_spark(app_name="bdts-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: JVM + codegen + parquet footer caches.
+    force(sql_analytics.q1_count_shipped(spark, sf_dir))
+
+    timings, errors = time_queries(spark, sf_dir, HEADLINE)
 
     total = round(sum(timings.values()), 3)
     # The 45 queries benched since round 1 — BASELINE.md's 27.7 s governs

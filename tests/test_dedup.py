@@ -208,3 +208,46 @@ def test_star_components_multiple_components(spark):
         (20, 20), (21, 20),
         (30, 30), (31, 30),
     }
+
+
+def test_star_components_random_graphs_vs_union_find(spark):
+    """Randomized cross-check: star components on random graphs must equal
+    a plain Python union-find (fixed seeds, varied density and node count)."""
+    import random
+
+    def union_find(n_nodes, edge_list):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # fully compress, then label each node with its component min
+        roots = {}
+        for v in range(n_nodes):
+            roots.setdefault(find(v), []).append(v)
+        return {
+            v: min(members) for members in roots.values() for v in members
+        }
+
+    for seed, n, m in [(1, 30, 15), (2, 50, 60), (3, 80, 40)]:
+        rng = random.Random(seed)
+        edge_list = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edge_list = [(a, b) for a, b in edge_list if a != b]
+        pairs = spark.createDataFrame(edge_list, "d1 long, d2 long")
+        got = {
+            r["doc_id"]: r["component"]
+            for r in dedup.star_components(spark, pairs).collect()
+        }
+        expected_all = union_find(n, edge_list)
+        touched = {v for e in edge_list for v in e}
+        expected = {v: expected_all[v] for v in touched}
+        assert got == expected, f"seed={seed}"
