@@ -32,6 +32,7 @@ from big_data_toolkit_spark.operators import (  # noqa: E402
     sql_analytics,
     text_analytics,
 )
+from big_data_toolkit_spark.multimodal import binary_ops as multimodal  # noqa: E402
 from big_data_toolkit_spark.plans import scale  # noqa: E402
 from big_data_toolkit_spark.session import build_spark  # noqa: E402
 from big_data_toolkit_spark.streaming import windows as streaming_windows  # noqa: E402
@@ -95,6 +96,25 @@ HEADLINE = {
     "repetition_score": quality.repetition_score,
     "unigram_logprob": quality.unigram_logprob,
     "benchmark_contamination": quality.benchmark_contamination,
+    # Round-5 additions: the rest of the registry (every driver-contract
+    # query is now benched EXCEPT dedup_embedding_cosine, the O(n^2)
+    # correctness twin of the LSH/IVF paths — quadratic by design, not a
+    # perf surface).
+    "next_word_after": text_analytics.next_word_after,
+    "boolean_and": inverted_index.boolean_and,
+    "boolean_or": inverted_index.boolean_or,
+    "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+    "simhash_fingerprints": dedup.simhash_fingerprints,
+    "ivf_assignments": similarity.ivf_assignments,
+    "lang_id": quality.lang_id,
+    "top_orders_per_priority": relational_ext.top_orders_per_priority,
+    "never_ordered_parts": analytics_ext.never_ordered_parts,
+    "multimodal_meta": multimodal.multimodal_meta,
+    "image_features": multimodal.image_features_checked,
+    "video_frame_sample": multimodal.frame_sample_checked,
+    "stratified_sample": curation.stratified_sample,
+    "sgd_train": spam.sgd_train,
+    "sgd_score": spam.sgd_score,
 }
 
 
