@@ -48,34 +48,14 @@ def _update_trend_state(
 ) -> Iterator[pd.DataFrame]:
     """Fold one micro-batch of events for one key into the window state."""
     (window, cnt, prev) = state.get if state.exists else (-1, 0, 0)
-
-    # Bucket this batch's events into 10-min windows, oldest first.
-    buckets: dict[int, int] = {}
-    for pdf in pdfs:
-        epochs = (pdf["ts"].astype("int64") // 1_000_000_000 // WINDOW_SECONDS) * WINDOW_SECONDS
-        for w, c in epochs.value_counts().items():
-            buckets[int(w)] = buckets.get(int(w), 0) + int(c)
-
-    out: list[dict[str, Any]] = []
-    for w in sorted(buckets):
-        if w == window:
-            cnt += buckets[w]
-        else:
-            if window != -1 and w > window:
-                prev = cnt  # close the current window
-            window, cnt = w, buckets[w]
-        out.append(
-            {
-                "event_type": key[0],
-                "window_start": pd.Timestamp(window, unit="s"),
-                "cnt": cnt,
-                "prev_cnt": prev,
-                "trending": cnt >= TREND_MIN_COUNT and cnt >= TREND_FACTOR * prev,
-            }
-        )
-
+    window, cnt, prev, out = _fold_batch(window, cnt, prev, pdfs)
     state.update((window, cnt, prev))
-    yield pd.DataFrame(out)
+    for row in out:
+        row["event_type"] = key[0]
+    yield pd.DataFrame(
+        out,
+        columns=["event_type", "window_start", "cnt", "prev_cnt", "trending"],
+    )
 
 
 def stream_trending(events_stream: DataFrame) -> DataFrame:
@@ -100,3 +80,101 @@ def stream_trending(events_stream: DataFrame) -> DataFrame:
 def trend_alerts(updates: DataFrame) -> DataFrame:
     """ST5 alert filter — apply inside foreachBatch or on the update stream."""
     return updates.where("trending")
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas twin (Spark 4 successor API)
+# ---------------------------------------------------------------------------
+
+def _fold_batch(window: int, cnt: int, prev: int, pdfs) -> tuple:
+    """Shared state-fold: bucket one micro-batch's events into 10-min
+    windows and advance the (window, cnt, prev) machine. Returns the new
+    state and the update rows — used by BOTH stateful APIs so the two
+    implementations cannot drift."""
+    import pandas as pd  # local: executor-side import
+
+    buckets: dict[int, int] = {}
+    for pdf in pdfs:
+        epochs = (
+            pdf["ts"].astype("int64") // 1_000_000_000 // WINDOW_SECONDS
+        ) * WINDOW_SECONDS
+        for w, c in epochs.value_counts().items():
+            buckets[int(w)] = buckets.get(int(w), 0) + int(c)
+
+    out: list[dict[str, Any]] = []
+    for w in sorted(buckets):
+        if w == window:
+            cnt += buckets[w]
+        else:
+            if window != -1 and w > window:
+                prev = cnt  # close the current window
+            window, cnt = w, buckets[w]
+        out.append(
+            {
+                "window_start": pd.Timestamp(window, unit="s"),
+                "cnt": cnt,
+                "prev_cnt": prev,
+                "trending": cnt >= TREND_MIN_COUNT
+                and cnt >= TREND_FACTOR * prev,
+            }
+        )
+    return window, cnt, prev, out
+
+
+def stream_trending_tws(events_stream: DataFrame) -> DataFrame:
+    """`stream_trending` on ``transformWithStateInPandas`` — the Spark 4
+    stateful-processor API that supersedes ``applyInPandasWithState``.
+
+    Same state machine, same output schema; the state lives in a typed
+    ``ValueState`` (checkpointed, per-key, executor-distributed — at scale
+    backed by the RocksDB state store rather than Arrow-shipped tuples).
+    Both APIs fold through ``_fold_batch``, and a replay test pins
+    TWS == applyInPandasWithState == the oracle-green batch twin.
+
+    DEPENDENCY BOUNDARY: executing this stream requires the ``protobuf``
+    package (the TWS Python worker speaks a protobuf state-server protocol
+    to the JVM; ``pyspark/sql/streaming/proto/StateMessage_pb2``). This
+    container does not ship it, so the replay test skips when
+    ``google.protobuf`` is missing — the plan construction below is still
+    exercised unconditionally. Where protobuf is installed, no code change
+    is needed.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TrendProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("trend", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd  # executor-side
+
+            (window, cnt, prev) = (
+                self._state.get() if self._state.exists() else (-1, 0, 0)
+            )
+            window, cnt, prev, out = _fold_batch(window, cnt, prev, rows)
+            self._state.update((window, cnt, prev))
+            for row in out:
+                row["event_type"] = key[0]
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "event_type", "window_start", "cnt", "prev_cnt", "trending"
+                ],
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events_stream.select("event_type", "ts")
+        .groupBy("event_type")
+        .transformWithStateInPandas(
+            TrendProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    )

@@ -178,3 +178,69 @@ def test_stream_trending_matches_batch_full_sf001(spark, tmp_path):
         for r in windows.trending_events(spark, SF_ORACLE).collect()
     }
     assert got == expected
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def test_tws_plan_constructs(spark):
+    """Plan construction for the TWS twin must work everywhere — only
+    EXECUTION needs the protobuf state-server protocol (gated below)."""
+    stream = (
+        spark.readStream.schema(load_table(spark, SF_SMOKE, "events").schema)
+        .parquet("/root/testdata/sf0.001/events.parquet")
+    )
+    df = trending.stream_trending_tws(stream)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "event_type", "window_start", "cnt", "prev_cnt", "trending"
+    ]
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas execution needs the protobuf package "
+    "(TWS python worker <-> JVM state-server protocol); not in this container",
+)
+def test_tws_trending_matches_batch_full_sf001(spark, tmp_path):
+    """The transformWithStateInPandas twin must reproduce the oracle-green
+    batch formulation over the same multi-batch replay — pinning that the
+    Spark 4 stateful-processor port didn't drift from the
+    applyInPandasWithState semantics (both fold through _fold_batch)."""
+    src = str(tmp_path / "src")
+    dirs = _write_stream_files(spark, SF_ORACLE, src, n_files=6)
+    assert len(dirs) == 6
+    stream = (
+        spark.readStream.schema(load_table(spark, SF_ORACLE, "events").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "batch_*"))
+    )
+    q = (
+        trending.stream_trending_tws(stream)
+        .writeStream.format("memory")
+        .queryName("trend_tws")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    final: dict = {}
+    for r in spark.sql("select * from trend_tws").collect():
+        k = (r["event_type"], r["window_start"])
+        if k not in final or r["cnt"] > final[k]["cnt"]:
+            final[k] = r
+    got = {
+        (k[0], k[1], v["cnt"], v["prev_cnt"], v["trending"])
+        for k, v in final.items()
+    }
+    expected = {
+        (r["event_type"], r["window_start"], r["cnt"], r["prev_cnt"], r["trending"])
+        for r in windows.trending_events(spark, SF_ORACLE).collect()
+    }
+    assert got == expected
