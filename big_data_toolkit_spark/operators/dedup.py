@@ -181,6 +181,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE aggregation pass produces both the 16 signature minima and the
     # per-doc shingle array the verify step needs — the old plan ran the
     # shingle lineage (tokenize + explode + distinct) twice, once per branch.
+    # per_doc is consumed 4x downstream WITHOUT materialization: measured
+    # r5 (sf0.1, 5 interleaved trials), localCheckpoint-ing it is ~10%
+    # SLOWER (2.14 s vs 1.96 s median) — writing the collect_list arrays
+    # once costs more than the columnar re-scan saves at this scale. At
+    # 100 TB the tradeoff flips (signatures would be persisted anyway);
+    # flip it there by materializing per_doc, not by changing the plan.
     sh = _shingles(spark, sf_dir).withColumn("h", _shingle_hash32())
     aggs = [
         F.min((F.lit(HASH_A[k]) * F.col("h") + F.lit(HASH_B[k])) % MERSENNE_P).alias(
