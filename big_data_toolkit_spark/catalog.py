@@ -60,9 +60,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import types as T
 
         # The NTZ->timestamp cast below is only value-preserving under a UTC
-        # session TZ; a reused driver session may carry any TZ, which would
-        # silently shift every ts value. Pin it for the read + plan.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # session TZ; a reused driver session carrying any other TZ would
+        # silently shift every ts value. build_spark pins UTC at session
+        # construction — require it here and fail loud (same convention as
+        # the unknown-ts-type branch) rather than mutating shared session
+        # state from inside a table reader.
+        tz = spark.conf.get("spark.sql.session.timeZone", "")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            raise RuntimeError(
+                f"loading events requires a UTC session timezone, got {tz!r}; "
+                "pin spark.sql.session.timeZone=UTC at session construction "
+                "(big_data_toolkit_spark.session.build_spark does)"
+            )
         # Scope the legacy nanos escape hatch to this read: a later parquet
         # read of a nanos column elsewhere should fail fast, not silently
         # yield raw longs.

@@ -450,10 +450,15 @@ def star_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     Both steps are one groupBy + one join over the current edge set —
     exactly the per-round plan shape of the propagation variant, so the
     cluster profile is identical; only the round count changes. Each round
-    ``localCheckpoint``s (lineage stays flat) and convergence is detected
-    by an aggregate equality probe (edge count + endpoint checksum — a
-    plan-parameterizing scalar fetch, not a data collect). Pure DataFrame
-    ops keep it JVM-side end to end.
+    ``localCheckpoint``s (lineage stays flat). Convergence detection is
+    two-tier: a cheap aggregate signature probe (edge count + endpoint
+    checksums — a plan-parameterizing scalar fetch, not a data collect)
+    screens each round, and a signature match is then CONFIRMED by an
+    exact set-equality check before the loop exits, so a signature
+    collision can never silently return non-converged labels; exhausting
+    ``STAR_MAX_ROUNDS`` without confirmed convergence raises rather than
+    returning wrong components. Pure DataFrame ops keep it JVM-side end
+    to end.
 
     Output matches ``dedup_components`` on converged graphs: every node of
     a component labeled with the component's minimum doc_id; isolated
@@ -478,7 +483,9 @@ def star_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
         return (row["n"], row["s"], row["p"])
 
     sig = _probe(edges)
+    converged = False
     for _ in range(STAR_MAX_ROUNDS):
+        prev = edges
         # large-star: m(u) over the closed neighbourhood; larger neighbours
         # re-attach to m(u). Keeps (u, m) so u stays connected to its min.
         m = edges.groupBy("u").agg(
@@ -510,8 +517,22 @@ def star_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
         )
         new_sig = _probe(edges)
         if new_sig == sig:
-            break
+            # The signature is probabilistic — confirm a fixed point by
+            # exact set equality (both localCheckpoint-materialized, so
+            # this is two cheap scans, paid once at convergence) so a
+            # collision can never smuggle out non-converged labels.
+            if prev.exceptAll(edges).isEmpty() and edges.exceptAll(prev).isEmpty():
+                converged = True
+                break
         sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"star_components did not converge within {STAR_MAX_ROUNDS} "
+            "rounds — alternating-star needs O(log^2 n) rounds, so either "
+            "the graph is astronomically larger than designed for or the "
+            "rewiring steps regressed; refusing to return possibly-wrong "
+            "component labels"
+        )
     # converged: every node's min neighbour IS its component min (star
     # graph); nodes with no smaller neighbour are their own component root
     comp = edges.where(F.col("v") < F.col("u")).groupBy("u").agg(
@@ -524,6 +545,23 @@ def star_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
             F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
         )
     )
+
+
+def dedup_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component) over the MinHash near-dup pairs via
+    ``star_components`` — the gated driver surface for the alternating-star
+    algorithm (r5 verdict item 3: the scale-correct variant deserves its own
+    driver row, not just indirect coverage through the equivalence test).
+
+    Shares the ``dedup_components`` oracle: star runs to a VERIFIED fixed
+    point, and the oracle's fixed ``CC_ITERS``-round min-label propagation
+    is converged on this corpus (near-dup cluster diameter ≪ ``CC_ITERS``,
+    proven by the gated ``dedup_components`` row matching the same oracle
+    and by the star==propagation equivalence test), so both produce each
+    component's true minimum label.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    return star_components(spark, pairs)
 
 
 NEW_BATCH_MOD = 5  # doc_id % 5 == 4 → the incoming snapshot delta (20%)
@@ -969,12 +1007,18 @@ ORACLE_SQL["dedup_incremental"] = f"""
 """
 
 ORACLE_SQL["dedup_components"] = dedup_components_oracle_sql(CC_ITERS)
+# Same oracle for the alternating-star variant: both sides emit each
+# component's true minimum label once the iteration is converged (star
+# verifies its fixed point; the oracle's fixed 6-round propagation is
+# converged on this corpus — see dedup_star_components docstring).
+ORACLE_SQL["dedup_star_components"] = dedup_components_oracle_sql(CC_ITERS)
 
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_components": dedup_components,
+    "dedup_star_components": dedup_star_components,
     "simhash_fingerprints": simhash_fingerprints,
     "dedup_simhash": dedup_simhash,
     "dedup_incremental": dedup_incremental,

@@ -110,15 +110,23 @@ def test_loader_rejects_unaudited_ts_type(spark, tmp_path):
         load_table(spark, d, "events")
 
 
-def test_loader_pins_utc_for_ntz_cast(spark, dual_fixture_dirs):
+def test_loader_fails_loud_on_non_utc_session(spark, dual_fixture_dirs):
     """The NTZ->TIMESTAMP cast is only value-preserving under UTC; a reused
-    session with a shifted TZ must not skew values."""
+    session with a shifted TZ must fail loud, and the loader must NOT
+    mutate the session's timezone as a side effect (r5 advice: a library
+    reader silently flipping session state is a correctness trap for any
+    caller that set a TZ on purpose)."""
     micros_dir, _ = dual_fixture_dirs
     prior = spark.conf.get("spark.sql.session.timeZone")
     try:
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-        df = load_table(spark, micros_dir, "events")
-        rows = df.orderBy("event_id").collect()
-        assert [r["ts"] for r in rows] == INSTANTS
+        with pytest.raises(RuntimeError, match="UTC session timezone"):
+            load_table(spark, micros_dir, "events")
+        assert (
+            spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+        ), "loader must not mutate the session timezone"
     finally:
         spark.conf.set("spark.sql.session.timeZone", prior)
+    # and under the pinned-UTC session the load works and is value-exact
+    rows = load_table(spark, micros_dir, "events").orderBy("event_id").collect()
+    assert [r["ts"] for r in rows] == INSTANTS

@@ -36,3 +36,47 @@ def test_written_index_roundtrip_and_pushdown(spark, tmp_path):
     assert ids == sorted(ids)
     plan = hit._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "term" in plan
+
+
+def test_written_index_is_compressed_columnar(spark, tmp_path):
+    """A14's VInt-compression heritage, closed with a measurement: the
+    reference hand-rolls VInt delta encoding for postings
+    (``a3/BuildInvertedIndexCompressed.java:107-118``); here the claim is
+    that parquet's dictionary/RLE + snappy on the docno-sorted layout does
+    that job. Assert the encodings are actually in effect (not just
+    hoped-for) and that the parquet form is materially smaller than the
+    text serialization of the same postings (numbers recorded in
+    SCALE.md)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "index")
+    ii.write_index(spark, SF_SMOKE, path)
+    files = glob.glob(f"{path}/*.parquet")
+    assert files
+    encodings: set[str] = set()
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        for rg in range(meta.num_row_groups):
+            group = meta.row_group(rg)
+            for ci in range(group.num_columns):
+                col = group.column(ci)
+                encodings.update(col.encodings)
+                assert col.compression != "UNCOMPRESSED", col.path_in_schema
+    # dictionary and/or RLE must be present somewhere in the postings
+    # columns — this is the machinery standing in for hand-rolled VInt
+    assert encodings & {"PLAIN_DICTIONARY", "RLE_DICTIONARY", "RLE"}, encodings
+
+    # text form of the same index: "term\tdf\tdoc:tf,doc:tf,..." per line;
+    # the on-disk parquet (footers included, across all range partitions)
+    # must beat it even at this tiny vocabulary (sf0.01 measurement in
+    # SCALE.md: text 1.42x the 8-file on-disk form, 1.83x the column data)
+    disk_bytes = sum(os.path.getsize(f) for f in files)
+    text_bytes = sum(
+        len(r["term"]) + 1 + len(str(r["df"])) + 1
+        + len(",".join(f"{p['doc_id']}:{p['tf']}" for p in r["postings"])) + 1
+        for r in spark.read.parquet(path).collect()
+    )
+    assert disk_bytes < text_bytes, (disk_bytes, text_bytes)

@@ -52,6 +52,55 @@ def test_sgd_train_matches_reference_python_loop(spark):
     assert not mismatch, f"weight drift (first 5): {dict(list(mismatch.items())[:5])}"
 
 
+def test_sgd_train_matches_independent_numpy_fold(spark):
+    """Second INDEPENDENT implementation check for the rows-only sgd_train
+    (r5 verdict item 6): a NumPy fold with a different data layout
+    (vocab-indexed weight vector vs dict) and a different update-application
+    order (reversed feature order via np.add.at).
+
+    Expected BIT-equal, not approx, because the two legitimate degrees of
+    freedom cannot change any float bit: (a) the score accumulation order
+    is part of the operator's definition (features in first-occurrence
+    order, sequential scalar adds) and is preserved here; (b) per-feature
+    weight updates within one doc are independent accumulators (each
+    feature appears once after array_distinct), so applying them in
+    reverse order touches disjoint cells. Agreement between two folds that
+    share no code is the strongest check available for order-dependent
+    training no SQL oracle can express."""
+    import re
+
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.sql(
+        "SELECT doc_id, lang, text FROM "
+        f"'{SF_SMOKE}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+
+    vocab: dict[str, int] = {}
+    docs = []
+    for _doc_id, lang, text in rows:
+        feats = list(dict.fromkeys(t for t in re.split("[^a-z]+", text.lower()) if t))
+        idx = np.array(
+            [vocab.setdefault(f, len(vocab)) for f in feats], dtype=np.int64
+        )
+        docs.append((1.0 if lang == "en" else 0.0, idx))
+
+    w = np.zeros(len(vocab), dtype=np.float64)
+    for y, idx in docs:
+        score = 0.0
+        for i in idx:  # sequential fold — the operator's defined order
+            score += w[i]
+        prob = 1.0 / (1.0 + math.exp(-score))
+        delta = (y - prob) * spam.LEARN_RATE
+        np.add.at(w, idx[::-1], delta)  # reversed order: disjoint cells
+
+    got = {r["feature"]: r["weight"] for r in spam.sgd_train(spark, SF_SMOKE).collect()}
+    assert got.keys() == vocab.keys()
+    mismatch = {f: (got[f], w[i]) for f, i in vocab.items() if got[f] != w[i]}
+    assert not mismatch, f"weight drift (first 5): {dict(list(mismatch.items())[:5])}"
+
+
 def test_sgd_score_labels_present(spark):
     out = spam.sgd_score(spark, SF_SMOKE)
     assert out.count() > 0

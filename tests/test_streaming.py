@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from big_data_toolkit_spark.catalog import load_table
 from big_data_toolkit_spark.streaming import trending, windows
+from tests import conftest
 from tests.conftest import SF_ORACLE, SF_SMOKE
 from tests.oracle_utils import compare
 
@@ -180,12 +181,18 @@ def test_stream_trending_matches_batch_full_sf001(spark, tmp_path):
     assert got == expected
 
 
-def _has_protobuf() -> bool:
+def test_tws_probe_tracks_environment():
+    """The conftest protobuf probe must agree with actual importability —
+    the gate self-heals (runs the replay) the moment the environment gains
+    protobuf, and can never silently diverge from reality."""
     try:
         from google.protobuf import descriptor  # noqa: F401
-        return True
+
+        importable = True
     except ImportError:
-        return False
+        importable = False
+    assert conftest.HAS_PROTOBUF == importable
+    assert "protobuf" in conftest.TWS_SKIP_REASON
 
 
 def test_tws_plan_constructs(spark):
@@ -202,11 +209,7 @@ def test_tws_plan_constructs(spark):
     ]
 
 
-@pytest.mark.skipif(
-    not _has_protobuf(),
-    reason="transformWithStateInPandas execution needs the protobuf package "
-    "(TWS python worker <-> JVM state-server protocol); not in this container",
-)
+@conftest.requires_protobuf
 def test_tws_trending_matches_batch_full_sf001(spark, tmp_path):
     """The transformWithStateInPandas twin must reproduce the oracle-green
     batch formulation over the same multi-batch replay — pinning that the
