@@ -52,23 +52,27 @@ _MODULES = [
 # TWO driver rounds may move to the tail and the stalest deferred set is
 # re-admitted, so no query's newest driver row is ever more than two rounds
 # old.  Round-6 rotation (the plan recorded in BASELINE.md "Gate rotation
-# state after round 5"): the 21 queries deferred through r5 (newest rows r4,
+# state after round 6"): the 21 queries deferred through r5 (newest rows r4,
 # two rounds old by r7) re-enter the gate; of the r5 head — all 50 green in
-# CORRECTNESS_r05 — the 22 entries below with rows from BOTH r4 and r5
-# rotate out.  Kept in the head besides the re-admissions: shard_pack and
-# image_features (repaired in r5, only once green), dedup_star_components
-# (NEW this round — needs its first driver row), and four r4+r5-green
-# stayers (dedup_components as the propagation twin gated alongside the new
-# star variant, event_reach as the exact twin of rows-only
-# event_reach_approx, temperature_mix for its quota arithmetic, and
-# corpus_stats_by_source for the integer-cents money path).  Every deferred
-# query remains registered and pytest-oracle-covered
+# CORRECTNESS_r05 — the 26 entries below with rows from BOTH r4 and r5
+# rotate out (including the four stayers the r5 plan would have kept:
+# their slots go to the FIVE queries NEW this round, which need first
+# driver rows — dedup_star_components, kmeans_clusters,
+# cluster_balanced_sample, text_clean, pii_redaction; deferring
+# dedup_components also halves the ~120 s/side DuckDB components-oracle
+# cost, star now carrying that oracle's driver row).  Also kept in the
+# head: shard_pack and image_features (repaired in r5, only once green).
+# Every deferred query remains registered and pytest-oracle-covered
 # (tests/oracle_utils.compare replicates the driver's comparison).
 _DEFERRED = [
     "sgd_train",  # no_oracle by design: rows-only check, seen r01+r02
     "sgd_score",  # no_oracle by design: rows-only check, seen r01+r02
     "event_reach_approx",  # no_oracle by design: rows-only, rows-green r04
     # -- twice green (r4 + r5), rotating out this round --
+    "dedup_components",
+    "event_reach",
+    "temperature_mix",
+    "corpus_stats_by_source",
     "ranked_retrieval_tfidf",
     "dedup_incremental",
     "dedup_embedding_ivf",

@@ -108,6 +108,12 @@ HEADLINE = {
     # Round-6 addition: alternating-star components (the 100 TB clustering
     # path), gated alongside its propagation twin this round.
     "dedup_star_components": dedup.dedup_star_components,
+    # Round-6 additions: distributed Lloyd k-means + cluster-balanced
+    # sampling, stopword cleaning, PII redaction.
+    "kmeans_clusters": similarity.kmeans_clusters,
+    "cluster_balanced_sample": similarity.cluster_balanced_sample,
+    "text_clean": quality.text_clean,
+    "pii_redaction": quality.pii_redaction,
     "ivf_assignments": similarity.ivf_assignments,
     "lang_id": quality.lang_id,
     "top_orders_per_priority": relational_ext.top_orders_per_priority,

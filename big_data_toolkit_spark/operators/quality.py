@@ -275,6 +275,79 @@ def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, clean_text, n_removed): stopword removal + whitespace
+    normalization — the C4-style cleaning pass that rewrites text instead of
+    just scoring it.
+
+    Pure in-row array expressions (tokenize → filter → rejoin), map-only at
+    any corpus size; ``n_removed`` records how many tokens the cleaning
+    dropped so downstream token budgets can be adjusted without re-scanning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokenize("text")
+    sw = F.array([F.lit(s) for s in STOPWORDS])
+    kept = F.filter(t, lambda w: ~F.array_contains(sw, w))
+    return docs.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (F.size(t) - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
+# PII patterns kept to syntax with IDENTICAL semantics in Java regex (Spark)
+# and RE2 (DuckDB): character classes, +, {n}, escaped dots — no lookaround,
+# no backreferences.
+PII_EMAIL = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+PII_IP = r"\d+\.\d+\.\d+\.\d+"
+PII_PHONE = r"555-\d{4}"
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_email, n_ip, n_phone, redacted_text): PII scrubbing — the
+    compliance pass every shipped training corpus needs.
+
+    The synthetic corpus carries no PII, so each document is first augmented
+    with a DETERMINISTIC doc_id-derived suffix (an email, an IPv4, a phone
+    number) that both engines synthesize identically — the redaction then
+    has real work to do and the oracle checks counts AND the rewritten
+    text. Counting (``regexp_count``) and redaction (chained
+    ``regexp_replace``) are single-pass column expressions — map-only at
+    100 TB, no UDF. A production run drops the augmentation and extends the
+    pattern table; the plan shape is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat_ws(
+        "",
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    a = docs.select("doc_id", aug.alias("aug"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), PII_EMAIL, "<EMAIL>"),
+            PII_IP,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return a.select(
+        "doc_id",
+        F.regexp_count(F.col("aug"), F.lit(PII_EMAIL)).cast("long").alias("n_email"),
+        F.regexp_count(F.col("aug"), F.lit(PII_IP)).cast("long").alias("n_ip"),
+        F.regexp_count(F.col("aug"), F.lit(PII_PHONE)).cast("long").alias("n_phone"),
+        red.alias("redacted_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -431,6 +504,39 @@ ORACLE_SQL["corpus_stats_by_source"] = f"""
     GROUP BY source
 """
 
+ORACLE_SQL["text_clean"] = f"""
+    WITH k AS (
+      SELECT doc_id, t, list_filter(t, w -> NOT list_contains({_SW}, w)) AS kept
+      FROM (SELECT doc_id, {_T} AS t FROM documents)
+    )
+    SELECT doc_id,
+           array_to_string(kept, ' ') AS clean_text,
+           (len(t) - len(kept))::BIGINT AS n_removed
+    FROM k
+"""
+
+ORACLE_SQL["pii_redaction"] = f"""
+    WITH a AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id::VARCHAR
+                  || '@example.com from 10.' || (doc_id % 256)::VARCHAR
+                  || '.0.' || (doc_id % 100)::VARCHAR
+                  || ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+               AS aug
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(aug, '{PII_EMAIL}'))::BIGINT AS n_email,
+           len(regexp_extract_all(aug, '{PII_IP}'))::BIGINT AS n_ip,
+           len(regexp_extract_all(aug, '{PII_PHONE}'))::BIGINT AS n_phone,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(aug, '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_IP}', '<IP>', 'g'),
+             '{PII_PHONE}', '<PHONE>', 'g') AS redacted_text
+    FROM a
+"""
+
 QUERIES = {
     "lang_id": lang_id,
     "quality_score": quality_score,
@@ -441,4 +547,6 @@ QUERIES = {
     "benchmark_contamination": benchmark_contamination,
     "quality_quantile_filter": quality_quantile_filter,
     "corpus_stats_by_source": corpus_stats_by_source,
+    "text_clean": text_clean,
+    "pii_redaction": pii_redaction,
 }

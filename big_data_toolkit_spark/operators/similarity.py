@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_toolkit_spark.catalog import load_table
@@ -252,6 +252,133 @@ def knn_ivf(
     )
 
 
+KMEANS_ITERS = 2  # Lloyd update rounds; the output assignment uses c_ITERS
+KMEANS_QUANT = 1_000_000  # fixed-point scale: qv = floor(embedding * QUANT)
+EMB_DIM = 64  # embeddings.embedding length (asserted at centroid fetch)
+SAMPLE_PER_CLUSTER = 10  # cluster-balanced sampling cap
+
+
+def _quantize(emb: DataFrame) -> DataFrame:
+    """(vec_id, qv): embedding quantized to BIGINT fixed-point.
+
+    Quantization is what makes distributed Lloyd iterations oracle-exact:
+    centroid sums over BIGINT are order-independent (float partial-agg order
+    across partitions is not), so the mean s/n is a division of exact
+    integers and both engines derive bit-identical double centroids no
+    matter how the aggregation was scheduled. ``floor`` (not ``round``)
+    because floor is rounding-mode-unambiguous across engines.
+    """
+    return emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> floor(double(x) * {KMEANS_QUANT}))"
+        ).alias("qv"),
+    )
+
+
+def _dist2(m: list[float]) -> Column:
+    """Squared L2 from the quantized row vector to one centroid literal.
+
+    An in-order JVM fold over CAST-from-string double literals: ``repr``
+    round-trips the exact double, and the left-to-right fold matches the
+    oracle's ``list_sum(list_transform(...))``, so distances are
+    bit-identical cross-engine (a numpy GEMM would not be: BLAS sum order
+    differs — fine for sign bits, not for argmin near-ties).
+    """
+    arr = ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in m)
+    return F.expr(
+        f"aggregate(zip_with(qv, array({arr}), "
+        "(x, y) -> (double(x) - y) * (double(x) - y)), 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _kmeans_assign(q: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
+    """q + (cluster): map-only nearest-centroid assignment, ties to the
+    smallest cluster id (``array_position`` returns the FIRST minimum and
+    cluster ids are laid out ascending — the oracle's
+    ``row_number() OVER (ORDER BY dist, cluster)``)."""
+    cids = sorted(cents)
+    dists = F.array(*[_dist2(cents[c]) for c in cids])
+    idx = F.array_position(dists, F.array_min(dists)).cast("int")
+    cluster = F.element_at(
+        F.array(*[F.lit(c).cast("long") for c in cids]), idx
+    )
+    return q.select("vec_id", "qv", cluster.alias("cluster"))
+
+
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster): distributed Lloyd k-means over the embeddings,
+    ``KMEANS_ITERS`` update rounds from the ``CENTROID_IDS`` seed vectors.
+
+    The trained-centroid upgrade of ``ivf_assignments`` (whose centroids are
+    arbitrary corpus vectors) and the clustering primitive curation needs
+    (cluster-balanced sampling below, SemDeDup-style pruning). Per
+    iteration: one MAP-ONLY assignment pass (centroids are plan literals —
+    no join, no shuffle) plus one aggregation whose shuffle carries
+    K×(dim+1) partially-aggregated cells, then a K-row driver fetch turns
+    the new means into next round's literals — the same plan-parameterizing
+    scalar fetch as ``temperature_mix``'s quotas, O(K·dim) bytes, not data.
+    Empty clusters keep their previous centroid. At 100 TB each iteration
+    is exactly one corpus scan; K beyond literal-friendly size swaps the
+    assignment to the Arrow GEMM of ``_centroid_udf`` (losing oracle
+    bit-exactness, gaining BLAS throughput).
+
+    Fixed-point quantization (see ``_quantize``) pins every float the
+    iteration derives, so the DuckDB oracle unrolls to the identical
+    assignment — integer output, no float hash risk.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    init_rows = (
+        _quantize(emb.where(F.col("vec_id").isin(list(CENTROID_IDS))))
+        .collect()
+    )
+    cents = {r["vec_id"]: [float(x) for x in r["qv"]] for r in init_rows}
+    bad = {c: len(m) for c, m in cents.items() if len(m) != EMB_DIM}
+    if len(cents) != len(CENTROID_IDS) or bad:
+        raise ValueError(
+            f"kmeans seed mismatch: expected {len(CENTROID_IDS)} centroids "
+            f"of dim {EMB_DIM}, got {len(cents)} (bad dims: {bad})"
+        )
+    q = _quantize(emb)
+    for _ in range(KMEANS_ITERS):
+        assigned = _kmeans_assign(q, cents)
+        rows = (
+            assigned.groupBy("cluster")
+            .agg(
+                *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(EMB_DIM)],
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new = {
+            r["cluster"]: [r[f"s{i}"] / r["n"] for i in range(EMB_DIM)]
+            for r in rows
+        }
+        cents = {c: new.get(c, m) for c, m in cents.items()}
+    return _kmeans_assign(q, cents).select("vec_id", "cluster")
+
+
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster): at most ``SAMPLE_PER_CLUSTER`` vectors per k-means
+    cluster, picked by deterministic hash order — cluster-balanced corpus
+    sampling (caps over-represented modes instead of sampling them
+    proportionally; the embedding-space analogue of ``source_mix``).
+
+    One window shuffle over the assignment; the rank cut is a literal, so
+    WindowGroupLimit prunes hot clusters map-side like
+    ``temperature_mix``'s.
+    """
+    assigned = kmeans_clusters(spark, sf_dir)
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= SAMPLE_PER_CLUSTER)
+        .select("vec_id", "cluster")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -346,9 +473,75 @@ ORACLE_SQL["knn_ivf"] = f"""
     LIMIT {TOP_K}
 """
 
+def _kmeans_ctes(iters: int) -> str:
+    """Unrolled Lloyd-iteration CTE chain ending at ``afinal`` (vec_id,
+    cluster) — the PageRank-oracle pattern: each Spark iteration is one
+    assignment CTE (row_number argmin over exact quantized distances) plus
+    one mean-update CTE (HUGEINT-exact sums cast to DOUBLE, same division
+    as the engine's driver-side ``s / n``)."""
+    dist = (
+        "list_sum(list_transform(range(1, len(v.qv) + 1), "
+        "i -> (v.qv[i]::DOUBLE - c.m[i]) * (v.qv[i]::DOUBLE - c.m[i])))"
+    )
+    sql = f"""q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> floor(x::DOUBLE * {KMEANS_QUANT})::BIGINT) AS qv
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS cluster, list_transform(qv, x -> x::DOUBLE) AS m
+      FROM q WHERE vec_id IN ({_CENT_LIST})
+    )"""
+    for t in range(1, iters + 1):
+        sql += f""",
+    a{t} AS (
+      SELECT v.vec_id, c.cluster
+      FROM q v, c{t - 1} c
+      QUALIFY row_number() OVER (PARTITION BY v.vec_id
+                                 ORDER BY {dist}, c.cluster) = 1
+    ),
+    s{t} AS (
+      SELECT a.cluster, ii.i, sum(v.qv[ii.i])::DOUBLE / count(*) AS mv
+      FROM a{t} a
+      JOIN q v USING (vec_id)
+      CROSS JOIN (SELECT unnest(range(1, {EMB_DIM} + 1)) AS i) ii
+      GROUP BY a.cluster, ii.i
+    ),
+    c{t} AS (
+      SELECT c.cluster, coalesce(n.m, c.m) AS m
+      FROM c{t - 1} c LEFT JOIN (
+        SELECT cluster, list(mv ORDER BY i) AS m FROM s{t} GROUP BY cluster
+      ) n USING (cluster)
+    )"""
+    sql += f""",
+    afinal AS (
+      SELECT v.vec_id, c.cluster
+      FROM q v, c{iters} c
+      QUALIFY row_number() OVER (PARTITION BY v.vec_id
+                                 ORDER BY {dist}, c.cluster) = 1
+    )"""
+    return sql
+
+
+ORACLE_SQL["kmeans_clusters"] = f"""
+    WITH {_kmeans_ctes(KMEANS_ITERS)}
+    SELECT vec_id, cluster FROM afinal
+"""
+
+ORACLE_SQL["cluster_balanced_sample"] = f"""
+    WITH {_kmeans_ctes(KMEANS_ITERS)}
+    SELECT vec_id, cluster FROM afinal
+    QUALIFY row_number() OVER (PARTITION BY cluster
+                               ORDER BY md5(vec_id::VARCHAR), vec_id)
+            <= {SAMPLE_PER_CLUSTER}
+"""
+
 QUERIES = {
     "knn_brute_force": knn_brute_force,
     "knn_lsh": knn_lsh,
     "ivf_assignments": ivf_assignments,
     "knn_ivf": knn_ivf,
+    "kmeans_clusters": kmeans_clusters,
+    "cluster_balanced_sample": cluster_balanced_sample,
 }

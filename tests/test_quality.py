@@ -38,3 +38,30 @@ def test_empty_text_edge_case(spark):
 
     toks = df.select(tokenize("text").alias("t")).collect()
     assert [r["t"] for r in toks] == [[], [], ["the", "the", "the"]]
+
+
+def test_text_clean_semantics(spark):
+    rows = quality.text_clean(spark, SF_ORACLE).collect()
+    assert any(r["n_removed"] > 0 for r in rows)  # stopwords exist in corpus
+    for r in rows[:200]:
+        toks = [t for t in r["clean_text"].split(" ") if t]
+        assert not set(toks) & set(quality.STOPWORDS)
+        assert "  " not in r["clean_text"]
+
+
+def test_pii_redaction_semantics(spark):
+    rows = quality.pii_redaction(spark, SF_ORACLE).collect()
+    for r in rows[:200]:
+        # the deterministic augmentation plants exactly one of each
+        assert (r["n_email"], r["n_ip"], r["n_phone"]) == (1, 1, 1)
+        red = r["redacted_text"]
+        assert "<EMAIL>" in red and "<IP>" in red and "<PHONE>" in red
+        assert "@" not in red
+        assert "555-" not in red.replace("<PHONE>", "")
+
+
+def test_clean_and_redact_are_map_only(spark):
+    for fn in (quality.text_clean, quality.pii_redaction):
+        plan = fn(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{fn.__name__} shuffles"
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -62,3 +62,86 @@ def test_ivf_no_fabricated_sims(spark):
     assert len(ann) > 0
     for r in ann:
         assert r["sim"] == pytest.approx(brute[r["vec_id"]], abs=1e-6)
+
+
+def test_kmeans_matches_sequential_replica(spark):
+    """Independent Lloyd replica: quantized vectors, per-element sequential
+    fold distances (matching the engine's in-order JVM fold), exact-integer
+    mean updates — the same second-implementation check PageRank has."""
+    from big_data_toolkit_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qv = {
+        r["vec_id"]: [float(int(__import__("math").floor(float(x) * sim.KMEANS_QUANT)))
+                      for x in r["embedding"]]
+        for r in rows
+    }
+
+    def dist2(q, m):
+        acc = 0.0
+        for i in range(len(q)):
+            d = q[i] - m[i]
+            acc += d * d
+        return acc
+
+    cents = {c: list(qv[c]) for c in sim.CENTROID_IDS}
+
+    def assign():
+        out = {}
+        for v, q in qv.items():
+            best = min(
+                sorted(cents),
+                key=lambda c: (dist2(q, cents[c]), c),
+            )
+            out[v] = best
+        return out
+
+    for _ in range(sim.KMEANS_ITERS):
+        a = assign()
+        sums: dict[int, list] = {}
+        counts: dict[int, int] = {}
+        for v, c in a.items():
+            counts[c] = counts.get(c, 0) + 1
+            s = sums.setdefault(c, [0] * len(qv[v]))
+            for i, x in enumerate(qv[v]):
+                s[i] += int(x)
+        for c in cents:
+            if c in sums:
+                cents[c] = [s / counts[c] for s in sums[c]]
+    expected = assign()
+
+    got = {r["vec_id"]: r["cluster"]
+           for r in sim.kmeans_clusters(spark, SF_SMOKE).collect()}
+    assert got == expected
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    """The output assignment pass carries centroids as plan literals — no
+    join, no Exchange, no Python UDF: one scan at any corpus size."""
+    plan = (
+        sim.kmeans_clusters(spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cluster_balanced_sample_bounds(spark):
+    assigned = {r["vec_id"]: r["cluster"]
+                for r in sim.kmeans_clusters(spark, SF_ORACLE).collect()}
+    sample = sim.cluster_balanced_sample(spark, SF_ORACLE).collect()
+    per_cluster: dict[int, int] = {}
+    for r in sample:
+        assert assigned[r["vec_id"]] == r["cluster"]  # subset of assignment
+        per_cluster[r["cluster"]] = per_cluster.get(r["cluster"], 0) + 1
+    assert per_cluster, "sample is empty"
+    assert max(per_cluster.values()) <= sim.SAMPLE_PER_CLUSTER
+    # every non-empty cluster is represented (cap is a max, not a filter)
+    assert set(per_cluster) == set(assigned.values())
