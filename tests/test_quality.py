@@ -65,3 +65,31 @@ def test_clean_and_redact_are_map_only(spark):
         plan = fn(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, f"{fn.__name__} shuffles"
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_redaction_is_idempotent(spark):
+    """Redacting an already-redacted corpus is a no-op: the replacement
+    markers contain nothing the PII patterns can re-match (guards against
+    pattern/marker combinations that would oscillate across passes)."""
+    first = quality.pii_redaction(spark, SF_ORACLE).select(
+        "doc_id", "redacted_text"
+    )
+    first.createOrReplaceTempView("redacted_once")
+    import pyspark.sql.functions as F
+
+    again = first.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.col("redacted_text"), quality.PII_EMAIL, "<EMAIL>"
+                ),
+                quality.PII_IP,
+                "<IP>",
+            ),
+            quality.PII_PHONE,
+            "<PHONE>",
+        ).alias("redacted_text"),
+    )
+    diff = first.exceptAll(again)
+    assert diff.isEmpty()
