@@ -251,3 +251,14 @@ def test_star_components_random_graphs_vs_union_find(spark):
         touched = {v for e in edge_list for v in e}
         expected = {v: expected_all[v] for v in touched}
         assert got == expected, f"seed={seed}"
+
+
+def test_star_components_raises_on_round_exhaustion(spark, monkeypatch):
+    """Exhausting STAR_MAX_ROUNDS must raise, never return possibly-wrong
+    labels (the ADVICE r5 fail-loud guarantee)."""
+    import pytest as _pytest
+
+    monkeypatch.setattr(dedup, "STAR_MAX_ROUNDS", 0)
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["d1", "d2"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.star_components(spark, pairs).collect()

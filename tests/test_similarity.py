@@ -145,3 +145,28 @@ def test_cluster_balanced_sample_bounds(spark):
     assert max(per_cluster.values()) <= sim.SAMPLE_PER_CLUSTER
     # every non-empty cluster is represented (cap is a max, not a filter)
     assert set(per_cluster) == set(assigned.values())
+
+
+def test_kmeans_empty_cluster_keeps_seed_and_ties_go_low(spark, monkeypatch):
+    """Duplicate seed vectors: every tie resolves to the smaller cluster id,
+    so the larger seed's cluster is empty after assignment — the update must
+    keep its previous centroid (coalesce path) and still converge."""
+    rows = [(i, [float(i), 0.0]) for i in range(1, 5)]
+    rows.append((5, [1.0, 0.0]))  # vec 5 duplicates vec 1's position
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    monkeypatch.setattr(sim, "CENTROID_IDS", (1, 5))
+    monkeypatch.setattr(sim, "EMB_DIM", 2)
+    monkeypatch.setattr(
+        sim, "load_table", lambda _spark, _sf, _name: emb
+    )
+    got = {r["vec_id"]: r["cluster"]
+           for r in sim.kmeans_clusters(spark, "unused").collect()}
+    # Iteration 0: every vector ties between the two identical centroids
+    # and lands in cluster 1 — cluster 5 is EMPTY, and the update must keep
+    # its seed centroid (the coalesce path) instead of crashing. Cluster 1's
+    # centroid moves to the global mean (2.2), so iteration 2 pulls the
+    # points at x=1 back to the stationary duplicate seed; the final
+    # assignment has vec 2 equidistant between centroids 3.0 and 1.0 and
+    # the tie must break to the smaller cluster id.
+    assert got == {1: 5, 2: 1, 3: 1, 4: 1, 5: 5}
