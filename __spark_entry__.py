@@ -68,6 +68,7 @@ _DEFERRED = [
     "sgd_train",  # no_oracle by design: rows-only check, seen r01+r02
     "sgd_score",  # no_oracle by design: rows-only check, seen r01+r02
     "event_reach_approx",  # no_oracle by design: rows-only, rows-green r04
+    "knn_ivf_trained",  # NEW r6 (head was full): pytest-oracle-covered, r7 gate entrant
     # -- twice green (r4 + r5), rotating out this round --
     "dedup_components",
     "event_reach",

@@ -112,6 +112,7 @@ HEADLINE = {
     # sampling, stopword cleaning, PII redaction.
     "kmeans_clusters": similarity.kmeans_clusters,
     "cluster_balanced_sample": similarity.cluster_balanced_sample,
+    "knn_ivf_trained": similarity.knn_ivf_trained,
     "text_clean": quality.text_clean,
     "pii_redaction": quality.pii_redaction,
     "ivf_assignments": similarity.ivf_assignments,

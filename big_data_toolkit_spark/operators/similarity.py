@@ -270,6 +270,7 @@ def _quantize(emb: DataFrame) -> DataFrame:
     """
     return emb.select(
         "vec_id",
+        "embedding",
         F.expr(
             f"transform(embedding, x -> floor(double(x) * {KMEANS_QUANT}))"
         ).alias("qv"),
@@ -303,7 +304,7 @@ def _kmeans_assign(q: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
     cluster = F.element_at(
         F.array(*[F.lit(c).cast("long") for c in cids]), idx
     )
-    return q.select("vec_id", "qv", cluster.alias("cluster"))
+    return q.withColumn("cluster", cluster)
 
 
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,9 +328,20 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration derives, so the DuckDB oracle unrolls to the identical
     assignment — integer output, no float hash risk.
     """
+    q, cents = _lloyd(spark, sf_dir)
+    return _kmeans_assign(q, cents).select("vec_id", "cluster")
+
+
+def _lloyd(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, dict[int, list[float]]]:
+    """Run the Lloyd iterations; return the quantized corpus and the TRAINED
+    centroids (cluster_id → double vector) — shared by ``kmeans_clusters``
+    and ``knn_ivf_trained``."""
     emb = load_table(spark, sf_dir, "embeddings")
     init_rows = (
         _quantize(emb.where(F.col("vec_id").isin(list(CENTROID_IDS))))
+        .select("vec_id", "qv")
         .collect()
     )
     cents = {r["vec_id"]: [float(x) for x in r["qv"]] for r in init_rows}
@@ -355,7 +367,52 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in rows
         }
         cents = {c: new.get(c, m) for c, m in cents.items()}
-    return _kmeans_assign(q, cents).select("vec_id", "cluster")
+    return q, cents
+
+
+def knn_ivf_trained(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = QUERY_VEC_ID, k: int = TOP_K
+) -> DataFrame:
+    """IVF ANN top-k over TRAINED k-means centroids: (vec_id, sim).
+
+    The composition ``knn_ivf`` is a stand-in for: Lloyd-trained coarse
+    quantizer for blocking (probe = the ``NPROBE`` centroids nearest the
+    query IN THE ASSIGNMENT METRIC — quantized squared L2, so the probe
+    ranking and the cell contents come from the same geometry), exact
+    cosine on raw embeddings for scoring. The probe is a driver-side
+    O(K·dim) computation over the trained-centroid constants (sequential
+    fold, bit-matching the oracle's ORDER BY); the search itself is one
+    map-only scan — literal-centroid assignment, literal probe filter,
+    broadcast query vector, TakeOrderedAndProject.
+    """
+    q, cents = _lloyd(spark, sf_dir)
+    qv = [
+        float(x)
+        for x in q.where(F.col("vec_id") == query_vec_id).first()["qv"]
+    ]
+
+    def d2(m: list[float]) -> float:
+        acc = 0.0
+        for i in range(len(qv)):
+            d = qv[i] - m[i]
+            acc += d * d
+        return acc
+
+    probe = sorted(sorted(cents), key=lambda c: (d2(cents[c]), c))[:NPROBE]
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv_q")
+    )
+    return (
+        _kmeans_assign(q, cents)
+        .where(
+            F.col("cluster").isin(probe) & (F.col("vec_id") != query_vec_id)
+        )
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", F.round(_cosine("embedding", "qv_q"), 6).alias("sim"))
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(k)
+    )
 
 
 def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -537,6 +594,29 @@ ORACLE_SQL["cluster_balanced_sample"] = f"""
             <= {SAMPLE_PER_CLUSTER}
 """
 
+ORACLE_SQL["knn_ivf_trained"] = f"""
+    WITH {_kmeans_ctes(KMEANS_ITERS)},
+    qq AS (SELECT qv FROM q WHERE vec_id = {QUERY_VEC_ID}),
+    probe AS (
+      SELECT c.cluster
+      FROM c{KMEANS_ITERS} c, qq
+      ORDER BY list_sum(list_transform(range(1, len(qq.qv) + 1),
+               i -> (qq.qv[i]::DOUBLE - c.m[i]) * (qq.qv[i]::DOUBLE - c.m[i]))),
+               c.cluster
+      LIMIT {NPROBE}
+    ),
+    cands AS (
+      SELECT a.vec_id FROM afinal a JOIN probe USING (cluster)
+      WHERE a.vec_id <> {QUERY_VEC_ID}
+    ),
+    qe AS (SELECT embedding AS qv_q FROM embeddings
+           WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id, round({_COS.format(a="e.embedding", b="qe.qv_q")}, 6) AS sim
+    FROM cands cd JOIN embeddings e ON cd.vec_id = e.vec_id, qe
+    ORDER BY sim DESC, e.vec_id
+    LIMIT {TOP_K}
+"""
+
 QUERIES = {
     "knn_brute_force": knn_brute_force,
     "knn_lsh": knn_lsh,
@@ -544,4 +624,5 @@ QUERIES = {
     "knn_ivf": knn_ivf,
     "kmeans_clusters": kmeans_clusters,
     "cluster_balanced_sample": cluster_balanced_sample,
+    "knn_ivf_trained": knn_ivf_trained,
 }

@@ -170,3 +170,14 @@ def test_kmeans_empty_cluster_keeps_seed_and_ties_go_low(spark, monkeypatch):
     # assignment has vec 2 equidistant between centroids 3.0 and 1.0 and
     # the tie must break to the smaller cluster id.
     assert got == {1: 5, 2: 1, 3: 1, 4: 1, 5: 5}
+
+
+def test_ivf_trained_no_fabricated_sims(spark):
+    """Trained-centroid IVF hits must carry exact brute-force cosines (the
+    coarse quantizer only blocks — it must never alter scores)."""
+    brute = {r["vec_id"]: r["sim"] for r in
+             sim.knn_brute_force(spark, SF_ORACLE, k=10**6).collect()}
+    ann = sim.knn_ivf_trained(spark, SF_ORACLE).collect()
+    assert 0 < len(ann) <= sim.TOP_K
+    for r in ann:
+        assert r["sim"] == pytest.approx(brute[r["vec_id"]], abs=1e-6)
