@@ -69,6 +69,9 @@ _DEFERRED = [
     "sgd_score",  # no_oracle by design: rows-only check, seen r01+r02
     "event_reach_approx",  # no_oracle by design: rows-only, rows-green r04
     "knn_ivf_trained",  # NEW r6 (head was full): pytest-oracle-covered, r7 gate entrant
+    "ranked_retrieval_bm25",  # NEW r6: pytest-oracle-covered, r7 gate entrant
+    "span_dedup",  # NEW r6: pytest-oracle-covered, r7 gate entrant
+    "event_funnel",  # NEW r6: pytest-oracle-covered, r7 gate entrant
     # -- twice green (r4 + r5), rotating out this round --
     "dedup_components",
     "event_reach",

@@ -246,6 +246,45 @@ def event_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage_idx, stage, users): ordered conversion funnel over events.
+
+    Classic product-analytics funnel, beyond the reference (its streaming
+    layer counts and trends single event types but never sequences them):
+    a user reaches stage k only with a strictly-later event than their
+    stage-(k-1) entry — first 'view', then a 'click' after that view, then
+    a 'purchase' after that click. Stage entry time is the MIN qualifying
+    timestamp, so each stage is a filtered partial-aggregated min — three
+    pushed-down single-event-type scans and two user_id equi-joins, never a
+    per-user event array (the collect_list-and-fold formulation would bound
+    per-user state by event history; this one keeps it at one timestamp),
+    so it survives power users with millions of events at 100 TB.
+    """
+    events = load_table(spark, sf_dir, "events")
+
+    def stage(event_type: str, prev: DataFrame | None, t_prev: str, t_out: str):
+        df = events.where(F.col("event_type") == event_type)
+        if prev is not None:
+            df = df.join(prev.select("user_id", t_prev), "user_id").where(
+                F.col("ts") > F.col(t_prev)
+            )
+        return df.groupBy("user_id").agg(F.min("ts").alias(t_out))
+
+    v = stage("view", None, "", "t1")
+    c = stage("click", v, "t1", "t2")
+    p = stage("purchase", c, "t2", "t3")
+    counts = [
+        df.agg(F.count("*").alias("users")).select(
+            F.lit(i + 1).alias("stage_idx"), F.lit(name).alias("stage"), "users"
+        )
+        for i, (name, df) in enumerate(zip(FUNNEL_STAGES, (v, c, p)))
+    ]
+    return counts[0].union(counts[1]).union(counts[2]).orderBy("stage_idx")
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -333,6 +372,30 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_events
         FROM events GROUP BY event_type
     """,
+    "event_funnel": """
+        WITH v AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+          GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          GROUP BY e.user_id
+        )
+        SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS users FROM v
+        UNION ALL
+        SELECT 2 AS stage_idx, 'click' AS stage, count(*) AS users FROM c
+        UNION ALL
+        SELECT 3 AS stage_idx, 'purchase' AS stage, count(*) AS users FROM p
+        ORDER BY stage_idx
+    """,
 }
 
 QUERIES = {
@@ -345,5 +408,6 @@ QUERIES = {
     "user_event_matrix": user_event_matrix,
     "json_props_stats": json_props_stats,
     "event_reach": event_reach,
+    "event_funnel": event_funnel,
     "event_reach_approx": event_reach_approx,  # rows-only (sketches)
 }

@@ -1006,6 +1006,101 @@ ORACLE_SQL["dedup_incremental"] = f"""
       )
 """
 
+# ---------------------------------------------------------------------------
+# Span-level corpus dedup (C4-style)
+# ---------------------------------------------------------------------------
+
+# Dedup unit: disjoint runs of SPAN_W consecutive tokens (the last span of a
+# doc may be shorter). C4's rule dedups "three-sentence spans"; on token
+# streams without sentence punctuation the fixed token window is the same
+# idea with a deterministic boundary.
+SPAN_W = 8
+
+_SPAN_CHUNKS = (
+    "CASE WHEN size(t) = 0 THEN array() "
+    f"ELSE transform(sequence(0, (size(t) + {SPAN_W - 1}) div {SPAN_W} - 1), "
+    f"i -> concat_ws(' ', slice(t, i * {SPAN_W} + 1, {SPAN_W}))) END"
+)
+
+
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_kept, dedup_text): drop corpus-wide duplicate token spans.
+
+    The C4 cleaning rule (Raffel et al. 2020: any three-sentence span
+    occurring more than once in the corpus is kept exactly once), with the
+    span unit being ``SPAN_W``-token windows of the pinned tokenizer's
+    output: every span that occurs anywhere else in the corpus survives
+    only at its first occurrence (minimum (doc_id, position)); later
+    occurrences are dropped and each document is re-assembled from its
+    surviving spans in order. Beyond the reference (it has no corpus-level
+    curation) — this is the boilerplate-removal step of an LLM data
+    pipeline, and unlike whole-document dedup it strips repeated passages
+    embedded in otherwise-distinct documents.
+
+    Scale: span formation is map-only (in-row ``transform``/``slice``); the
+    winner per span is ``groupBy(span).min(struct(doc_id, pos))`` —
+    partial-aggregated map-side, unlike a window formulation which would
+    sort full span text within shuffle partitions. At 100 TB the group key
+    would be ``xxhash64(span)`` (8 bytes through the shuffle instead of the
+    span text, accepting 2^-64 collision odds); here the string key keeps
+    the oracle comparison exact. Reassembly shuffles each surviving span
+    once, grouped by doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    spans = (
+        docs.select("doc_id", tokenize("text").alias("t"))
+        .select("doc_id", F.posexplode(F.expr(_SPAN_CHUNKS)).alias("pos", "span"))
+        .where(F.col("span") != "")
+    )
+    winners = spans.groupBy("span").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    kept = spans.join(winners, "span").where(
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("pos") == F.col("first.pos"))
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "span"))),
+                    lambda s: s["span"],
+                ),
+            ).alias("dedup_text"),
+        )
+        .select("doc_id", "n_kept", "dedup_text")
+    )
+
+
+ORACLE_SQL["span_dedup"] = f"""
+    WITH toks AS (SELECT doc_id, {_T} AS t FROM documents),
+    spans AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, (len(t) + {SPAN_W - 1}) // {SPAN_W}),
+               i -> {{'pos': i,
+                      'span': array_to_string(
+                        t[i * {SPAN_W} + 1 : i * {SPAN_W} + {SPAN_W}], ' ')}}
+             )) AS e
+      FROM toks
+    ),
+    s2 AS (
+      SELECT doc_id, e.pos AS pos, e.span AS span
+      FROM spans WHERE e.span <> ''
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY span ORDER BY doc_id, pos)
+               AS rn
+      FROM s2
+    )
+    SELECT doc_id, count(*) AS n_kept,
+           string_agg(span, ' ' ORDER BY pos) AS dedup_text
+    FROM ranked WHERE rn = 1 GROUP BY doc_id
+"""
+
 ORACLE_SQL["dedup_components"] = dedup_components_oracle_sql(CC_ITERS)
 # Same oracle for the alternating-star variant: both sides emit each
 # component's true minimum label once the iteration is converged (star
@@ -1022,6 +1117,7 @@ QUERIES = {
     "simhash_fingerprints": simhash_fingerprints,
     "dedup_simhash": dedup_simhash,
     "dedup_incremental": dedup_incremental,
+    "span_dedup": span_dedup,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_embedding_ivf": dedup_embedding_ivf,

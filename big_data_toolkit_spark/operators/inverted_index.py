@@ -182,6 +182,74 @@ def ranked_retrieval_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def ranked_retrieval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score): Okapi BM25 ranked retrieval, top-20 by score.
+
+    Second ranked extension of the reference's boolean stack machine (a3
+    stops at set operations; ``ranked_retrieval_tfidf`` is the first):
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+        idf(t)   = ln((N − df + 0.5)/(df + 0.5) + 1)      (Lucene variant)
+
+    with k1=1.2, b=0.75. Every input is computed in-plan: doc length dl is
+    ``size(tokens)`` on the same scan that feeds tf (no second pass over
+    text), and (N, avgdl) is a one-row broadcast. avgdl is pinned as
+    ``sum(dl)::double / count(*)`` in BOTH engines — the sum over bigints is
+    exact, so the single division is bit-identical and no engine-specific
+    mean accumulation can drift. As in tf-idf, the per-doc sum folds over
+    the SORTED weight list so float addition order is pinned and the top-k
+    cut (ties by doc_id) is deterministic. Top-k is TakeOrderedAndProject.
+
+    Scale: the term filter prunes postings to the query's terms before the
+    (term, doc_id) shuffle; dl rides along as one int column; the only
+    driver-bound data is k rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize("text").alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(list(RANKED_TERMS)))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = F.log(
+        (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / denom).alias("w"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("w")).alias("ws"))
+        .select(
+            "doc_id",
+            F.expr("aggregate(ws, 0D, (acc, v) -> acc + v)").alias("score_raw"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score_raw"), "doc_id")
+        .limit(RANKED_TOP_K)
+        .select("doc_id", F.round("score_raw", 6).alias("score"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -241,6 +309,36 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, round(score_raw, 6) AS score
         FROM s ORDER BY score_raw DESC, doc_id LIMIT 20
     """,
+    "ranked_retrieval_bm25": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+        stats AS (
+          SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl
+        ),
+        tf AS (
+          SELECT term, doc_id, count(*) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+          WHERE term IN ('spark', 'fast', 'slow')
+          GROUP BY term, doc_id
+        ),
+        tfdf AS (
+          SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf
+        ),
+        w AS (
+          SELECT t.doc_id,
+                 ln((s.n - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                   AS w
+          FROM tfdf t JOIN dl USING (doc_id), stats s
+        ),
+        scored AS (
+          SELECT doc_id, list_sum(list_sort(list(w))) AS score_raw
+          FROM w GROUP BY doc_id
+        )
+        SELECT doc_id, round(score_raw, 6) AS score
+        FROM scored ORDER BY score_raw DESC, doc_id LIMIT 20
+    """,
 }
 
 QUERIES = {
@@ -249,4 +347,5 @@ QUERIES = {
     "boolean_or": boolean_or,
     "boolean_mixed": boolean_mixed,
     "ranked_retrieval_tfidf": ranked_retrieval_tfidf,
+    "ranked_retrieval_bm25": ranked_retrieval_bm25,
 }

@@ -76,3 +76,22 @@ def test_timeline_single_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+def test_event_funnel_monotone_and_ordered(spark):
+    """A funnel can only narrow: users(view) >= users(click) >= users(purchase),
+    rows arrive in stage order, and stage 1 equals the distinct-viewer count."""
+    rows = ax.event_funnel(spark, SF_SMOKE).collect()
+    assert [r["stage_idx"] for r in rows] == [1, 2, 3]
+    users = [r["users"] for r in rows]
+    assert users[0] >= users[1] >= users[2]
+    from big_data_toolkit_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    viewers = (
+        load_table(spark, SF_SMOKE, "events")
+        .where(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert users[0] == viewers

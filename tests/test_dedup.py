@@ -262,3 +262,23 @@ def test_star_components_raises_on_round_exhaustion(spark, monkeypatch):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], ["d1", "d2"])
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup.star_components(spark, pairs).collect()
+
+
+def test_span_dedup_drops_repeats(spark):
+    """The corpus carries repeated token spans (near-dup docs share aligned
+    passages), so dedup must actually remove occurrences, and exactly one
+    occurrence of every distinct span must survive."""
+    from big_data_toolkit_spark.functions.text import tokenize
+
+    docs = dedup.load_table(spark, SF_ORACLE, "documents")
+    total = (
+        docs.select("doc_id", tokenize("text").alias("t"))
+        .select(F.posexplode(F.expr(dedup._SPAN_CHUNKS)).alias("pos", "span"))
+        .where(F.col("span") != "")
+    )
+    n_total = total.count()
+    n_distinct = total.select("span").distinct().count()
+    kept = dedup.span_dedup(spark, SF_ORACLE)
+    n_kept = kept.agg(F.sum("n_kept")).collect()[0][0]
+    assert n_distinct < n_total, "corpus should contain duplicate spans"
+    assert n_kept == n_distinct

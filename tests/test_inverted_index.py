@@ -80,3 +80,11 @@ def test_written_index_is_compressed_columnar(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     )
     assert disk_bytes < text_bytes, (disk_bytes, text_bytes)
+
+
+def test_bm25_scores_positive_descending(spark):
+    rows = ii.ranked_retrieval_bm25(spark, SF_SMOKE).collect()
+    assert rows, "bm25 should rank at least one matching doc"
+    scores = [r["score"] for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
