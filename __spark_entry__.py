@@ -71,6 +71,7 @@ _DEFERRED = [
     "knn_ivf_trained",  # NEW r6 (head was full): pytest-oracle-covered, r7 gate entrant
     "ranked_retrieval_bm25",  # NEW r6: pytest-oracle-covered, r7 gate entrant
     "span_dedup",  # NEW r6: pytest-oracle-covered, r7 gate entrant
+    "semantic_dedup",  # NEW r6: pytest-oracle-covered, r7 gate entrant
     "event_funnel",  # NEW r6: pytest-oracle-covered, r7 gate entrant
     # -- twice green (r4 + r5), rotating out this round --
     "dedup_components",

@@ -125,6 +125,12 @@ HEADLINE = {
     "stratified_sample": curation.stratified_sample,
     "sgd_train": spam.sgd_train,
     "sgd_score": spam.sgd_score,
+    # Round-6 additions: BM25 ranked retrieval, C4-style span dedup, and
+    # the event conversion funnel.
+    "ranked_retrieval_bm25": inverted_index.ranked_retrieval_bm25,
+    "span_dedup": dedup.span_dedup,
+    "event_funnel": analytics_ext.event_funnel,
+    "semantic_dedup": dedup.semantic_dedup,
 }
 
 

@@ -1007,6 +1007,81 @@ ORACLE_SQL["dedup_incremental"] = f"""
 """
 
 # ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster, kept): SemDeDup-style pruning over trained clusters.
+
+    The SemDeDup recipe (Abbas et al. 2023): k-means-cluster the embedding
+    space, compare pairs only WITHIN a cluster, and keep one representative
+    of each semantic-duplicate relation. Here the clusters are the
+    Lloyd-trained ``kmeans_clusters`` assignment (not the fixed-vector
+    blocking of ``dedup_embedding_ivf``), and a vector is dropped iff a
+    LOWER-id vector in its cluster has cosine ≥ {COSINE_DUP_THRESHOLD} —
+    the greedy keep-lowest-id rule, which needs no transitive closure
+    (each drop is witnessed by one lower-id pair — the witness itself may
+    also be dropped, as in SemDeDup's own greedy pass) and is
+    order-deterministic: a cluster's minimum vec_id is always kept.
+    Output is the full curation decision table: every vector with its
+    cluster and keep/drop flag, ready to filter a training corpus.
+
+    Scale: this is SemDeDup's own cost model — pair comparison is
+    O(Σ cluster_size²), controlled by K (clusters are Θ(n/K); K grows with
+    the corpus so cluster populations stay bounded), never all-pairs.
+    Norms are computed once per vector BEFORE the pair join (the
+    ``_verify_pairs_cosine`` lesson: per-pair higher-order folds dominated
+    that stage); drops reduce through ``distinct`` on vec_id — partial-
+    aggregated — and rejoin the assignment as a broadcast-or-shuffle
+    LEFT join Catalyst picks by size.
+    """
+    from big_data_toolkit_spark.operators.similarity import (
+        _dot,
+        _kmeans_assign,
+        _lloyd,
+        _norm,
+    )
+
+    q, cents = _lloyd(spark, sf_dir)
+    assigned = _kmeans_assign(q, cents).select("vec_id", "embedding", "cluster")
+    nemb = assigned.select(
+        "vec_id", "cluster", "embedding", _norm("embedding").alias("nrm")
+    )
+    a = nemb.select(
+        "cluster",
+        F.col("vec_id").alias("d1"),
+        F.col("embedding").alias("e1"),
+        F.col("nrm").alias("n1"),
+    )
+    b = nemb.select(
+        "cluster",
+        F.col("vec_id").alias("d2"),
+        F.col("embedding").alias("e2"),
+        F.col("nrm").alias("n2"),
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("d1") < F.col("d2"))
+        .select(
+            "d2",
+            F.round(_dot("e1", "e2") / (F.col("n1") * F.col("n2")), 6).alias(
+                "cos"
+            ),
+        )
+        .where(F.col("cos") >= COSINE_DUP_THRESHOLD)
+        .select(F.col("d2").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        assigned.select("vec_id", "cluster")
+        .join(dropped, "vec_id", "left")
+        .select("vec_id", "cluster", F.col("dropped").isNull().alias("kept"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Span-level corpus dedup (C4-style)
 # ---------------------------------------------------------------------------
 
@@ -1101,6 +1176,31 @@ ORACLE_SQL["span_dedup"] = f"""
     FROM ranked WHERE rn = 1 GROUP BY doc_id
 """
 
+def _semantic_dedup_oracle_sql() -> str:
+    """SemDeDup oracle: the unrolled-Lloyd assignment CTEs (shared with the
+    ``kmeans_clusters`` oracle) feeding a within-cluster pair filter."""
+    from big_data_toolkit_spark.operators.similarity import (
+        KMEANS_ITERS,
+        _kmeans_ctes,
+    )
+
+    return f"""
+    WITH {_kmeans_ctes(KMEANS_ITERS)},
+    drops AS (
+      SELECT DISTINCT y.vec_id AS d2
+      FROM afinal x
+      JOIN afinal y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      JOIN embeddings a ON a.vec_id = x.vec_id
+      JOIN embeddings b ON b.vec_id = y.vec_id
+      WHERE round({_COS_AB}, 6) >= {COSINE_DUP_THRESHOLD}
+    )
+    SELECT f.vec_id, f.cluster, (d.d2 IS NULL) AS kept
+    FROM afinal f LEFT JOIN drops d ON f.vec_id = d.d2
+"""
+
+
+ORACLE_SQL["semantic_dedup"] = _semantic_dedup_oracle_sql()
+
 ORACLE_SQL["dedup_components"] = dedup_components_oracle_sql(CC_ITERS)
 # Same oracle for the alternating-star variant: both sides emit each
 # component's true minimum label once the iteration is converged (star
@@ -1118,6 +1218,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_incremental": dedup_incremental,
     "span_dedup": span_dedup,
+    "semantic_dedup": semantic_dedup,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_embedding_ivf": dedup_embedding_ivf,

@@ -282,3 +282,23 @@ def test_span_dedup_drops_repeats(spark):
     n_kept = kept.agg(F.sum("n_kept")).collect()[0][0]
     assert n_distinct < n_total, "corpus should contain duplicate spans"
     assert n_kept == n_distinct
+
+
+def test_semantic_dedup_decision_table(spark):
+    """Drops actually occur at this threshold, every vector gets a decision,
+    and a cluster's minimum vec_id can never be dropped (it has no lower-id
+    witness)."""
+    out = dedup.semantic_dedup(spark, SF_ORACLE).cache()
+    try:
+        n_emb = dedup.load_table(spark, SF_ORACLE, "embeddings").count()
+        assert out.count() == n_emb
+        assert out.where(~F.col("kept")).count() > 0
+        min_dropped = (
+            out.groupBy("cluster")
+            .agg(F.min("vec_id").alias("vec_id"))
+            .join(out.where(~F.col("kept")), ["cluster", "vec_id"])
+            .count()
+        )
+        assert min_dropped == 0
+    finally:
+        out.unpersist()
