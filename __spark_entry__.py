@@ -72,6 +72,8 @@ _DEFERRED = [
     "ranked_retrieval_bm25",  # NEW r6: pytest-oracle-covered, r7 gate entrant
     "span_dedup",  # NEW r6: pytest-oracle-covered, r7 gate entrant
     "semantic_dedup",  # NEW r6: pytest-oracle-covered, r7 gate entrant
+    "dsir_weights",  # NEW r6: pytest-oracle-covered, r7 gate entrant
+    "hybrid_retrieval",  # NEW r6: pytest-oracle-covered, r7 gate entrant
     "event_funnel",  # NEW r6: pytest-oracle-covered, r7 gate entrant
     # -- twice green (r4 + r5), rotating out this round --
     "dedup_components",

@@ -131,6 +131,8 @@ HEADLINE = {
     "span_dedup": dedup.span_dedup,
     "event_funnel": analytics_ext.event_funnel,
     "semantic_dedup": dedup.semantic_dedup,
+    "dsir_weights": quality.dsir_weights,
+    "hybrid_retrieval": inverted_index.hybrid_retrieval,
 }
 
 

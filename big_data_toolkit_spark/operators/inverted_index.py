@@ -250,6 +250,59 @@ def ranked_retrieval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_K = 60
+HYBRID_TOP_K = 10
+
+
+def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rrf): hybrid lexical+semantic retrieval via reciprocal-rank
+    fusion, top-10.
+
+    The modern RAG retrieval shape the reference's boolean engine predates:
+    run the BM25 lexical leg (query terms) and an ANN semantic leg (the
+    query embedding, through the IVF index — the 100 TB path, not brute
+    force; ``embeddings.vec_id`` is 1:1 with ``documents.doc_id``) and fuse
+    with RRF (Cormack et al. 2009):
+
+        rrf(d) = Σ_legs 1/(k + rank_leg(d)),  k = 60
+
+    RRF needs only ranks, which sidesteps cross-leg score calibration —
+    and makes the fusion exactly reproducible: both legs' outputs are
+    deterministic (rounded scores, doc-id tie-breaks), so the ranks and
+    the tiny rational sums are bit-identical cross-engine. Each leg is
+    top-k (TakeOrderedAndProject); the fusion is a full outer join of two
+    k-row sets — driver-scale work after distributed retrieval.
+    """
+    from big_data_toolkit_spark.operators.similarity import knn_ivf
+
+    lex = ranked_retrieval_bm25(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .alias("r_lex"),
+    )
+    sem = knn_ivf(spark, sf_dir).select(
+        F.col("vec_id").alias("sem_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("sim"), "vec_id"))
+        .alias("r_sem"),
+    )
+    fused = lex.join(sem, lex["doc_id"] == sem["sem_id"], "full").select(
+        F.coalesce("doc_id", "sem_id").alias("doc_id"),
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("r_sem")), F.lit(0.0)
+            )
+        ).alias("rrf_raw"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf_raw"), "doc_id")
+        .limit(HYBRID_TOP_K)
+        .select("doc_id", F.round("rrf_raw", 6).alias("rrf"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -341,6 +394,39 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+def _hybrid_oracle_sql() -> str:
+    """RRF oracle composing the two legs' own oracle SQL as nested CTEs, so
+    the fusion is checked against the exact leg definitions (any drift in a
+    leg's oracle flows through automatically)."""
+    from big_data_toolkit_spark.operators import similarity
+
+    return f"""
+    WITH lex0 AS ({ORACLE_SQL["ranked_retrieval_bm25"]}),
+    sem0 AS ({similarity.ORACLE_SQL["knn_ivf"]}),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+      FROM lex0
+    ),
+    sem AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY sim DESC, vec_id) AS r_sem
+      FROM sem0
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, s.vec_id) AS doc_id,
+             coalesce(1.0::DOUBLE / ({RRF_K} + l.r_lex), 0.0::DOUBLE)
+               + coalesce(1.0::DOUBLE / ({RRF_K} + s.r_sem), 0.0::DOUBLE)
+               AS rrf_raw
+      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.vec_id
+    )
+    SELECT doc_id, round(rrf_raw, 6) AS rrf
+    FROM fused ORDER BY rrf_raw DESC, doc_id LIMIT {HYBRID_TOP_K}
+"""
+
+
+ORACLE_SQL["hybrid_retrieval"] = _hybrid_oracle_sql()
+
 QUERIES = {
     "inverted_index": postings,
     "boolean_and": boolean_and,
@@ -348,4 +434,5 @@ QUERIES = {
     "boolean_mixed": boolean_mixed,
     "ranked_retrieval_tfidf": ranked_retrieval_tfidf,
     "ranked_retrieval_bm25": ranked_retrieval_bm25,
+    "hybrid_retrieval": hybrid_retrieval,
 }

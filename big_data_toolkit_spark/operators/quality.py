@@ -196,6 +196,67 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_TARGET_SOURCE = "src0"  # the high-quality "target domain" stand-in
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, dsir_score) — importance weights for data
+    selection, DSIR-style (Xie et al. 2023: Data Selection via Importance
+    Resampling).
+
+    Per-token log importance ratio between a unigram model fit on the
+    TARGET domain (here the ``{DSIR_TARGET_SOURCE}`` source, the
+    high-quality-corpus stand-in) and one fit on the whole corpus, add-one
+    smoothed over the shared vocabulary; a doc's weight is its mean ratio:
+
+        dsir(d) = (1/|d|) Σ_w ln( p_target(w) / p_corpus(w) )
+
+    Docs scoring high look like the target domain — resampling by these
+    weights is the DSIR recipe for tilting a 100 TB crawl toward quality.
+    Fit and score in one plan (the ``unigram_logprob`` pattern): ONE
+    aggregation computes both models' counts (the target count is a
+    conditional sum riding the same shuffle), totals are a one-row in-plan
+    broadcast, each token instance joins its ratio through the vocab-sized
+    dictionary, and the per-doc sum folds over the SORTED ratio list so
+    float addition order is pinned cross-engine. All count arithmetic is
+    exact integers; the two divisions and one ``ln`` are written with
+    identical expression trees in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(tokenize("text")).alias("token")
+    )
+    cnts = toks.groupBy("token").agg(
+        F.count("*").alias("cc"),
+        F.sum(
+            F.when(F.col("source") == DSIR_TARGET_SOURCE, 1).otherwise(0)
+        ).alias("ct"),
+    )
+    totals = cnts.agg(
+        F.sum("cc").alias("nc"), F.sum("ct").alias("nt"), F.count("*").alias("v")
+    )
+    lw = F.log(
+        ((F.col("ct") + F.lit(1)) / (F.col("nt") + F.col("v")))
+        / ((F.col("cc") + F.lit(1)) / (F.col("nc") + F.col("v")))
+    )
+    per_doc = (
+        toks.join(cnts, "token")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", lw.alias("lw"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sort_array(F.collect_list("lw")).alias("ws"),
+        )
+    )
+    fold = F.expr("aggregate(ws, 0D, (acc, v) -> acc + v)")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(fold / F.col("n_tokens"), 6).alias("dsir_score"),
+    )
+
+
 BENCHMARK_MOD = 50  # doc_id % 50 == 0 → the stand-in held-out benchmark set
 
 
@@ -435,6 +496,34 @@ ORACLE_SQL: dict[str, str] = {
                     ELSE 0.0 END AS dup_bigram_ratio
         FROM x
     """,
+    "dsir_weights": f"""
+        WITH toks AS (
+          SELECT doc_id, source, unnest({_T}) AS token FROM documents
+        ),
+        cnts AS (
+          SELECT token, count(*) AS cc,
+                 sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}'
+                          THEN 1 ELSE 0 END) AS ct
+          FROM toks GROUP BY token
+        ),
+        tot AS (
+          SELECT sum(cc) AS nc, sum(ct) AS nt, count(*) AS v FROM cnts
+        ),
+        lw AS (
+          SELECT t.doc_id,
+                 ln(((c.ct + 1) / (tot.nt + tot.v))
+                    / ((c.cc + 1) / (tot.nc + tot.v))) AS lw
+          FROM toks t JOIN cnts c USING (token), tot
+        ),
+        per AS (
+          SELECT doc_id, count(*) AS n_tokens,
+                 list_sort(list(lw)) AS ws
+          FROM lw GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens,
+               round(list_sum(ws) / n_tokens, 6) AS dsir_score
+        FROM per
+    """,
     "unigram_logprob": f"""
         WITH toks AS (
           SELECT doc_id, unnest({_T}) AS token FROM documents
@@ -544,6 +633,7 @@ QUERIES = {
     "fingerprint": fingerprint,
     "repetition_score": repetition_score,
     "unigram_logprob": unigram_logprob,
+    "dsir_weights": dsir_weights,
     "benchmark_contamination": benchmark_contamination,
     "quality_quantile_filter": quality_quantile_filter,
     "corpus_stats_by_source": corpus_stats_by_source,

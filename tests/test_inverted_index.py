@@ -88,3 +88,15 @@ def test_bm25_scores_positive_descending(spark):
     scores = [r["score"] for r in rows]
     assert all(s > 0 for s in scores)
     assert scores == sorted(scores, reverse=True)
+
+
+def test_hybrid_subset_of_legs_and_ordered(spark):
+    from big_data_toolkit_spark.operators.similarity import knn_ivf
+
+    fused = ii.hybrid_retrieval(spark, SF_SMOKE).collect()
+    assert 0 < len(fused) <= ii.HYBRID_TOP_K
+    rrfs = [r["rrf"] for r in fused]
+    assert rrfs == sorted(rrfs, reverse=True)
+    lex_ids = {r["doc_id"] for r in ii.ranked_retrieval_bm25(spark, SF_SMOKE).collect()}
+    sem_ids = {r["vec_id"] for r in knn_ivf(spark, SF_SMOKE).collect()}
+    assert {r["doc_id"] for r in fused} <= (lex_ids | sem_ids)

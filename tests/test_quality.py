@@ -93,3 +93,24 @@ def test_redaction_is_idempotent(spark):
     )
     diff = first.exceptAll(again)
     assert diff.isEmpty()
+
+
+def test_dsir_target_scores_higher(spark):
+    """Docs FROM the target source must average a higher importance weight
+    than the rest of the corpus — they are the distribution being matched."""
+    import pyspark.sql.functions as F
+
+    from big_data_toolkit_spark.catalog import load_table
+
+    scores = quality.dsir_weights(spark, SF_ORACLE)
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "source")
+    joined = scores.join(docs, "doc_id")
+    means = {
+        r["is_target"]: r["m"]
+        for r in joined.groupBy(
+            (F.col("source") == quality.DSIR_TARGET_SOURCE).alias("is_target")
+        )
+        .agg(F.avg("dsir_score").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
