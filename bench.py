@@ -133,6 +133,8 @@ HEADLINE = {
     "semantic_dedup": dedup.semantic_dedup,
     "dsir_weights": quality.dsir_weights,
     "hybrid_retrieval": inverted_index.hybrid_retrieval,
+    "triangle_count": pagerank.triangle_count,
+    "user_value_moving_avg": relational_ext.user_value_moving_avg,
 }
 
 

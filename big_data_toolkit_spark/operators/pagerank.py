@@ -270,5 +270,108 @@ ORDER BY "rank" DESC, node LIMIT {k}"""
     return sql
 
 
-QUERIES = {"pagerank_top20": pagerank_top20}
-ORACLE_SQL = {"pagerank_top20": pagerank_oracle_sql()}
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_wedges, n_triangles): degree-oriented triangle count of the
+    MinHash near-dup graph — how clique-like the duplicate clusters are.
+
+    Graph-analytics extension beyond the reference's a4 suite (PageRank +
+    partitioning; it has no motif counting). The algorithm is the
+    MapReduce-classic degree orientation (Suri & Vassilvitskii 2011,
+    "Counting Triangles and the Curse of the Last Reducer"): orient every
+    undirected edge from its lower-(degree, id) endpoint to the higher one,
+    build wedges by joining oriented edges on their source, and close each
+    wedge against the canonical edge set. Orientation bounds per-vertex
+    fan-out by O(sqrt(|E|)) — the hub that would emit deg² wedges under
+    naive id-ordering emits almost none, which is exactly the skew that
+    kills the last reducer at 100 TB.
+
+    All-integer arithmetic (no float risk); the two global counts are
+    1-row aggregates crossed into a single row.
+    """
+    from big_data_toolkit_spark.operators.dedup import dedup_minhash_lsh
+
+    e = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    deg = (
+        e.select(F.col("d1").alias("node"))
+        .union(e.select(F.col("d2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ed = e.join(
+        deg.select(F.col("node").alias("d1"), F.col("deg").alias("deg1")), "d1"
+    ).join(
+        deg.select(F.col("node").alias("d2"), F.col("deg").alias("deg2")), "d2"
+    )
+    lower = (F.col("deg1") < F.col("deg2")) | (
+        (F.col("deg1") == F.col("deg2")) & (F.col("d1") < F.col("d2"))
+    )
+    o = ed.select(
+        F.when(lower, F.col("d1")).otherwise(F.col("d2")).alias("src"),
+        F.when(lower, F.col("d2")).otherwise(F.col("d1")).alias("dst"),
+        F.when(lower, F.col("deg2")).otherwise(F.col("deg1")).alias("deg_dst"),
+    )
+    x = o.select(
+        "src", F.col("dst").alias("a"), F.col("deg_dst").alias("dega")
+    )
+    y = o.select(
+        "src", F.col("dst").alias("b"), F.col("deg_dst").alias("degb")
+    )
+    wedges = (
+        x.join(y, "src")
+        .where(
+            (F.col("dega") < F.col("degb"))
+            | ((F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b")))
+        )
+        .select("a", "b")
+    )
+    closed = wedges.join(
+        e,
+        (F.col("d1") == F.least("a", "b")) & (F.col("d2") == F.greatest("a", "b")),
+    )
+    return (
+        wedges.agg(F.count("*").alias("n_wedges"))
+        .crossJoin(closed.agg(F.count("*").alias("n_triangles")))
+    )
+
+
+def _triangle_oracle_sql() -> str:
+    """Same degree orientation over the shared MinHash-pair CTE chain."""
+    from big_data_toolkit_spark.operators.dedup import _MINHASH_CTES
+
+    return f"""
+    WITH {_MINHASH_CTES},
+    e AS (SELECT d1, d2 FROM mh),
+    deg AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT d1 AS node FROM e UNION ALL SELECT d2 AS node FROM e
+      ) GROUP BY node
+    ),
+    o AS (
+      SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.d1 < e.d2)
+                  THEN e.d1 ELSE e.d2 END AS src,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.d1 < e.d2)
+                  THEN e.d2 ELSE e.d1 END AS dst,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.d1 < e.d2)
+                  THEN db.deg ELSE da.deg END AS deg_dst
+      FROM e
+      JOIN deg da ON da.node = e.d1
+      JOIN deg db ON db.node = e.d2
+    ),
+    w AS (
+      SELECT x.dst AS a, y.dst AS b
+      FROM o x JOIN o y ON x.src = y.src
+      WHERE x.deg_dst < y.deg_dst
+         OR (x.deg_dst = y.deg_dst AND x.dst < y.dst)
+    )
+    SELECT (SELECT count(*) FROM w) AS n_wedges,
+           (SELECT count(*)
+            FROM w JOIN e ON e.d1 = least(w.a, w.b)
+                         AND e.d2 = greatest(w.a, w.b)) AS n_triangles
+"""
+
+
+QUERIES = {"pagerank_top20": pagerank_top20, "triangle_count": triangle_count}
+ORACLE_SQL = {
+    "pagerank_top20": pagerank_oracle_sql(),
+    "triangle_count": _triangle_oracle_sql(),
+}

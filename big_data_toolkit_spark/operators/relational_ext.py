@@ -262,6 +262,51 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MOVING_WINDOW_SECONDS = 3600  # trailing 1-hour frame
+
+
+def user_value_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, user_id, sum_cents_1h, n_1h, avg_value_1h): per-event
+    trailing 1-hour moving aggregate of ``value`` within each user's stream.
+
+    The time-RANGE window frame (a frame defined by the ORDER-BY value, not
+    a row count) — the one window-frame type the suite didn't yet cover.
+    The frame sums go through the DECIMAL cents quantization (``_cents``):
+    BIGINT frame sums are addition-order-independent, so the result is
+    exact however Spark's window operator or DuckDB's segment tree
+    associate the additions — a raw-double frame sum would be last-ulp
+    engine-dependent. The ORDER BY key is epoch SECONDS (truncated
+    identically in both engines), so frame membership is unambiguous;
+    RANGE includes same-second peers.
+
+    Scale: one shuffle on user_id, per-user sorted frames — the standard
+    window plan; frame state is one running (sum, count), never the event
+    history.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-(MOVING_WINDOW_SECONDS - 1), 0)
+    )
+    out = ev.select(
+        "event_id",
+        "user_id",
+        F.sum(_cents("value")).over(w).alias("sum_cents_1h"),
+        F.count("*").over(w).alias("n_1h"),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "sum_cents_1h",
+        "n_1h",
+        F.round(
+            F.col("sum_cents_1h").cast("double") / F.lit(100.0) / F.col("n_1h"),
+            6,
+        ).alias("avg_value_1h"),
+    )
+
+
 def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gate + exact dedup over documents — the end-to-end curation pass.
 
@@ -375,6 +420,24 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["user_value_moving_avg"] = f"""
+    SELECT event_id, user_id,
+           sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w
+             AS sum_cents_1h,
+           count(*) OVER w AS n_1h,
+           round(
+             (sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w)
+               ::DOUBLE / 100.0 / (count(*) OVER w),
+             6
+           ) AS avg_value_1h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id
+      ORDER BY epoch_us(ts) // 1000000
+      RANGE BETWEEN {MOVING_WINDOW_SECONDS - 1} PRECEDING AND CURRENT ROW
+    )
+"""
+
 ORACLE_SQL["curated_corpus"] = f"""
     WITH q AS ({quality_ops.ORACLE_SQL["quality_score"]}),
          f AS ({quality_ops.ORACLE_SQL["fingerprint"]})
@@ -395,5 +458,6 @@ QUERIES = {
     "lineitem_stats": lineitem_stats,
     "event_count_sliding": event_count_sliding,
     "user_sessions": user_sessions,
+    "user_value_moving_avg": user_value_moving_avg,
     "curated_corpus": curated_corpus,
 }

@@ -98,3 +98,40 @@ def test_pagerank_oracle_parity(spark):
         pr.ORACLE_SQL["pagerank_top20"],
         SF_SMOKE,
     )
+
+
+def test_triangle_count_oracle(spark):
+    from tests.conftest import SF_ORACLE
+    from tests.oracle_utils import compare
+
+    compare(
+        pr.triangle_count(spark, SF_ORACLE),
+        pr.ORACLE_SQL["triangle_count"],
+        SF_ORACLE,
+    )
+
+
+def test_triangle_count_matches_python_enumeration(spark):
+    """Ground truth: enumerate triangles of the near-dup graph in Python."""
+    from itertools import combinations
+
+    from big_data_toolkit_spark.operators.dedup import dedup_minhash_lsh
+    from tests.conftest import SF_ORACLE
+
+    edges = {
+        (r["d1"], r["d2"])
+        for r in dedup_minhash_lsh(spark, SF_ORACLE).collect()
+    }
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    truth = sum(
+        1
+        for a in adj
+        for b, c in combinations(sorted(adj[a]), 2)
+        if a < b and (b, c) in edges
+    )
+    row = pr.triangle_count(spark, SF_ORACLE).collect()[0]
+    assert row["n_triangles"] == truth
+    assert truth > 0, "near-dup clusters should contain triangles"
