@@ -76,6 +76,7 @@ _DEFERRED = [
     "hybrid_retrieval",  # NEW r6: pytest-oracle-covered, r7 gate entrant
     "triangle_count",  # NEW r6: pytest-oracle-covered, r7 gate entrant
     "user_value_moving_avg",  # NEW r6: pytest-oracle-covered, r7 gate entrant
+    "bigram_logprob",  # NEW r6: pytest-oracle-covered, r7 gate entrant
     "event_funnel",  # NEW r6: pytest-oracle-covered, r7 gate entrant
     # -- twice green (r4 + r5), rotating out this round --
     "dedup_components",

@@ -135,6 +135,7 @@ HEADLINE = {
     "hybrid_retrieval": inverted_index.hybrid_retrieval,
     "triangle_count": pagerank.triangle_count,
     "user_value_moving_avg": relational_ext.user_value_moving_avg,
+    "bigram_logprob": quality.bigram_logprob,
 }
 
 

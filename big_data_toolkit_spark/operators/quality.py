@@ -29,7 +29,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_toolkit_spark.catalog import load_table
-from big_data_toolkit_spark.functions.text import DUCKDB_TOKENS, tokenize
+from big_data_toolkit_spark.functions.text import (
+    DUCKDB_TOKENS,
+    adjacent_pairs,
+    tokenize,
+)
 
 STOPWORDS = ("the", "a", "an", "of", "and", "in", "to", "is", "for", "on")
 EN_THRESHOLD = 0.05  # stopword ratio at/above which we call it English
@@ -193,6 +197,67 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         F.round(fold / F.col("n_tokens"), 6).alias("mean_logprob"),
+    )
+
+
+BIGRAM_LAMBDA = 0.5  # interpolation weight; 0.5 is exactly representable
+
+
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, mean_logprob) — interpolated-bigram LM fluency
+    score, the order-sensitive upgrade of ``unigram_logprob``.
+
+    Jelinek-Mercer interpolation: p(b|a) = λ·c(a,b)/c(a) + (1−λ)·c(b)/N
+    with λ = {BIGRAM_LAMBDA} (exactly representable, so the interpolation
+    itself cannot drift cross-engine), fit on the whole corpus and scored
+    in the same plan. A doc's score is its mean log10 p over bigram
+    instances — word-salad shuffles of fluent text keep their unigram
+    score but crater here, which is what makes the bigram model worth its
+    extra dictionary. Docs with fewer than two tokens have no bigrams and
+    are absent, as in the oracle.
+
+    Scale: bigram formation is in-row (``adjacent_pairs`` — no
+    window/lead shuffle); the model is two dictionary aggregations (bigram
+    + unigram counts, both partial-aggregated); scoring joins each
+    instance through those dictionaries with the corpus total as a one-row
+    broadcast; the per-doc sum folds over the SORTED logp list (pinned
+    float order).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize("text").alias("t"))
+    bg = (
+        toks.where(F.size("t") >= 2)
+        .select("doc_id", F.explode(adjacent_pairs("t")).alias("p"))
+        .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    cu = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cu"))
+    )
+    cb = bg.groupBy("a", "b").agg(F.count("*").alias("cb"))
+    total = cu.agg(F.sum("cu").alias("n"))
+    logp = F.log10(
+        F.lit(BIGRAM_LAMBDA) * (F.col("cb") / F.col("ca"))
+        + F.lit(1.0 - BIGRAM_LAMBDA) * (F.col("cub") / F.col("n"))
+    )
+    per_doc = (
+        bg.join(cb, ["a", "b"])
+        .join(cu.select(F.col("w").alias("a"), F.col("cu").alias("ca")), "a")
+        .join(cu.select(F.col("w").alias("b"), F.col("cu").alias("cub")), "b")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", logp.alias("logp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sort_array(F.collect_list("logp")).alias("lps"),
+        )
+    )
+    fold = F.expr("aggregate(lps, 0D, (acc, v) -> acc + v)")
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(fold / F.col("n_bigrams"), 6).alias("mean_logprob"),
     )
 
 
@@ -496,6 +561,40 @@ ORACLE_SQL: dict[str, str] = {
                     ELSE 0.0 END AS dup_bigram_ratio
         FROM x
     """,
+    "bigram_logprob": f"""
+        WITH toks AS (SELECT doc_id, {_T} AS t FROM documents),
+        cu AS (
+          SELECT w, count(*) AS cu
+          FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+        ),
+        tot AS (SELECT sum(cu) AS n FROM cu),
+        bgf AS (
+          SELECT doc_id, e.a AS a, e.b AS b
+          FROM (
+            SELECT doc_id,
+                   unnest([{{'a': t[i - 1], 'b': t[i]}}
+                           for i in range(2, len(t) + 1)]) AS e
+            FROM toks WHERE len(t) >= 2
+          )
+        ),
+        cb AS (SELECT a, b, count(*) AS cb FROM bgf GROUP BY a, b),
+        lp AS (
+          SELECT g.doc_id,
+                 log10({BIGRAM_LAMBDA} * (c.cb / ca.cu)
+                       + {1.0 - BIGRAM_LAMBDA} * (cbu.cu / tot.n)) AS logp
+          FROM bgf g
+          JOIN cb c USING (a, b)
+          JOIN cu ca ON ca.w = g.a
+          JOIN cu cbu ON cbu.w = g.b, tot
+        ),
+        per AS (
+          SELECT doc_id, count(*) AS n_bigrams, list_sort(list(logp)) AS lps
+          FROM lp GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams,
+               round(list_sum(lps) / n_bigrams, 6) AS mean_logprob
+        FROM per
+    """,
     "dsir_weights": f"""
         WITH toks AS (
           SELECT doc_id, source, unnest({_T}) AS token FROM documents
@@ -634,6 +733,7 @@ QUERIES = {
     "repetition_score": repetition_score,
     "unigram_logprob": unigram_logprob,
     "dsir_weights": dsir_weights,
+    "bigram_logprob": bigram_logprob,
     "benchmark_contamination": benchmark_contamination,
     "quality_quantile_filter": quality_quantile_filter,
     "corpus_stats_by_source": corpus_stats_by_source,
