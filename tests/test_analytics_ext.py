@@ -95,3 +95,16 @@ def test_event_funnel_monotone_and_ordered(spark):
         .count()
     )
     assert users[0] == viewers
+
+
+def test_event_funnel_filters_pushed_to_scan(spark):
+    """Each stage's event_type filter must reach the parquet scan."""
+    plan = (
+        ax.event_funnel(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for stage in ax.FUNNEL_STAGES:
+        assert stage in plan, f"missing pushed filter for {stage}"
+    assert "PushedFilters: [" in plan

@@ -302,3 +302,16 @@ def test_semantic_dedup_decision_table(spark):
         assert min_dropped == 0
     finally:
         out.unpersist()
+
+
+def test_span_dedup_no_window_operator(spark):
+    """Winner selection must be the partial-aggregated groupBy(span).min,
+    never a window sort over span text."""
+    plan = (
+        dedup.span_dedup(spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "partial_min" in plan

@@ -114,3 +114,16 @@ def test_dsir_target_scores_higher(spark):
         .collect()
     }
     assert means[True] > means[False]
+
+
+def test_bigram_logprob_no_window_no_udf(spark):
+    """Bigram formation is in-row (adjacent_pairs) and everything stays
+    JVM-side: no Window operator, no Python eval in the plan."""
+    plan = (
+        quality.bigram_logprob(spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
