@@ -62,22 +62,27 @@ _MODULES = [
 # dedup_components also halves the ~120 s/side DuckDB components-oracle
 # cost, star now carrying that oracle's driver row).  Also kept in the
 # head: shard_pack and image_features (repaired in r5, only once green).
-# Every deferred query remains registered and pytest-oracle-covered
+# Late-r6 amendment: the TEN queries added after that plan was written
+# (knn_ivf_trained .. event_funnel) also enter the head for first driver
+# rows — their slots come from ten thrice-green (r1+r2+r5) heavyweights
+# deferred below, all with fresh r5 rows (valid through r7).  Every
+# deferred query remains registered and pytest-oracle-covered
 # (tests/oracle_utils.compare replicates the driver's comparison).
 _DEFERRED = [
     "sgd_train",  # no_oracle by design: rows-only check, seen r01+r02
     "sgd_score",  # no_oracle by design: rows-only check, seen r01+r02
     "event_reach_approx",  # no_oracle by design: rows-only, rows-green r04
-    "knn_ivf_trained",  # NEW r6 (head was full): pytest-oracle-covered, r7 gate entrant
-    "ranked_retrieval_bm25",  # NEW r6: pytest-oracle-covered, r7 gate entrant
-    "span_dedup",  # NEW r6: pytest-oracle-covered, r7 gate entrant
-    "semantic_dedup",  # NEW r6: pytest-oracle-covered, r7 gate entrant
-    "dsir_weights",  # NEW r6: pytest-oracle-covered, r7 gate entrant
-    "hybrid_retrieval",  # NEW r6: pytest-oracle-covered, r7 gate entrant
-    "triangle_count",  # NEW r6: pytest-oracle-covered, r7 gate entrant
-    "user_value_moving_avg",  # NEW r6: pytest-oracle-covered, r7 gate entrant
-    "bigram_logprob",  # NEW r6: pytest-oracle-covered, r7 gate entrant
-    "event_funnel",  # NEW r6: pytest-oracle-covered, r7 gate entrant
+    # -- thrice green (r1+r2+r5), deferred to admit the ten new r6 queries --
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "knn_lsh",
+    "ivf_assignments",
+    "knn_ivf",
+    "lang_id",
+    "token_count",
+    "fingerprint",
+    "event_count_hourly",
     # -- twice green (r4 + r5), rotating out this round --
     "dedup_components",
     "event_reach",

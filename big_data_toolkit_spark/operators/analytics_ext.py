@@ -285,6 +285,107 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts[0].union(counts[1]).union(counts[2]).orderBy("stage_idx")
 
 
+MIN_ANOMALY_DAYS = 7
+ANOMALY_SIGMAS = 3
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort_week, week_offset, n_users, retention): weekly cohort retention.
+
+    Product-analytics staple beyond the reference (its streaming layer counts
+    per-window events but never tracks a user's lifetime): users are grouped
+    by the week of their FIRST event; each later week they are active counts
+    toward that cohort's retention at offset = (week - cohort_week)/7.
+
+    Scale shape: one shuffle on ``user_id`` builds first-seen weeks, the
+    distinct (user, week) activity set partial-aggregates on the same scan,
+    and their equi-join carries (user_id, two dates). The retention divisor
+    is a window max over the |cohorts| × |offsets| aggregate — tens of rows
+    regardless of fact size. Ratio pinned as one double division (exact
+    BIGINT counts in, one rounding) so both engines agree bit-for-bit.
+    """
+    events = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    first_seen = (
+        events.select("user_id", week.alias("week"))
+        .groupBy("user_id")
+        .agg(F.min("week").alias("cohort_week"))
+    )
+    active = events.select("user_id", week.alias("week")).distinct()
+    counts = (
+        active.join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / F.lit(7))
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+    w = Window.partitionBy("cohort_week")
+    size0 = F.max(F.when(F.col("week_offset") == 0, F.col("n_users"))).over(w)
+    return counts.select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        F.round(F.col("n_users").cast("double") / size0, 6).alias("retention"),
+    )
+
+
+def user_activity_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, day, n_events, z): days where a user's event count exceeds
+    their own mean by more than 3 population-σ.
+
+    Per-entity outlier detection over the fact stream — the batch form of a
+    monitoring rule the reference's streaming trend-alert (ST5) only
+    approximates with fixed thresholds. The filter is evaluated in EXACT
+    integer arithmetic so the cut is bit-identical across engines:
+
+        cnt > mean + 3σ   ⇔   d > 0  AND  d² > 9·D
+        where d = cnt·n − sum,  D = n·sumsq − sum²   (all BIGINT)
+
+    (σ_pop = sqrt(D)/n; multiplying through by n² clears every division.)
+    Only the REPORTED z = d/sqrt(D) touches floats: one division over one
+    correctly-rounded sqrt, rounded to 6 — no accumulation-order risk.
+
+    Scale shape: (user, day) counts partial-aggregate on the scan; the
+    per-user moment pass is a second shuffle on ``user_id`` only; the join
+    back is user-keyed and AQE-sized. No window over raw events, no floats
+    in any aggregate.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count("*").alias("n_events"))
+    )
+    moments = daily.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("sq"),
+    )
+    d = F.col("n_events") * F.col("n") - F.col("s")
+    big_d = F.col("n") * F.col("sq") - F.col("s") * F.col("s")
+    return (
+        daily.join(moments, "user_id")
+        .where(
+            (F.col("n") >= MIN_ANOMALY_DAYS)
+            & (big_d > 0)
+            & (d > 0)
+            & (d * d > F.lit(ANOMALY_SIGMAS * ANOMALY_SIGMAS) * big_d)
+        )
+        .select(
+            "user_id",
+            "day",
+            "n_events",
+            F.round(
+                d.cast("double") / F.sqrt(big_d.cast("double")), 6
+            ).alias("z"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -371,6 +472,49 @@ ORACLE_SQL: dict[str, str] = {
                count(DISTINCT user_id) AS n_users,
                count(*) AS n_events
         FROM events GROUP BY event_type
+    """,
+    "retention_cohorts": """
+        WITH ww AS (
+          SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+          FROM events
+        ),
+        first_seen AS (
+          SELECT user_id, min(week) AS cohort_week FROM ww GROUP BY user_id
+        ),
+        active AS (SELECT DISTINCT user_id, week FROM ww),
+        counts AS (
+          SELECT f.cohort_week,
+                 CAST(date_diff('day', f.cohort_week, a.week) / 7 AS BIGINT)
+                   AS week_offset,
+                 count(*) AS n_users
+          FROM active a JOIN first_seen f USING (user_id)
+          GROUP BY 1, 2
+        )
+        SELECT cohort_week, week_offset, n_users,
+               round(CAST(n_users AS DOUBLE) /
+                     max(CASE WHEN week_offset = 0 THEN n_users END)
+                       OVER (PARTITION BY cohort_week), 6) AS retention
+        FROM counts
+    """,
+    "user_activity_anomalies": f"""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events
+          FROM events GROUP BY 1, 2
+        ),
+        moments AS (
+          SELECT user_id, count(*) AS n, sum(n_events) AS s,
+                 sum(n_events * n_events) AS sq
+          FROM daily GROUP BY user_id
+        )
+        SELECT d.user_id, d.day, d.n_events,
+               round(CAST(d.n_events * m.n - m.s AS DOUBLE) /
+                     sqrt(CAST(m.n * m.sq - m.s * m.s AS DOUBLE)), 6) AS z
+        FROM daily d JOIN moments m USING (user_id)
+        WHERE m.n >= {MIN_ANOMALY_DAYS}
+          AND m.n * m.sq - m.s * m.s > 0
+          AND d.n_events * m.n - m.s > 0
+          AND (d.n_events * m.n - m.s) * (d.n_events * m.n - m.s)
+              > {ANOMALY_SIGMAS * ANOMALY_SIGMAS} * (m.n * m.sq - m.s * m.s)
     """,
     "event_funnel": """
         WITH v AS (
