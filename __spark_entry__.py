@@ -72,6 +72,9 @@ _DEFERRED = [
     "sgd_train",  # no_oracle by design: rows-only check, seen r01+r02
     "sgd_score",  # no_oracle by design: rows-only check, seen r01+r02
     "event_reach_approx",  # no_oracle by design: rows-only, rows-green r04
+    # -- NEW post-amendment (head full at 50): pytest-oracle-covered, r7 entrants --
+    "retention_cohorts",
+    "user_activity_anomalies",
     # -- thrice green (r1+r2+r5), deferred to admit the ten new r6 queries --
     "dedup_exact",
     "dedup_ngram_jaccard",

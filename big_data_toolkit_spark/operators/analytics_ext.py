@@ -553,5 +553,7 @@ QUERIES = {
     "json_props_stats": json_props_stats,
     "event_reach": event_reach,
     "event_funnel": event_funnel,
+    "retention_cohorts": retention_cohorts,
+    "user_activity_anomalies": user_activity_anomalies,
     "event_reach_approx": event_reach_approx,  # rows-only (sketches)
 }

@@ -108,3 +108,56 @@ def test_event_funnel_filters_pushed_to_scan(spark):
     for stage in ax.FUNNEL_STAGES:
         assert stage in plan, f"missing pushed filter for {stage}"
     assert "PushedFilters: [" in plan
+
+
+def test_retention_cohorts_invariants(spark):
+    """Offset 0 is always retention 1.0 (a user is active in their own first
+    week), every retention is in (0, 1], and offsets are non-negative."""
+    rows = ax.retention_cohorts(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["week_offset"] >= 0
+        assert 0.0 < r["retention"] <= 1.0
+        if r["week_offset"] == 0:
+            assert r["retention"] == 1.0
+
+
+def test_retention_no_window_over_raw_events(spark):
+    """The window divisor runs over the cohort aggregate, not raw events:
+    the only exchanges are the two key shuffles + the tiny window one."""
+    plan = (
+        ax.retention_cohorts(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_user_activity_anomalies_are_extreme_days(spark):
+    """Every flagged day must exceed the user's own mean by > 3 population-σ,
+    recomputed independently here from the daily counts."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from big_data_toolkit_spark.catalog import load_table
+
+    flagged = ax.user_activity_anomalies(spark, SF_ORACLE).collect()
+    assert flagged  # the distribution must actually produce outliers
+    daily = (
+        load_table(spark, SF_ORACLE, "events")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .count()
+        .collect()
+    )
+    by_user: dict[int, list[int]] = {}
+    for r in daily:
+        by_user.setdefault(r["user_id"], []).append(r["count"])
+    for r in flagged:
+        counts = by_user[r["user_id"]]
+        assert len(counts) >= ax.MIN_ANOMALY_DAYS
+        mu = statistics.fmean(counts)
+        sigma = statistics.pstdev(counts)
+        assert r["n_events"] > mu + ax.ANOMALY_SIGMAS * sigma
+        assert r["z"] > ax.ANOMALY_SIGMAS
