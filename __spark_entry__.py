@@ -75,6 +75,7 @@ _DEFERRED = [
     # -- NEW post-amendment (head full at 50): pytest-oracle-covered, r7 entrants --
     "retention_cohorts",
     "user_activity_anomalies",
+    "keyword_extraction",
     # -- thrice green (r1+r2+r5), deferred to admit the ten new r6 queries --
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -197,6 +197,54 @@ def bigram_relative_frequency_stripes(spark: SparkSession, sf_dir: str) -> DataF
 
 
 # ---------------------------------------------------------------------------
+KEYWORDS_PER_DOC = 3
+
+
+def keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rank, term, score): top-3 tf-idf keywords for every document.
+
+    Corpus-wide keyword tagging — the per-document generalization of
+    ``ranked_retrieval_tfidf`` (which scores 3 pinned query terms): here
+    EVERY term competes, so df comes from a window count over the full
+    (term, doc) tf table rather than a 3-term filter. Two shuffles total:
+    the (term, doc_id) tf aggregation reshuffled once by term for df, once
+    by doc_id for the top-3 window; the ``rank <= 3`` cut on ``row_number``
+    is a WindowGroupLimit — Spark prunes to 3 rows per doc map-side before
+    the exchange, so the second shuffle carries O(3·|docs|) rows, not |tf|.
+    Scoring expression is the identical double both engines evaluate
+    (ints in, one log10, one multiply); ties break lexically on the term,
+    making the cut deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    n_docs = docs.agg(F.count("*").alias("n"))
+    tf = (
+        _doc_tokens(spark, sf_dir)
+        .select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = (
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log10(F.col("n").cast("double") / F.col("df"))).alias(
+                "w"
+            ),
+        )
+    )
+    top = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(top).cast("long"))
+        .where(F.col("rank") <= KEYWORDS_PER_DOC)
+        .select("doc_id", "rank", "term", F.round("w", 6).alias("score"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
 
@@ -267,6 +315,28 @@ ORACLE_SQL: dict[str, str] = {
         JOIN word_counts wb ON p.b = wb.w
         CROSS JOIN n
     """,
+    "keyword_extraction": f"""
+        WITH tf AS (
+          SELECT doc_id, word AS term, count(*) AS tf
+          FROM (SELECT doc_id, unnest({_TOKENS}) AS word FROM documents)
+          GROUP BY doc_id, word
+        ),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT doc_id, term,
+                 tf * log10(CAST(n.n AS DOUBLE) /
+                            (count(*) OVER (PARTITION BY term))) AS w
+          FROM tf CROSS JOIN n
+        )
+        SELECT doc_id, rank, term, round(w, 6) AS score
+        FROM (
+          SELECT doc_id, term, w,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY w DESC, term) AS rank
+          FROM scored
+        )
+        WHERE rank <= {KEYWORDS_PER_DOC}
+    """,
 }
 
 QUERIES = {
@@ -274,4 +344,5 @@ QUERIES = {
     "next_word_after": next_word_after,
     "bigram_relative_frequency": bigram_relative_frequency,
     "pmi_pairs": pmi_pairs,
+    "keyword_extraction": keyword_extraction,
 }

@@ -9,7 +9,7 @@ from big_data_toolkit_spark.functions.text import (
     tokenize,
 )
 from big_data_toolkit_spark.operators import text_analytics as ta
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 from tests.oracle_utils import compare
 
 
@@ -63,3 +63,20 @@ def test_pmi_unigram_joins_unhinted(spark):
     assert logical.count("JoinHint") <= 1 and logical.count("BROADCAST") <= 1, (
         logical
     )
+
+
+def test_keyword_extraction_shape_and_prune(spark):
+    """Exactly <=3 keywords per doc, ranks 1..k dense from 1, and the
+    row_number cut plans as WindowGroupLimit (map-side 3-row prune per doc
+    before the doc_id exchange)."""
+    df = ta.keyword_extraction(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    rows = df.collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["rank"])
+    assert by_doc
+    for ranks in by_doc.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= ta.KEYWORDS_PER_DOC
