@@ -76,6 +76,7 @@ _DEFERRED = [
     "retention_cohorts",
     "user_activity_anomalies",
     "keyword_extraction",
+    "kcore_subgraph",
     # -- thrice green (r1+r2+r5), deferred to admit the ten new r6 queries --
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -370,8 +370,115 @@ def _triangle_oracle_sql() -> str:
 """
 
 
-QUERIES = {"pagerank_top20": pagerank_top20, "triangle_count": triangle_count}
+KCORE_K = 2
+KCORE_MAX_ROUNDS = 12
+
+
+def kcore_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, core_deg): the 2-core of the MinHash near-dup graph — every
+    node's degree after iteratively peeling all degree-<2 nodes.
+
+    Third graph-analytics extension (with PageRank and triangle counting):
+    the k-core is the standard "dense part" extractor — tree-like tendrils
+    of weakly-linked near-dups peel away, leaving the mutually-duplicated
+    clusters worth human review. Peeling is the textbook fixpoint
+    (Matula & Beck 1983): drop nodes with degree < k, recompute, repeat.
+
+    Scale shape: each round is ONE degree aggregate + one semi-join-shaped
+    filter over the CURRENT edge set — which only shrinks — with the edge
+    set ``localCheckpoint``-ed per round so lineage stays flat. Convergence
+    is an exact edge-count probe: successive edge sets are subsets, so an
+    equal count IS set equality (no probabilistic signature needed, unlike
+    ``star_components``). Exhausting ``KCORE_MAX_ROUNDS`` raises rather
+    than returning an unpeeled (wrong) core; the oracle unrolls the same
+    round count, and rounds past the fixpoint are identity, so any
+    in-budget convergence matches it.
+    """
+    from big_data_toolkit_spark.operators.dedup import dedup_minhash_lsh
+
+    edges = (
+        dedup_minhash_lsh(spark, sf_dir).select("d1", "d2").localCheckpoint()
+    )
+    n_edges = edges.count()
+    converged = False
+    for _ in range(KCORE_MAX_ROUNDS):
+        deg = (
+            edges.select(F.col("d1").alias("node"))
+            .union(edges.select(F.col("d2").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= KCORE_K).select("node")
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "d1"), "d1")
+            .join(keep.withColumnRenamed("node", "d2"), "d2")
+            .select("d1", "d2")
+            .localCheckpoint()
+        )
+        n_next = edges.count()
+        if n_next == n_edges:
+            converged = True
+            break
+        n_edges = n_next
+    if not converged:
+        raise RuntimeError(
+            f"kcore_subgraph did not reach a fixpoint within "
+            f"{KCORE_MAX_ROUNDS} peel rounds — refusing to return an "
+            "unpeeled core (each round strictly shrinks the edge set, so "
+            "this many rounds means a pathologically deep peel hierarchy; "
+            "raise KCORE_MAX_ROUNDS and the oracle's unroll together)"
+        )
+    return (
+        edges.select(F.col("d1").alias("doc_id"))
+        .union(edges.select(F.col("d2").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("core_deg"))
+    )
+
+
+def _kcore_oracle_sql(k: int = KCORE_K, rounds: int = KCORE_MAX_ROUNDS) -> str:
+    """Peel loop unrolled as CTEs e0..eN over the shared MinHash pair chain.
+
+    Rounds at/past the Spark fixpoint are identity filters, so the fixed
+    unroll equals any earlier convergence; the Spark side raises if it ever
+    needs more than ``rounds``. Every e{{i}} is MATERIALIZED: each round
+    references its predecessor three times (degree table twice + the edge
+    filter), so DuckDB's default inline-per-reference expansion would
+    re-evaluate the whole chain 3^rounds times — materialization is the
+    oracle-side analogue of the Spark loop's ``localCheckpoint``.
+    """
+    from big_data_toolkit_spark.operators.dedup import _MINHASH_CTES
+
+    sql = f"""
+    WITH {_MINHASH_CTES},
+    e0 AS MATERIALIZED (SELECT d1, d2 FROM mh)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+    d{i - 1} AS MATERIALIZED (
+      SELECT node, count(*) AS deg FROM (
+        SELECT d1 AS node FROM e{i - 1}
+        UNION ALL SELECT d2 AS node FROM e{i - 1}
+      ) GROUP BY node
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT e.d1, e.d2 FROM e{i - 1} e
+      JOIN d{i - 1} a ON a.node = e.d1 AND a.deg >= {k}
+      JOIN d{i - 1} b ON b.node = e.d2 AND b.deg >= {k}
+    )"""
+    sql += f"""
+    SELECT node AS doc_id, count(*) AS core_deg FROM (
+      SELECT d1 AS node FROM e{rounds} UNION ALL SELECT d2 AS node FROM e{rounds}
+    ) GROUP BY node"""
+    return sql
+
+
+QUERIES = {
+    "pagerank_top20": pagerank_top20,
+    "triangle_count": triangle_count,
+    "kcore_subgraph": kcore_subgraph,
+}
 ORACLE_SQL = {
     "pagerank_top20": pagerank_oracle_sql(),
     "triangle_count": _triangle_oracle_sql(),
+    "kcore_subgraph": _kcore_oracle_sql(),
 }

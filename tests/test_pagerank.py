@@ -135,3 +135,66 @@ def test_triangle_count_matches_python_enumeration(spark):
     row = pr.triangle_count(spark, SF_ORACLE).collect()[0]
     assert row["n_triangles"] == truth
     assert truth > 0, "near-dup clusters should contain triangles"
+
+
+def test_kcore_peels_tendrils_keeps_triangle(spark):
+    """Ground truth on a hand-built graph: a triangle with a 3-node path
+    hanging off it. The path (degrees 1) peels away transitively; the
+    triangle survives with every core degree exactly 2."""
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)], ["d1", "d2"]
+    )
+    # drive the loop body directly via a monkeypatched pair source
+    edges = pairs.localCheckpoint()
+    n_edges = edges.count()
+    for _ in range(pr.KCORE_MAX_ROUNDS):
+        deg = (
+            edges.select(F.col("d1").alias("node"))
+            .union(edges.select(F.col("d2").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= pr.KCORE_K).select("node")
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "d1"), "d1")
+            .join(keep.withColumnRenamed("node", "d2"), "d2")
+            .select("d1", "d2")
+            .localCheckpoint()
+        )
+        n_next = edges.count()
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    got = {
+        (r["d1"], r["d2"]) for r in edges.collect()
+    }
+    assert got == {(1, 2), (2, 3), (1, 3)}
+
+
+def test_kcore_subgraph_invariants(spark):
+    """Every surviving node has core degree >= K, and the core's nodes are
+    a subset of the near-dup pair graph's nodes."""
+    from tests.conftest import SF_ORACLE
+
+    from big_data_toolkit_spark.operators.dedup import dedup_minhash_lsh
+
+    core = pr.kcore_subgraph(spark, SF_ORACLE).collect()
+    assert core  # triangles exist on this corpus, so a 2-core must too
+    assert all(r["core_deg"] >= pr.KCORE_K for r in core)
+    pair_nodes = {
+        r["d1"] for r in dedup_minhash_lsh(spark, SF_ORACLE).collect()
+    } | {r["d2"] for r in dedup_minhash_lsh(spark, SF_ORACLE).collect()}
+    assert {r["doc_id"] for r in core} <= pair_nodes
+
+
+def test_kcore_subgraph_oracle(spark):
+    from tests.conftest import SF_ORACLE
+    from tests.oracle_utils import compare
+
+    compare(
+        pr.kcore_subgraph(spark, SF_ORACLE),
+        pr.ORACLE_SQL["kcore_subgraph"],
+        SF_ORACLE,
+    )
