@@ -77,6 +77,7 @@ _DEFERRED = [
     "user_activity_anomalies",
     "keyword_extraction",
     "kcore_subgraph",
+    "knn_int8",
     # -- thrice green (r1+r2+r5), deferred to admit the ten new r6 queries --
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -617,6 +617,101 @@ ORACLE_SQL["knn_ivf_trained"] = f"""
     LIMIT {TOP_K}
 """
 
+INT8_LEVELS = 127.0
+
+
+def knn_int8(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = QUERY_VEC_ID, k: int = TOP_K
+) -> DataFrame:
+    """(vec_id, sim): top-k by cosine over INT8 scalar-quantized vectors.
+
+    The memory/bandwidth side of ANN that LSH/IVF don't address: at 100 TB
+    the embedding column dominates scan cost, and symmetric scalar
+    quantization (q_i = floor(x_i · 127/max|x| + 0.5)) shrinks it 4× while
+    cosine — scale-invariant — is nearly unchanged. Bonus for a
+    cross-engine gate: the quantized dot product and norms are EXACT
+    integer arithmetic (|q|≤127, so no overflow until dim ~10^14), so the
+    only floats anywhere are the per-vector scale (one max fold — order-
+    independent — and one division) and the final score division; every
+    step is the same IEEE expression in both engines.
+
+    Plan shape mirrors ``knn_brute_force``: one scan, quantization in-row
+    (Catalyst higher-order functions, no UDF), 1-row broadcast query,
+    TakeOrderedAndProject top-k. Zero shuffles.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ma = F.expr("aggregate(embedding, 0D, (acc, y) -> greatest(acc, abs(double(y))))")
+    q8 = (
+        emb.select("vec_id", "embedding", ma.alias("ma"))
+        .where(F.col("ma") > 0)
+        .select(
+            "vec_id",
+            "embedding",
+            (F.lit(INT8_LEVELS) / F.col("ma")).alias("s"),
+        )
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> "
+                "cast(floor(double(x) * s + 0.5D) as bigint))"
+            ).alias("q8"),
+        )
+        .withColumn(
+            "nrm",
+            F.expr("aggregate(transform(q8, x -> x * x), 0L, (acc, v) -> acc + v)"),
+        )
+    )
+    query = q8.where(F.col("vec_id") == query_vec_id).select(
+        F.col("q8").alias("qq"), F.col("nrm").alias("qn")
+    )
+    dot = F.expr("aggregate(zip_with(q8, qq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+    return (
+        q8.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            F.round(
+                dot.cast("double")
+                / (F.sqrt(F.col("nrm").cast("double")) * F.sqrt(F.col("qn").cast("double"))),
+                6,
+            ).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(k)
+    )
+
+
+ORACLE_SQL["knn_int8"] = f"""
+    WITH scaled AS (
+      SELECT vec_id, embedding,
+             {INT8_LEVELS} /
+             list_max(list_transform(embedding, y -> abs(y::DOUBLE))) AS s
+      FROM embeddings
+      WHERE list_max(list_transform(embedding, y -> abs(y::DOUBLE))) > 0
+    ),
+    n8 AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(x::DOUBLE * s + 0.5) AS BIGINT)) AS q8
+      FROM scaled
+    ),
+    w8 AS (
+      SELECT vec_id, q8,
+             CAST(list_sum(list_transform(q8, x -> x * x)) AS BIGINT) AS nrm
+      FROM n8
+    ),
+    q AS (SELECT q8 AS qq, nrm AS qn FROM w8 WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id,
+           round(CAST(list_sum(list_transform(range(1, len(e.q8) + 1),
+                                              i -> e.q8[i] * q.qq[i])) AS DOUBLE)
+                 / (sqrt(CAST(e.nrm AS DOUBLE)) * sqrt(CAST(q.qn AS DOUBLE))),
+                 6) AS sim
+    FROM w8 e, q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY sim DESC, e.vec_id
+    LIMIT {TOP_K}
+"""
+
 QUERIES = {
     "knn_brute_force": knn_brute_force,
     "knn_lsh": knn_lsh,
@@ -625,4 +720,5 @@ QUERIES = {
     "kmeans_clusters": kmeans_clusters,
     "cluster_balanced_sample": cluster_balanced_sample,
     "knn_ivf_trained": knn_ivf_trained,
+    "knn_int8": knn_int8,
 }

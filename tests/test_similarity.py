@@ -181,3 +181,28 @@ def test_ivf_trained_no_fabricated_sims(spark):
     assert 0 < len(ann) <= sim.TOP_K
     for r in ann:
         assert r["sim"] == pytest.approx(brute[r["vec_id"]], abs=1e-6)
+
+
+def test_int8_recall_vs_exact(spark):
+    """Scalar quantization at 127 levels barely moves cosine: the int8
+    top-10 must recover >= 8 of the exact top-10."""
+    from tests.conftest import SF_ORACLE
+
+    exact = {r["vec_id"] for r in sim.knn_brute_force(spark, SF_ORACLE).collect()}
+    quant = {r["vec_id"] for r in sim.knn_int8(spark, SF_ORACLE).collect()}
+    assert len(exact & quant) >= 8, (exact, quant)
+
+
+def test_int8_zero_shuffle_no_udf(spark):
+    """Quantized brute force is one scan + a 1-row broadcast: no exchange
+    other than the broadcast, no Python UDF (all Catalyst HOFs)."""
+    from tests.conftest import SF_SMOKE
+
+    plan = (
+        sim.knn_int8(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
