@@ -78,6 +78,9 @@ _DEFERRED = [
     "keyword_extraction",
     "kcore_subgraph",
     "knn_int8",
+    "order_fulfillment_percentiles",
+    "session_paths",
+    "cross_source_leakage",
     # -- thrice green (r1+r2+r5), deferred to admit the ten new r6 queries --
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -136,6 +136,16 @@ HEADLINE = {
     "triangle_count": pagerank.triangle_count,
     "user_value_moving_avg": relational_ext.user_value_moving_avg,
     "bigram_logprob": quality.bigram_logprob,
+    # Round-6 additions, batch 4: cohort retention, per-user anomaly days,
+    # per-doc tf-idf keywords, 2-core of the near-dup graph, int8 ANN.
+    "retention_cohorts": analytics_ext.retention_cohorts,
+    "user_activity_anomalies": analytics_ext.user_activity_anomalies,
+    "keyword_extraction": text_analytics.keyword_extraction,
+    "kcore_subgraph": pagerank.kcore_subgraph,
+    "knn_int8": similarity.knn_int8,
+    "order_fulfillment_percentiles": relational_ext.order_fulfillment_percentiles,
+    "session_paths": relational_ext.session_paths,
+    "cross_source_leakage": dedup.cross_source_leakage,
 }
 
 

@@ -1208,6 +1208,70 @@ ORACLE_SQL["dedup_components"] = dedup_components_oracle_sql(CC_ITERS)
 # converged on this corpus — see dedup_star_components docstring).
 ORACLE_SQL["dedup_star_components"] = dedup_components_oracle_sql(CC_ITERS)
 
+def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source_a, source_b, n_pairs, max_jaccard): near-duplicate pairs that
+    SPAN sources — the train/eval contamination map.
+
+    ``benchmark_contamination`` checks exact-substring leakage against a
+    pinned benchmark; this is the fuzzy, corpus-wide version: every
+    MinHash-verified near-dup pair whose two documents came from different
+    sources, aggregated per unordered source pair. At 100 TB this is the
+    audit run before freezing a data split — a high cross-pair count
+    between an eval source and a train source means the split leaks.
+
+    Plan: the pair set (≪ corpus) joins ``documents`` twice on doc_id for
+    the source labels — AQE broadcasts the pair side against the bucketed
+    doc scan — then one low-cardinality aggregate. ``max`` (not ``avg``)
+    of the verify-Jaccard keeps the summary order-independent exact.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    labeled = (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("d1"), F.col("source").alias("s1")
+            ),
+            "d1",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("d2"), F.col("source").alias("s2")
+            ),
+            "d2",
+        )
+        .where(F.col("s1") != F.col("s2"))
+    )
+    return (
+        labeled.select(
+            F.least("s1", "s2").alias("source_a"),
+            F.greatest("s1", "s2").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+    )
+
+
+ORACLE_SQL["cross_source_leakage"] = f"""
+    WITH {_MINHASH_CTES},
+    labeled AS (
+      SELECT least(a.source, b.source) AS source_a,
+             greatest(a.source, b.source) AS source_b,
+             m.jaccard
+      FROM mh m
+      JOIN documents a ON a.doc_id = m.d1
+      JOIN documents b ON b.doc_id = m.d2
+      WHERE a.source <> b.source
+    )
+    SELECT source_a, source_b, count(*) AS n_pairs,
+           round(max(jaccard), 6) AS max_jaccard
+    FROM labeled GROUP BY source_a, source_b
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1222,4 +1286,5 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_embedding_ivf": dedup_embedding_ivf,
+    "cross_source_leakage": cross_source_leakage,
 }

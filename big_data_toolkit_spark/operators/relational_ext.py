@@ -420,6 +420,130 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+FULFILLMENT_PCTS = (0.5, 0.9, 0.99)
+
+
+def order_fulfillment_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderpriority, n, p50_days, p90_days, p99_days): exact interpolated
+    ship-delay percentiles per order priority — the SLA profile query.
+
+    Multi-percentile extension of ``lineitem_stats``' single exact median:
+    delay = datediff(ship, order) in whole days (exact int), then three
+    ``percentile`` aggregates share one sort per group. Exact percentiles
+    shuffle each group's values; the 100 TB swap is ``percentile_approx``
+    (fixed-size sketch, single pass) once the profile is monitoring rather
+    than ground truth — the same exact/approx twin split as
+    ``event_reach`` / ``event_reach_approx``. Interpolation arithmetic
+    (a + frac·(b−a) on int-valued doubles) is the identical IEEE expression
+    in both engines (proven by ``lineitem_stats``' gated median).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship_day")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("order_day")
+    )
+    delays = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority", F.datediff("ship_day", "order_day").alias("delay")
+    )
+    aggs = [F.count("*").alias("n")] + [
+        F.round(F.percentile("delay", F.lit(p)), 6).alias(
+            f"p{int(p * 100)}_days"
+        )
+        for p in FULFILLMENT_PCTS
+    ]
+    return delays.groupBy("o_orderpriority").agg(*aggs)
+
+
+SESSION_PATH_TOP_K = 10
+
+
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(path, cnt): the 10 most common 3-step event-type sequences inside
+    30-minute user sessions — sequential pattern mining over the stream.
+
+    Composes sessionization (gaps-and-islands, same `>` gap rule as
+    ``user_sessions``) with in-session trigram extraction: two ``lead``s
+    over the (user, session) frame. ONE shuffle on ``user_id`` serves the
+    session-id window AND both leads (the narrower partition key is a
+    prefix refinement, no re-exchange); trigram counting partial-aggregates
+    map-side; top-10 is TakeOrderedAndProject. Ordering is pinned by
+    (ts, event_id) so same-timestamp events sequence identically in both
+    engines, and ties in the top-10 cut break lexically on the path.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    w2 = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    tri = sess.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w2).alias("b"),
+        F.lead("event_type", 2).over(w2).alias("c"),
+    ).where(F.col("b").isNotNull() & F.col("c").isNotNull())
+    return (
+        tri.select(F.concat_ws(">", "a", "b", "c").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "path")
+        .limit(SESSION_PATH_TOP_K)
+    )
+
+
+ORACLE_SQL["order_fulfillment_percentiles"] = f"""
+    WITH delays AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS delay
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority, count(*) AS n,
+           {", ".join(
+               f"round(quantile_cont(delay, {p}), 6) AS p{int(p * 100)}_days"
+               for p in FULFILLMENT_PCTS
+           )}
+    FROM delays GROUP BY o_orderpriority
+"""
+
+ORACLE_SQL["session_paths"] = f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), tri AS (
+      SELECT event_type AS a,
+             lead(event_type, 1) OVER w2 AS b,
+             lead(event_type, 2) OVER w2 AS c
+      FROM numbered
+      WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+    )
+    SELECT a || '>' || b || '>' || c AS path, count(*) AS cnt
+    FROM tri WHERE b IS NOT NULL AND c IS NOT NULL
+    GROUP BY 1
+    ORDER BY cnt DESC, path
+    LIMIT {SESSION_PATH_TOP_K}
+"""
+
 ORACLE_SQL["user_value_moving_avg"] = f"""
     SELECT event_id, user_id,
            sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w
@@ -460,4 +584,6 @@ QUERIES = {
     "user_sessions": user_sessions,
     "user_value_moving_avg": user_value_moving_avg,
     "curated_corpus": curated_corpus,
+    "order_fulfillment_percentiles": order_fulfillment_percentiles,
+    "session_paths": session_paths,
 }

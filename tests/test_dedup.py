@@ -315,3 +315,26 @@ def test_span_dedup_no_window_operator(spark):
     )
     assert "Window" not in plan
     assert "partial_min" in plan
+
+
+def test_cross_source_leakage_is_cross_source_only(spark):
+    """Every reported source pair is genuinely cross-source and canonically
+    ordered; counts reconcile with the labeled pair set."""
+    from pyspark.sql import functions as F
+
+    from big_data_toolkit_spark.catalog import load_table
+
+    rows = dedup.cross_source_leakage(spark, SF_ORACLE).collect()
+    assert rows  # the synthetic corpus duplicates across sources
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0.0 < r["max_jaccard"] <= 1.0
+    docs = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, SF_ORACLE, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    pairs = dedup.dedup_minhash_lsh(spark, SF_ORACLE).collect()
+    expect = sum(1 for p in pairs if docs[p["d1"]] != docs[p["d2"]])
+    assert sum(r["n_pairs"] for r in rows) == expect

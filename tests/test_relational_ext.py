@@ -62,3 +62,25 @@ def test_sessions_cover_all_events(spark):
     sess = rx.user_sessions(spark, SF_ORACLE)
     total = sess.groupBy().sum("n_events").collect()[0][0]
     assert total == ev_cnt  # sessionization is a partition of the events
+
+
+def test_fulfillment_percentiles_monotone(spark):
+    """p50 <= p90 <= p99 within every priority, and delays are sane ints."""
+    rows = rx.order_fulfillment_percentiles(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["p50_days"] <= r["p90_days"] <= r["p99_days"]
+        assert r["n"] > 0
+
+
+def test_session_paths_windows_share_one_exchange(spark):
+    """The session-id window (user_id) and the lead window (user_id, sid)
+    must share a single user_id exchange — (user_id, sid) is a prefix
+    refinement; only the trigram groupBy adds a second exchange."""
+    plan = (
+        rx.session_paths(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2, plan
