@@ -81,6 +81,8 @@ _DEFERRED = [
     "order_fulfillment_percentiles",
     "session_paths",
     "cross_source_leakage",
+    "vocab_coverage",
+    "event_value_histogram",
     # -- thrice green (r1+r2+r5), deferred to admit the ten new r6 queries --
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -146,6 +146,8 @@ HEADLINE = {
     "order_fulfillment_percentiles": relational_ext.order_fulfillment_percentiles,
     "session_paths": relational_ext.session_paths,
     "cross_source_leakage": dedup.cross_source_leakage,
+    "vocab_coverage": quality.vocab_coverage,
+    "event_value_histogram": analytics_ext.event_value_histogram,
 }
 
 

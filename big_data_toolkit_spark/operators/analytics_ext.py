@@ -287,6 +287,44 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MIN_ANOMALY_DAYS = 7
 ANOMALY_SIGMAS = 3
+HIST_BINS = 20
+
+
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, bin, lo, hi, n): fixed-bin histogram of ``value`` per
+    event type over the GLOBAL [min, max] range.
+
+    The distribution-profiling pass (skew detection, bin-packing decisions)
+    as one extra scan + one 1-row broadcast: global min/max first, then
+    ``bin = least(floor((value−min)/w), bins−1)`` — a pure map expression —
+    and a low-cardinality (type × bins) count. The bin edges are the same
+    IEEE doubles in both engines (one subtraction, one division, one
+    floor), so bucket assignment is bit-identical; no per-group sort, no
+    percentile machinery — this is the O(1)-memory complement to the exact
+    percentile operators.
+    """
+    events = load_table(spark, sf_dir, "events")
+    rng = events.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    w = (F.col("vmax") - F.col("vmin")) / F.lit(float(HIST_BINS))
+    bin_ = F.least(
+        F.floor((F.col("value") - F.col("vmin")) / w).cast("long"),
+        F.lit(HIST_BINS - 1),
+    )
+    return (
+        events.crossJoin(F.broadcast(rng))
+        .select("event_type", bin_.alias("bin"), "vmin", "vmax")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.first("vmin") + F.col("bin") * F.first(w), 6).alias("lo"),
+            F.round(F.first("vmin") + (F.col("bin") + 1) * F.first(w), 6).alias(
+                "hi"
+            ),
+        )
+        .select("event_type", "bin", "lo", "hi", "n")
+    )
 
 
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -473,6 +511,23 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_events
         FROM events GROUP BY event_type
     """,
+    "event_value_histogram": f"""
+        WITH rng AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+        b AS (
+          SELECT event_type,
+                 least(CAST(floor((value - vmin) /
+                                  ((vmax - vmin) / {float(HIST_BINS)})) AS BIGINT),
+                       {HIST_BINS - 1}) AS bin,
+                 vmin, vmax
+          FROM events, rng
+        )
+        SELECT event_type, bin,
+               round(vmin + bin * ((vmax - vmin) / {float(HIST_BINS)}), 6) AS lo,
+               round(vmin + (bin + 1) * ((vmax - vmin) / {float(HIST_BINS)}), 6)
+                 AS hi,
+               count(*) AS n
+        FROM b GROUP BY event_type, bin, vmin, vmax
+    """,
     "retention_cohorts": """
         WITH ww AS (
           SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
@@ -555,5 +610,6 @@ QUERIES = {
     "event_funnel": event_funnel,
     "retention_cohorts": retention_cohorts,
     "user_activity_anomalies": user_activity_anomalies,
+    "event_value_histogram": event_value_histogram,
     "event_reach_approx": event_reach_approx,  # rows-only (sketches)
 }

@@ -474,6 +474,59 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_SIZE = 20
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_tokens, n_oov, oov_rate): out-of-vocabulary rate per source
+    against the corpus's own top-``VOCAB_SIZE`` vocabulary.
+
+    The vocabulary-fit check run before committing to a tokenizer: build
+    the frequency-ranked vocab (ties lexical), then measure what fraction
+    of each source's token stream falls outside it. The vocab ranking is a
+    ``row_number`` over the GLOBAL term-count aggregate — vocabulary-sized,
+    thousands of rows at any corpus scale, so the single-partition window
+    is fine (the ``customer_spend_quartiles`` precedent); membership is a
+    broadcast LEFT join from the exploded stream; the per-source rollup is
+    one low-cardinality aggregate. Counts are exact ints; ``oov_rate`` is
+    the single terminal division.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(tokenize("text")).alias("term"))
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("term"))),
+        )
+        .where(F.col("rk") <= VOCAB_SIZE)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -725,6 +778,26 @@ ORACLE_SQL["pii_redaction"] = f"""
     FROM a
 """
 
+ORACLE_SQL["vocab_coverage"] = f"""
+    WITH toks AS (
+      SELECT source, unnest({_T}) AS term FROM documents
+    ),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY count(*) DESC, term) AS rk
+        FROM toks GROUP BY term
+      ) WHERE rk <= {VOCAB_SIZE}
+    )
+    SELECT t.source,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.term = v.term
+    GROUP BY t.source
+"""
+
 QUERIES = {
     "lang_id": lang_id,
     "quality_score": quality_score,
@@ -739,4 +812,5 @@ QUERIES = {
     "corpus_stats_by_source": corpus_stats_by_source,
     "text_clean": text_clean,
     "pii_redaction": pii_redaction,
+    "vocab_coverage": vocab_coverage,
 }

@@ -161,3 +161,28 @@ def test_user_activity_anomalies_are_extreme_days(spark):
         sigma = statistics.pstdev(counts)
         assert r["n_events"] > mu + ax.ANOMALY_SIGMAS * sigma
         assert r["z"] > ax.ANOMALY_SIGMAS
+
+
+def test_event_value_histogram_partitions_everything(spark):
+    """Bins tile [vmin, vmax]: per-type counts sum to the type's row count,
+    bins are in [0, HIST_BINS), and lo < hi everywhere."""
+    from pyspark.sql import functions as F
+
+    from big_data_toolkit_spark.catalog import load_table
+
+    rows = ax.event_value_histogram(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["bin"] < ax.HIST_BINS
+        assert r["lo"] < r["hi"]
+    per_type = {}
+    for r in rows:
+        per_type[r["event_type"]] = per_type.get(r["event_type"], 0) + r["n"]
+    truth = {
+        r["event_type"]: r["count"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .count()
+        .collect()
+    }
+    assert per_type == truth

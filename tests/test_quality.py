@@ -127,3 +127,20 @@ def test_bigram_logprob_no_window_no_udf(spark):
     )
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vocab_coverage_bounds(spark):
+    """OOV rates in [0,1); counts reconcile: n_oov <= n_tokens and summing
+    sources' token counts equals the corpus token count."""
+    rows = quality.vocab_coverage(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert 0.0 <= r["oov_rate"] < 1.0
+    total = sum(r["n_tokens"] for r in rows)
+    corpus = (
+        quality.token_count(spark, SF_ORACLE)
+        .agg({"letter_tokens": "sum"})
+        .collect()[0][0]
+    )
+    assert total == corpus
