@@ -83,6 +83,7 @@ _DEFERRED = [
     "cross_source_leakage",
     "vocab_coverage",
     "event_value_histogram",
+    "priority_sample",
     # -- thrice green (r1+r2+r5), deferred to admit the ten new r6 queries --
     "dedup_exact",
     "dedup_ngram_jaccard",

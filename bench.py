@@ -148,6 +148,7 @@ HEADLINE = {
     "cross_source_leakage": dedup.cross_source_leakage,
     "vocab_coverage": quality.vocab_coverage,
     "event_value_histogram": analytics_ext.event_value_histogram,
+    "priority_sample": curation.priority_sample,
 }
 
 

@@ -269,6 +269,36 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
 
+PRIORITY_SAMPLE_N = 100
+
+
+def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, weight, key): weight-proportional sample of
+    ``PRIORITY_SAMPLE_N`` docs via A-ES exponential jittering.
+
+    Weighted sampling without replacement — the curation step "sample docs
+    proportionally to length/quality" — as a PURE EXPRESSION plus top-k
+    (Efraimidis & Spirakis 2006, exponential-clocks form): each doc draws
+    ``key = -ln(u)/w`` with u hash-deterministic in (0,1) (md5, like every
+    sampler here — reproducible, partitioning-independent, no RNG state)
+    and the N smallest keys win. No shuffle: TakeOrderedAndProject keeps N
+    rows per partition; the full sort never happens. The same expression
+    ranks identically in both engines (one ln, one division on identical
+    doubles), ties broken by doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (_hash32(F.col("doc_id")) + F.lit(0.5)) / F.lit(float(2**32))
+    key = -F.log(u) / F.col("n_chars").cast("double")
+    return (
+        docs.select(
+            "doc_id", F.col("n_chars").alias("weight"), key.alias("key_raw")
+        )
+        .orderBy("key_raw", "doc_id")
+        .limit(PRIORITY_SAMPLE_N)
+        .select("doc_id", "weight", F.round("key_raw", 6).alias("key"))
+    )
+
+
 _H = _H32_SQL.format(col="doc_id")
 _MIX_VALUES = ", ".join(f"('{s}', {w})" for s, w in MIX_WEIGHTS.items())
 
@@ -396,6 +426,16 @@ ORACLE_SQL["temperature_mix"] = f"""
     WHERE rn <= quota
 """
 
+ORACLE_SQL["priority_sample"] = f"""
+    SELECT doc_id, n_chars AS weight,
+           round(-ln(({_H} + 0.5) / {float(2**32)}) /
+                 CAST(n_chars AS DOUBLE), 6) AS key
+    FROM documents
+    ORDER BY -ln(({_H} + 0.5) / {float(2**32)}) / CAST(n_chars AS DOUBLE),
+             doc_id
+    LIMIT {PRIORITY_SAMPLE_N}
+"""
+
 QUERIES = {
     "hash_sample": hash_sample,
     "stratified_sample": stratified_sample,
@@ -403,4 +443,5 @@ QUERIES = {
     "temperature_mix": temperature_mix,
     "shard_pack": shard_pack,
     "chunk_documents": chunk_documents,
+    "priority_sample": priority_sample,
 }

@@ -185,3 +185,23 @@ def test_chunk_documents_slices_and_covers(spark):
         assert sorted(chunks) == list(range(n_expected))
         for k, ctoks in chunks.items():
             assert ctoks == t[k * CHUNK_STRIDE : k * CHUNK_STRIDE + CHUNK_TOKENS]
+
+
+def test_priority_sample_weight_proportional(spark):
+    """A-ES sampling must overrepresent heavy docs: the sample's mean weight
+    exceeds the corpus mean, the result is exactly N rows, and it plans as
+    TakeOrderedAndProject (no full sort, no exchange)."""
+    from tests.conftest import SF_ORACLE
+
+    from big_data_toolkit_spark.catalog import load_table
+
+    df = curation.priority_sample(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert len(rows) == curation.PRIORITY_SAMPLE_N
+    sample_mean = sum(r["weight"] for r in rows) / len(rows)
+    corpus = load_table(spark, SF_ORACLE, "documents").agg(
+        {"n_chars": "avg"}
+    ).collect()[0][0]
+    assert sample_mean > corpus
