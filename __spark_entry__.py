@@ -26,6 +26,7 @@ from big_data_toolkit_spark.operators import (
     text_analytics,
 )
 from big_data_toolkit_spark.plans import scale
+from big_data_toolkit_spark.streaming import anomaly as streaming_anomaly
 from big_data_toolkit_spark.streaming import windows as streaming_windows
 
 _MODULES = [
@@ -35,6 +36,7 @@ _MODULES = [
     spam,
     pagerank,
     streaming_windows,
+    streaming_anomaly,
     dedup,
     similarity,
     quality,
@@ -84,6 +86,7 @@ _DEFERRED = [
     "vocab_coverage",
     "event_value_histogram",
     "priority_sample",
+    "online_user_anomalies",
     # -- thrice green (r1+r2+r5), deferred to admit the ten new r6 queries --
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -35,6 +35,7 @@ from big_data_toolkit_spark.operators import (  # noqa: E402
 from big_data_toolkit_spark.multimodal import binary_ops as multimodal  # noqa: E402
 from big_data_toolkit_spark.plans import scale  # noqa: E402
 from big_data_toolkit_spark.session import build_spark  # noqa: E402
+from big_data_toolkit_spark.streaming import anomaly as streaming_anomaly
 from big_data_toolkit_spark.streaming import windows as streaming_windows  # noqa: E402
 
 HEADLINE = {
@@ -149,6 +150,7 @@ HEADLINE = {
     "vocab_coverage": quality.vocab_coverage,
     "event_value_histogram": analytics_ext.event_value_histogram,
     "priority_sample": curation.priority_sample,
+    "online_user_anomalies": streaming_anomaly.online_user_anomalies,
 }
 
 

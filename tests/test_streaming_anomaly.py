@@ -1,0 +1,103 @@
+"""Online anomaly detection: batch oracle + stream==batch replay parity."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from big_data_toolkit_spark.catalog import load_table
+from big_data_toolkit_spark.streaming import anomaly
+from tests.conftest import SF_ORACLE, SF_SMOKE
+from tests.oracle_utils import compare
+from tests.test_streaming import _write_stream_files
+
+
+def test_online_anomaly_oracle(spark):
+    compare(
+        anomaly.online_user_anomalies(spark, SF_ORACLE),
+        anomaly.ORACLE_SQL["online_user_anomalies"],
+        SF_ORACLE,
+    )
+
+
+def test_online_is_prefix_consistent_with_retrospective_inputs(spark):
+    """The online rule only ever uses days <= d: recompute each flagged row
+    from the raw prefix and confirm the integer cut."""
+    daily = {
+        (r["user_id"], r["day"]): r["count"]
+        for r in load_table(spark, SF_ORACLE, "events")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .count()
+        .collect()
+    }
+    flagged = anomaly.online_user_anomalies(spark, SF_ORACLE).collect()
+    assert flagged
+    for r in flagged:
+        prefix = sorted(
+            cnt
+            for (u, day), cnt in daily.items()
+            if u == r["user_id"] and day <= r["day"]
+        )
+        n = len(prefix)
+        s = sum(prefix)
+        sq = sum(c * c for c in prefix)
+        d = r["n_events"] * n - s
+        big_d = n * sq - s * s
+        assert n >= anomaly.MIN_ANOMALY_DAYS
+        assert d > 0 and d * d > 9 * big_d
+
+
+def test_stream_anomalies_match_batch_on_closed_days(spark, tmp_path):
+    """Replaying sf0.01 in 4 time-ordered micro-batches must produce exactly
+    the batch result minus each user's final (never-closed) day."""
+    src = str(tmp_path / "src")
+    dirs = _write_stream_files(spark, SF_ORACLE, src, n_files=4)
+    assert len(dirs) >= 2
+    stream = (
+        spark.readStream.schema(load_table(spark, SF_ORACLE, "events").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "batch_*"))
+    )
+    q = (
+        anomaly.stream_user_anomalies(stream)
+        .writeStream.format("memory")
+        .queryName("online_anoms")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["day"], r["n_events"], round(r["z"], 6))
+        for r in spark.sql("select * from online_anoms").collect()
+    }
+    last_day = {
+        r["user_id"]: r["last_day"]
+        for r in load_table(spark, SF_ORACLE, "events")
+        .groupBy("user_id")
+        .agg(F.max(F.to_date("ts")).alias("last_day"))
+        .collect()
+    }
+    expected = {
+        (r["user_id"], r["day"], r["n_events"], r["z"])
+        for r in anomaly.online_user_anomalies(spark, SF_ORACLE).collect()
+        if r["day"] < last_day[r["user_id"]]
+    }
+    assert got == expected
+    assert expected  # the corpus actually produces closed-day anomalies
+
+
+def test_fold_raises_on_out_of_order_days():
+    import pandas as pd
+    import pytest
+
+    good = pd.DataFrame({"ts": pd.to_datetime(["2021-01-02", "2021-01-03"])})
+    n, s, sq, cur_day, cur_cnt, out = anomaly._fold_day_batches(
+        0, 0, 0, -1, 0, [good]
+    )
+    assert cur_cnt == 1 and n == 1
+    stale = pd.DataFrame({"ts": pd.to_datetime(["2021-01-01"])})
+    with pytest.raises(ValueError, match="out-of-order"):
+        anomaly._fold_day_batches(n, s, sq, cur_day, cur_cnt, [stale])
