@@ -87,6 +87,7 @@ _DEFERRED = [
     "event_value_histogram",
     "priority_sample",
     "online_user_anomalies",
+    "label_centroids",
     # -- thrice green (r1+r2+r5), deferred to admit the ten new r6 queries --
     "dedup_exact",
     "dedup_ngram_jaccard",

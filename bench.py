@@ -151,6 +151,7 @@ HEADLINE = {
     "event_value_histogram": analytics_ext.event_value_histogram,
     "priority_sample": curation.priority_sample,
     "online_user_anomalies": streaming_anomaly.online_user_anomalies,
+    "label_centroids": similarity.label_centroids,
 }
 
 

@@ -681,6 +681,55 @@ def knn_int8(
     )
 
 
+CENTROID_QUANT = 1_000_000.0  # 1e-6 component quantization for exact sums
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, pos, n, c): per-label class centroids of the embedding space,
+    one row per (label, dimension).
+
+    The supervised-data profile (class prototypes for nearest-centroid
+    classification, drift monitoring, label-noise screening) — and the one
+    consumer of the ``embeddings.label`` column. The mean of millions of
+    floats is addition-order-dependent, so instead of a float accumulator
+    (engine-dependent last-ulp) or a sorted-fold (needs the whole group in
+    a list — unusable at 100 TB), each component quantizes to 1e-6 ticks
+    and sums EXACT BIGINTs: partial-aggregatable, order-independent,
+    identical in both engines; the single closing division chain is the
+    only float. ``posexplode`` fans each vector to (label, pos) rows
+    map-side; the one shuffle carries |labels|·dim groups.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.expr(f"cast(floor(double(x) * {CENTROID_QUANT} + 0.5D) as bigint)")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(F.count("*").alias("n"), F.sum(q).alias("sq"))
+        .select(
+            "label",
+            "pos",
+            "n",
+            F.round(
+                F.col("sq").cast("double") / F.col("n") / F.lit(CENTROID_QUANT), 6
+            ).alias("c"),
+        )
+    )
+
+
+ORACLE_SQL["label_centroids"] = f"""
+    WITH ex AS (
+      SELECT label, unnest(range(1, len(embedding) + 1)) AS i,
+             embedding AS e
+      FROM embeddings
+    )
+    SELECT label, i - 1 AS pos, count(*) AS n,
+           round(CAST(sum(CAST(floor(e[i]::DOUBLE * {CENTROID_QUANT} + 0.5)
+                               AS BIGINT)) AS DOUBLE)
+                 / count(*) / {CENTROID_QUANT}, 6) AS c
+    FROM ex GROUP BY label, i
+"""
+
+
 ORACLE_SQL["knn_int8"] = f"""
     WITH scaled AS (
       SELECT vec_id, embedding,
@@ -721,4 +770,5 @@ QUERIES = {
     "cluster_balanced_sample": cluster_balanced_sample,
     "knn_ivf_trained": knn_ivf_trained,
     "knn_int8": knn_int8,
+    "label_centroids": label_centroids,
 }

@@ -206,3 +206,28 @@ def test_int8_zero_shuffle_no_udf(spark):
     )
     assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_label_centroids_shape_and_accuracy(spark):
+    """|labels|*dim rows; each centroid component within quantization error
+    of a NumPy float64 mean."""
+    import numpy as np
+
+    from tests.conftest import SF_ORACLE
+
+    from big_data_toolkit_spark.catalog import load_table
+
+    rows = sim.label_centroids(spark, SF_ORACLE).collect()
+    raw = load_table(spark, SF_ORACLE, "embeddings").collect()
+    dim = len(raw[0]["embedding"])
+    labels = {r["label"] for r in raw}
+    assert len(rows) == len(labels) * dim
+    by_label: dict[int, list] = {}
+    for r in raw:
+        by_label.setdefault(r["label"], []).append(r["embedding"])
+    for r in rows[:50]:
+        true = float(
+            np.mean(np.array(by_label[r["label"]], dtype=np.float64)[:, r["pos"]])
+        )
+        assert abs(r["c"] - true) <= 1e-6 + 1e-9, (r, true)
+        assert r["n"] == len(by_label[r["label"]])
