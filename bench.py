@@ -152,6 +152,7 @@ HEADLINE = {
     "priority_sample": curation.priority_sample,
     "online_user_anomalies": streaming_anomaly.online_user_anomalies,
     "label_centroids": similarity.label_centroids,
+    "nearest_centroid_confusion": similarity.nearest_centroid_confusion,
 }
 
 

@@ -716,6 +716,101 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, predicted, n): confusion matrix of nearest-centroid
+    classification over the labeled embeddings — the one-aggregation-pass
+    sanity check on label quality (a class whose members scatter to other
+    prototypes is noisy or unlearnable).
+
+    Composes the centroid pass (UNROUNDED components, so both engines
+    carry the identical sq/n/quant doubles into the distance) with an
+    assignment pass: the |labels|×dim centroid table folds to |labels|
+    rows of arrays (bounded — 10×64 here), broadcasts, and each vector
+    takes an in-order squared-distance fold against each prototype;
+    argmin via ``min(struct(dist, label))`` so ties break on the smaller
+    label deterministically. Scale: centroid build is the exact-integer
+    aggregate; assignment is map-only against a broadcast; the confusion
+    aggregate is |labels|² rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.expr(f"cast(floor(double(x) * {CENTROID_QUANT} + 0.5D) as bigint)")
+    cents = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.count("*").alias("n"), F.sum(q).alias("sq"))
+        .select(
+            "label",
+            "pos",
+            (
+                F.col("sq").cast("double") / F.col("n") / F.lit(CENTROID_QUANT)
+            ).alias("c"),
+        )
+    )
+    carr = (
+        cents.groupBy(F.col("label").alias("plabel"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("plabel", F.expr("transform(pc, p -> p.c)").alias("cv"))
+    )
+    dist = F.expr(
+        "aggregate(zip_with(embedding, cv, (x, y) -> "
+        "(double(x) - y) * (double(x) - y)), 0D, (acc, v) -> acc + v)"
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(carr))
+        .select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            F.struct(dist.alias("dist"), F.col("plabel").cast("long").alias("pl")).alias(
+                "dp"
+            ),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.min("dp").alias("best"))
+    )
+    return (
+        assigned.select("label", F.col("best.pl").alias("predicted"))
+        .groupBy("label", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_SQL["nearest_centroid_confusion"] = f"""
+    WITH ex AS (
+      SELECT label, unnest(range(1, len(embedding) + 1)) AS i,
+             embedding AS e
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS plabel, i,
+             CAST(sum(CAST(floor(e[i]::DOUBLE * {CENTROID_QUANT} + 0.5)
+                           AS BIGINT)) AS DOUBLE)
+               / count(*) / {CENTROID_QUANT} AS c
+      FROM ex GROUP BY label, i
+    ),
+    carr AS (
+      SELECT plabel, list(c ORDER BY i) AS cv FROM cent GROUP BY plabel
+    ),
+    d AS (
+      SELECT e.vec_id, e.label, c.plabel,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> (e.embedding[i]::DOUBLE - c.cv[i]) *
+                           (e.embedding[i]::DOUBLE - c.cv[i]))) AS dist
+      FROM embeddings e CROSS JOIN carr c
+    ),
+    best AS (
+      SELECT vec_id, label, plabel AS predicted FROM (
+        SELECT vec_id, label, plabel,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, plabel) AS rn
+        FROM d
+      ) WHERE rn = 1
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(predicted AS BIGINT) AS predicted, count(*) AS n
+    FROM best GROUP BY label, predicted
+"""
+
+
 ORACLE_SQL["label_centroids"] = f"""
     WITH ex AS (
       SELECT label, unnest(range(1, len(embedding) + 1)) AS i,
@@ -771,4 +866,5 @@ QUERIES = {
     "knn_ivf_trained": knn_ivf_trained,
     "knn_int8": knn_int8,
     "label_centroids": label_centroids,
+    "nearest_centroid_confusion": nearest_centroid_confusion,
 }

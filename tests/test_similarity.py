@@ -231,3 +231,19 @@ def test_label_centroids_shape_and_accuracy(spark):
         )
         assert abs(r["c"] - true) <= 1e-6 + 1e-9, (r, true)
         assert r["n"] == len(by_label[r["label"]])
+
+
+def test_nearest_centroid_confusion_reconciles(spark):
+    """Confusion counts sum to the corpus size; the diagonal dominates on
+    the chance baseline on the synthetic labels (1/|labels| = 0.1;
+    measured 0.41 — labels are noisy by construction, so the bound asserts
+    signal, not separability)."""
+    from tests.conftest import SF_ORACLE
+
+    from big_data_toolkit_spark.catalog import load_table
+
+    rows = sim.nearest_centroid_confusion(spark, SF_ORACLE).collect()
+    total = load_table(spark, SF_ORACLE, "embeddings").count()
+    assert sum(r["n"] for r in rows) == total
+    acc = sum(r["n"] for r in rows if r["label"] == r["predicted"]) / total
+    assert acc > 0.25, acc
