@@ -101,3 +101,62 @@ def test_adjacent_pairs_matches_python_zip(spark, texts):
     for i, t in enumerate(texts):
         toks = [w for w in re.split("[^a-zA-Z]+", t.lower()) if w != ""]
         assert got[i] == list(zip(toks, toks[1:])), f"divergence on {t!r}"
+
+
+@_SETTINGS
+@given(
+    day_counts=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=40),
+    cuts=st.lists(st.integers(min_value=0, max_value=39), max_size=5),
+)
+def test_online_anomaly_fold_is_batch_split_invariant(day_counts, cuts):
+    """Folding the same per-day counts through ANY batch partitioning (and
+    any within-batch day grouping) yields the same moments and the same
+    flagged days as the direct online computation — the property that makes
+    the stream twin exact rather than approximate."""
+    import pandas as pd
+
+    from big_data_toolkit_spark.streaming.anomaly import (
+        _fold_day_batches,
+    )
+    from big_data_toolkit_spark.operators.analytics_ext import (
+        ANOMALY_SIGMAS,
+        MIN_ANOMALY_DAYS,
+    )
+
+    base_day = 18000  # epoch days, any fixed origin
+    # direct online rule over the closed prefix (day d judged incl. d)
+    expected = []
+    n = s = sq = 0
+    for i, cnt in enumerate(day_counts[:-1]):  # last day never closes
+        n, s, sq = n + 1, s + cnt, sq + cnt * cnt
+        d = cnt * n - s
+        big_d = n * sq - s * s
+        if (
+            n >= MIN_ANOMALY_DAYS
+            and big_d > 0
+            and d > 0
+            and d * d > ANOMALY_SIGMAS**2 * big_d
+        ):
+            expected.append((base_day + i, cnt))
+
+    # build one ts row per event, split at arbitrary (sorted) day cuts
+    all_ts = []
+    for i, cnt in enumerate(day_counts):
+        all_ts.extend([pd.Timestamp((base_day + i) * 86400, unit="s")] * cnt)
+    bounds = sorted({0, len(day_counts)} | {c for c in cuts if c < len(day_counts)})
+    batches = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        days = set(range(base_day + lo, base_day + hi))
+        part = [t for t in all_ts if t.value // 10**9 // 86400 in days]
+        if part:
+            batches.append(pd.DataFrame({"ts": pd.Series(part)}))
+
+    state = (0, 0, 0, -1, 0)
+    got = []
+    for b in batches:
+        *state, out = _fold_day_batches(*state, [b])
+        got.extend(
+            (pd.Timestamp(r["day"]).value // 10**9 // 86400, r["n_events"])
+            for r in out
+        )
+    assert got == expected
