@@ -89,6 +89,7 @@ _DEFERRED = [
     "online_user_anomalies",
     "label_centroids",
     "nearest_centroid_confusion",
+    "part_affinity",
     # -- thrice green (r1+r2+r5), deferred to admit the ten new r6 queries --
     "dedup_exact",
     "dedup_ngram_jaccard",

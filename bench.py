@@ -153,6 +153,7 @@ HEADLINE = {
     "online_user_anomalies": streaming_anomaly.online_user_anomalies,
     "label_centroids": similarity.label_centroids,
     "nearest_centroid_confusion": similarity.nearest_centroid_confusion,
+    "part_affinity": analytics_ext.part_affinity,
 }
 
 

@@ -246,6 +246,68 @@ def event_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AFFINITY_MIN_PAIRS = 5
+AFFINITY_TOP_K = 20
+
+
+def part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a, b, n_ab, lift): top-20 part pairs by basket lift — "bought
+    together" market-basket mining over lineitem orders.
+
+    The PMI machinery pointed at transactions instead of text: baskets are
+    per-order distinct part sets, pairs generate IN-ROW ((a, b), a<b — no
+    self-join shuffle; fan-out bounded by basket size, ~7 parts in TPC-H
+    shape at any scale), and lift = n_ab·N / (n_a·n_b) runs on exact
+    integer counts with ONE closing division. Per-part basket counts are
+    item-catalog-sized and join the pair aggregate under AQE's strategy
+    choice. Support floor ``n_ab ≥ 5`` kills the noise tail before the
+    top-k heap (TakeOrderedAndProject).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    n_baskets = baskets.agg(F.count("*").alias("nb"))
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, x -> "
+                    "transform(filter(parts, y -> y > x), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= AFFINITY_MIN_PAIRS)
+    )
+    part_counts = (
+        baskets.select(F.explode("parts").alias("part"))
+        .groupBy("part")
+        .agg(F.count("*").alias("n_part"))
+    )
+    return (
+        pairs.join(part_counts.select(F.col("part").alias("a"), F.col("n_part").alias("n_a")), "a")
+        .join(part_counts.select(F.col("part").alias("b"), F.col("n_part").alias("n_b")), "b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.round(
+                (F.col("n_ab") * F.col("nb")).cast("double")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "a", "b")
+        .limit(AFFINITY_TOP_K)
+    )
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -511,6 +573,31 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_events
         FROM events GROUP BY event_type
     """,
+    "part_affinity": f"""
+        WITH baskets AS (
+          SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+          FROM lineitem GROUP BY l_orderkey
+        ),
+        nb AS (SELECT count(*) AS nb FROM baskets),
+        ex AS (SELECT l_orderkey, unnest(parts) AS part FROM baskets),
+        pairs AS (
+          SELECT x.part AS a, y.part AS b, count(*) AS n_ab
+          FROM ex x JOIN ex y
+            ON x.l_orderkey = y.l_orderkey AND y.part > x.part
+          GROUP BY x.part, y.part
+          HAVING count(*) >= {AFFINITY_MIN_PAIRS}
+        ),
+        pc AS (SELECT part, count(*) AS n_part FROM ex GROUP BY part)
+        SELECT p.a, p.b, p.n_ab,
+               round(CAST(p.n_ab * nb.nb AS DOUBLE) /
+                     (pa.n_part * pb.n_part), 6) AS lift
+        FROM pairs p
+        JOIN pc pa ON pa.part = p.a
+        JOIN pc pb ON pb.part = p.b
+        CROSS JOIN nb
+        ORDER BY lift DESC, p.a, p.b
+        LIMIT {AFFINITY_TOP_K}
+    """,
     "event_value_histogram": f"""
         WITH rng AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
         b AS (
@@ -611,5 +698,6 @@ QUERIES = {
     "retention_cohorts": retention_cohorts,
     "user_activity_anomalies": user_activity_anomalies,
     "event_value_histogram": event_value_histogram,
+    "part_affinity": part_affinity,
     "event_reach_approx": event_reach_approx,  # rows-only (sketches)
 }

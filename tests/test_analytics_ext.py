@@ -3,6 +3,7 @@ from __future__ import annotations
 import pytest
 
 from big_data_toolkit_spark.operators import analytics_ext as ax
+from pyspark.sql import functions as F
 from tests.conftest import SF_ORACLE, SF_SMOKE
 from tests.oracle_utils import compare
 
@@ -186,3 +187,25 @@ def test_event_value_histogram_partitions_everything(spark):
         .collect()
     }
     assert per_type == truth
+
+
+def test_part_affinity_counts_reconcile(spark):
+    """Pairs are canonical (a<b), supported (n_ab >= floor), and the top
+    pair's count matches a direct recount from the baskets."""
+    from big_data_toolkit_spark.catalog import load_table
+
+    rows = ax.part_affinity(spark, SF_ORACLE).collect()
+    assert rows and len(rows) <= ax.AFFINITY_TOP_K
+    for r in rows:
+        assert r["a"] < r["b"]
+        assert r["n_ab"] >= ax.AFFINITY_MIN_PAIRS
+        assert r["lift"] > 0
+    top = rows[0]
+    baskets = (
+        load_table(spark, SF_ORACLE, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .collect()
+    )
+    n = sum(1 for b in baskets if top["a"] in b["parts"] and top["b"] in b["parts"])
+    assert n == top["n_ab"]
