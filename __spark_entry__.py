@@ -90,6 +90,7 @@ _DEFERRED = [
     "label_centroids",
     "nearest_centroid_confusion",
     "part_affinity",
+    "integrity_audit",
     # -- thrice green (r1+r2+r5), deferred to admit the ten new r6 queries --
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -154,6 +154,7 @@ HEADLINE = {
     "label_centroids": similarity.label_centroids,
     "nearest_centroid_confusion": similarity.nearest_centroid_confusion,
     "part_affinity": analytics_ext.part_affinity,
+    "integrity_audit": analytics_ext.integrity_audit,
 }
 
 

@@ -246,6 +246,70 @@ def event_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(check, n_violations): the pre-ingest data-quality gate — referential
+    orphans, domain violations, and null-rate checks across the star schema.
+
+    The audit every production pipeline runs before trusting a new drop:
+    each referential check is a LEFT ANTI join whose probe side projects to
+    the key column only (8 bytes/row through the exchange, AQE may
+    broadcast the dimension key set); domain/null checks are pushed-down
+    scan filters. The per-check 1-row aggregates union into one result —
+    a fixed-size report at any corpus size. All checks are expected to be
+    ZERO on TESTDATA (asserted in tests); the operator exists for data
+    that fails it.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+
+    def count_row(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_violations")).select(
+            F.lit(name).alias("check"), "n_violations"
+        )
+
+    checks = [
+        count_row(
+            "lineitem_orphan_orderkey",
+            li.select("l_orderkey").join(
+                orders.select(F.col("o_orderkey").alias("l_orderkey")),
+                "l_orderkey",
+                "left_anti",
+            ),
+        ),
+        count_row(
+            "orders_orphan_custkey",
+            orders.select("o_custkey").join(
+                cust.select(F.col("c_custkey").alias("o_custkey")),
+                "o_custkey",
+                "left_anti",
+            ),
+        ),
+        count_row(
+            "lineitem_nonpositive_price",
+            li.where(F.col("l_extendedprice") <= 0),
+        ),
+        count_row(
+            "lineitem_discount_out_of_range",
+            li.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        ),
+        count_row("orders_null_priority", orders.where(F.col("o_orderpriority").isNull())),
+        count_row("events_null_user", events.where(F.col("user_id").isNull())),
+        count_row(
+            "events_ts_out_of_range",
+            events.where(
+                (F.col("ts") < F.lit("2000-01-01").cast("timestamp"))
+                | (F.col("ts") > F.lit("2100-01-01").cast("timestamp"))
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.union(c)
+    return out
+
+
 AFFINITY_MIN_PAIRS = 5
 AFFINITY_TOP_K = 20
 
@@ -573,6 +637,36 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_events
         FROM events GROUP BY event_type
     """,
+    "integrity_audit": """
+        SELECT 'lineitem_orphan_orderkey' AS check,
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+                 AS n_violations
+        UNION ALL
+        SELECT 'orders_orphan_custkey',
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'lineitem_nonpositive_price',
+               (SELECT count(*) FROM lineitem WHERE l_extendedprice <= 0)
+        UNION ALL
+        SELECT 'lineitem_discount_out_of_range',
+               (SELECT count(*) FROM lineitem
+                WHERE l_discount < 0 OR l_discount > 1)
+        UNION ALL
+        SELECT 'orders_null_priority',
+               (SELECT count(*) FROM orders WHERE o_orderpriority IS NULL)
+        UNION ALL
+        SELECT 'events_null_user',
+               (SELECT count(*) FROM events WHERE user_id IS NULL)
+        UNION ALL
+        SELECT 'events_ts_out_of_range',
+               (SELECT count(*) FROM events
+                WHERE ts < TIMESTAMP '2000-01-01'
+                   OR ts > TIMESTAMP '2100-01-01')
+    """,
     "part_affinity": f"""
         WITH baskets AS (
           SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
@@ -699,5 +793,6 @@ QUERIES = {
     "user_activity_anomalies": user_activity_anomalies,
     "event_value_histogram": event_value_histogram,
     "part_affinity": part_affinity,
+    "integrity_audit": integrity_audit,
     "event_reach_approx": event_reach_approx,  # rows-only (sketches)
 }

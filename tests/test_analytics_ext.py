@@ -209,3 +209,10 @@ def test_part_affinity_counts_reconcile(spark):
     )
     n = sum(1 for b in baskets if top["a"] in b["parts"] and top["b"] in b["parts"])
     assert n == top["n_ab"]
+
+
+def test_integrity_audit_clean_on_testdata(spark):
+    """TESTDATA satisfies every constraint: all seven checks report zero."""
+    rows = ax.integrity_audit(spark, SF_SMOKE).collect()
+    assert len(rows) == 7
+    assert all(r["n_violations"] == 0 for r in rows), rows
