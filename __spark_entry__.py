@@ -91,6 +91,7 @@ _DEFERRED = [
     "nearest_centroid_confusion",
     "part_affinity",
     "integrity_audit",
+    "fuzzy_name_matches",
     # -- thrice green (r1+r2+r5), deferred to admit the ten new r6 queries --
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -155,6 +155,7 @@ HEADLINE = {
     "nearest_centroid_confusion": similarity.nearest_centroid_confusion,
     "part_affinity": analytics_ext.part_affinity,
     "integrity_audit": analytics_ext.integrity_audit,
+    "fuzzy_name_matches": analytics_ext.fuzzy_name_matches,
 }
 
 

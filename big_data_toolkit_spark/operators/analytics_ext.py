@@ -372,6 +372,48 @@ def part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_MAX_DIST = 2
+
+
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(name_a, name_b, dist, n_pairs): fuzzy entity resolution over part
+    names — blocked Levenshtein join, edit distance 1..2.
+
+    The record-linkage primitive (dedup of near-identical product/entity
+    names) with the two standard scale moves: (1) DEDUPE FIRST — the join
+    runs over distinct (name, count) pairs, not rows, so a 100 TB catalog
+    with thousands of distinct names costs the same comparison work as
+    this one; matched row-pair volume comes back as the count product.
+    (2) BLOCK — candidates must share the head noun (last token), so the
+    distinct-name self-join is |names/block|² per block instead of global.
+    Levenshtein is exact integer edit distance in both engines; identical
+    strings are excluded (dist ≥ 1 — exact dups belong to dedup_exact).
+    """
+    parts = load_table(spark, sf_dir, "part")
+    names = (
+        parts.groupBy("p_name")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "p_name",
+            "cnt",
+            F.element_at(F.split("p_name", " "), -1).alias("noun"),
+        )
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("cnt").alias("cnt_a"), "noun"
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("cnt").alias("cnt_b"), "noun"
+    )
+    dist = F.levenshtein("name_a", "name_b").cast("long")
+    return (
+        a.join(b, "noun")
+        .where(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b", dist.alias("dist"), (F.col("cnt_a") * F.col("cnt_b")).alias("n_pairs"))
+        .where((F.col("dist") >= 1) & (F.col("dist") <= FUZZY_MAX_DIST))
+    )
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -637,6 +679,19 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_events
         FROM events GROUP BY event_type
     """,
+    "fuzzy_name_matches": f"""
+        WITH names AS (
+          SELECT p_name, count(*) AS cnt,
+                 split_part(p_name, ' ', 2) AS noun
+          FROM part GROUP BY p_name
+        )
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+               a.cnt * b.cnt AS n_pairs
+        FROM names a JOIN names b
+          ON a.noun = b.noun AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {FUZZY_MAX_DIST}
+    """,
     "integrity_audit": """
         SELECT 'lineitem_orphan_orderkey' AS check,
                (SELECT count(*) FROM lineitem l
@@ -794,5 +849,6 @@ QUERIES = {
     "event_value_histogram": event_value_histogram,
     "part_affinity": part_affinity,
     "integrity_audit": integrity_audit,
+    "fuzzy_name_matches": fuzzy_name_matches,
     "event_reach_approx": event_reach_approx,  # rows-only (sketches)
 }

@@ -216,3 +216,28 @@ def test_integrity_audit_clean_on_testdata(spark):
     rows = ax.integrity_audit(spark, SF_SMOKE).collect()
     assert len(rows) == 7
     assert all(r["n_violations"] == 0 for r in rows), rows
+
+
+def test_fuzzy_name_matches_known_pairs(spark):
+    """The vocabulary guarantees (cold, old) at distance 1 within every
+    shared noun; all matches share a noun and respect the distance band;
+    n_pairs reconciles with the group-size product for one pair."""
+    from big_data_toolkit_spark.catalog import load_table
+
+    rows = ax.fuzzy_name_matches(spark, SF_ORACLE).collect()
+    assert rows
+    assert any(
+        r["name_a"].startswith("cold ") and r["name_b"].startswith("old ")
+        and r["dist"] == 1
+        for r in rows
+    )
+    for r in rows:
+        assert r["name_a"].split()[-1] == r["name_b"].split()[-1]
+        assert 1 <= r["dist"] <= ax.FUZZY_MAX_DIST
+        assert r["n_pairs"] > 0
+    counts = {
+        r["p_name"]: r["count"]
+        for r in load_table(spark, SF_ORACLE, "part").groupBy("p_name").count().collect()
+    }
+    r0 = rows[0]
+    assert r0["n_pairs"] == counts[r0["name_a"]] * counts[r0["name_b"]]
