@@ -92,6 +92,7 @@ _DEFERRED = [
     "part_affinity",
     "integrity_audit",
     "fuzzy_name_matches",
+    "snapshot_diff",
     # -- thrice green (r1+r2+r5), deferred to admit the ten new r6 queries --
     "dedup_exact",
     "dedup_ngram_jaccard",

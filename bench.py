@@ -156,6 +156,7 @@ HEADLINE = {
     "part_affinity": analytics_ext.part_affinity,
     "integrity_audit": analytics_ext.integrity_audit,
     "fuzzy_name_matches": analytics_ext.fuzzy_name_matches,
+    "snapshot_diff": analytics_ext.snapshot_diff,
 }
 
 

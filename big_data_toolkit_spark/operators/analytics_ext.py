@@ -372,6 +372,43 @@ def part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DIFF_OLD_MOD, DIFF_NEW_MOD = 7, 5
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, status): CDC-style diff of two corpus snapshots — 'added',
+    'removed', or 'changed' (unchanged rows are suppressed).
+
+    The change-data-capture primitive for versioned corpora: one FULL
+    OUTER join on the key, with per-side content fingerprints deciding
+    'changed'. Both snapshots derive deterministically in-plan so the
+    oracle reproduces them: membership by two different doc_id modular
+    slices (adds + removes), and the new side fingerprints the
+    LOWERCASED text (so docs whose only difference is case show up as
+    changed — a stand-in for any recompute-after-transform diff). At
+    100 TB each side is a materialized (key, fingerprint) table — 40
+    bytes/row through the one key-partitioned shuffle; the diff never
+    touches the payload column.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % DIFF_OLD_MOD != DIFF_OLD_MOD - 1).select(
+        "doc_id", F.md5("text").alias("fp_old")
+    )
+    new = docs.where(F.col("doc_id") % DIFF_NEW_MOD != DIFF_NEW_MOD - 1).select(
+        "doc_id", F.md5(F.lower("text")).alias("fp_new")
+    )
+    joined = old.join(new, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("fp_old").isNull(), "added")
+        .when(F.col("fp_new").isNull(), "removed")
+        .when(F.col("fp_old") != F.col("fp_new"), "changed")
+    )
+    return (
+        joined.select("doc_id", status.alias("status"))
+        .where(F.col("status").isNotNull())
+    )
+
+
 FUZZY_MAX_DIST = 2
 
 
@@ -679,6 +716,24 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_events
         FROM events GROUP BY event_type
     """,
+    "snapshot_diff": f"""
+        WITH old AS (
+          SELECT doc_id, md5(text) AS fp_old FROM documents
+          WHERE doc_id % {DIFF_OLD_MOD} <> {DIFF_OLD_MOD - 1}
+        ),
+        new AS (
+          SELECT doc_id, md5(lower(text)) AS fp_new FROM documents
+          WHERE doc_id % {DIFF_NEW_MOD} <> {DIFF_NEW_MOD - 1}
+        )
+        SELECT doc_id,
+               CASE WHEN fp_old IS NULL THEN 'added'
+                    WHEN fp_new IS NULL THEN 'removed'
+                    WHEN fp_old <> fp_new THEN 'changed' END AS status
+        FROM old FULL OUTER JOIN new USING (doc_id)
+        WHERE CASE WHEN fp_old IS NULL THEN 'added'
+                   WHEN fp_new IS NULL THEN 'removed'
+                   WHEN fp_old <> fp_new THEN 'changed' END IS NOT NULL
+    """,
     "fuzzy_name_matches": f"""
         WITH names AS (
           SELECT p_name, count(*) AS cnt,
@@ -850,5 +905,6 @@ QUERIES = {
     "part_affinity": part_affinity,
     "integrity_audit": integrity_audit,
     "fuzzy_name_matches": fuzzy_name_matches,
+    "snapshot_diff": snapshot_diff,
     "event_reach_approx": event_reach_approx,  # rows-only (sketches)
 }

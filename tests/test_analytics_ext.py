@@ -241,3 +241,22 @@ def test_fuzzy_name_matches_known_pairs(spark):
     }
     r0 = rows[0]
     assert r0["n_pairs"] == counts[r0["name_a"]] * counts[r0["name_b"]]
+
+
+def test_snapshot_diff_statuses_reconcile(spark):
+    """Added/removed counts match the membership slices; every 'changed'
+    doc is in both slices with case-sensitive text; statuses cover all
+    non-unchanged docs."""
+    from big_data_toolkit_spark.catalog import load_table
+
+    rows = ax.snapshot_diff(spark, SF_ORACLE).collect()
+    by_status: dict[str, set] = {}
+    for r in rows:
+        by_status.setdefault(r["status"], set()).add(r["doc_id"])
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text").collect()
+    in_old = {r["doc_id"] for r in docs if r["doc_id"] % ax.DIFF_OLD_MOD != ax.DIFF_OLD_MOD - 1}
+    in_new = {r["doc_id"] for r in docs if r["doc_id"] % ax.DIFF_NEW_MOD != ax.DIFF_NEW_MOD - 1}
+    assert by_status.get("added", set()) == in_new - in_old
+    assert by_status.get("removed", set()) == in_old - in_new
+    has_upper = {r["doc_id"] for r in docs if r["text"] != r["text"].lower()}
+    assert by_status.get("changed", set()) == (in_old & in_new & has_upper)
