@@ -172,6 +172,55 @@ def stream_user_anomalies(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_user_anomalies_tws(events_stream: DataFrame) -> DataFrame:
+    """``stream_user_anomalies`` on ``transformWithStateInPandas`` — the
+    Spark 4 stateful-processor twin, mirroring the trending pair
+    (``streaming/trending.py``): same 5-integer state in a typed
+    ``ValueState``, same ``_fold_day_batches`` fold, so the two APIs
+    cannot drift.
+
+    DEPENDENCY BOUNDARY (same as ``stream_trending_tws``): executing this
+    stream needs ``protobuf``; plan construction is exercised
+    unconditionally and the replay test env-skips without it.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class AnomalyProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("moments", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd  # executor-side
+
+            (n, s, sq, cur_day, cur_cnt) = (
+                self._state.get() if self._state.exists() else (0, 0, 0, -1, 0)
+            )
+            n, s, sq, cur_day, cur_cnt, out = _fold_day_batches(
+                n, s, sq, cur_day, cur_cnt, rows
+            )
+            self._state.update((n, s, sq, cur_day, cur_cnt))
+            for row in out:
+                row["user_id"] = key[0]
+            yield pd.DataFrame(out, columns=["user_id", "day", "n_events", "z"])
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events_stream.select("user_id", "ts")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            AnomalyProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "online_user_anomalies": f"""
         WITH daily AS (

@@ -101,3 +101,56 @@ def test_fold_raises_on_out_of_order_days():
     stale = pd.DataFrame({"ts": pd.to_datetime(["2021-01-01"])})
     with pytest.raises(ValueError, match="out-of-order"):
         anomaly._fold_day_batches(n, s, sq, cur_day, cur_cnt, [stale])
+
+
+def test_anomaly_tws_plan_constructs(spark):
+    """Plan construction for the TWS twin works everywhere — only
+    execution needs protobuf (gated below)."""
+    stream = (
+        spark.readStream.schema(load_table(spark, SF_SMOKE, "events").schema)
+        .parquet("/root/testdata/sf0.001/events.parquet")
+    )
+    df = anomaly.stream_user_anomalies_tws(stream)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "user_id", "day", "n_events", "z"
+    ]
+
+
+from tests import conftest  # noqa: E402
+
+
+@conftest.requires_protobuf
+def test_anomaly_tws_matches_apply_in_pandas(spark, tmp_path):
+    """Where protobuf exists, the TWS twin must equal the
+    applyInPandasWithState stream over the same replay (shared fold)."""
+    import os
+
+    src = str(tmp_path / "src")
+    _write_stream_files(spark, SF_ORACLE, src, n_files=4)
+    schema = load_table(spark, SF_ORACLE, "events").schema
+
+    def run(fn, name, ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src, "batch_*"))
+        )
+        q = (
+            fn(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return {
+            (r["user_id"], r["day"], r["n_events"], round(r["z"], 6))
+            for r in spark.sql(f"select * from {name}").collect()
+        }
+
+    a = run(anomaly.stream_user_anomalies, "anoms_apply", "ck_a")
+    b = run(anomaly.stream_user_anomalies_tws, "anoms_tws", "ck_b")
+    assert a == b and a
