@@ -93,6 +93,7 @@ _DEFERRED = [
     "integrity_audit",
     "fuzzy_name_matches",
     "snapshot_diff",
+    "q5_local_supplier_volume",
     # -- thrice green (r1+r2+r5), deferred to admit the ten new r6 queries --
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -157,6 +157,7 @@ HEADLINE = {
     "integrity_audit": analytics_ext.integrity_audit,
     "fuzzy_name_matches": analytics_ext.fuzzy_name_matches,
     "snapshot_diff": analytics_ext.snapshot_diff,
+    "q5": sql_analytics.q5_local_supplier_volume,
 }
 
 

@@ -152,11 +152,67 @@ def q4_orders_by_nation(
     )
 
 
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_name, revenue_cc): revenue (hundredths of a cent) from lineitems whose customer and
+    supplier share a nation — the TPC-H Q5 join pattern, beyond the
+    reference's a6 suite (which stops at Q4's one-sided dim chain).
+
+    The distinctive shape is the TWO-SIDED dimension constraint
+    (c_nationkey = s_nationkey): customer and supplier both join to the
+    fact, and the equality between their nation keys closes the cycle.
+    Declared flat and left to Catalyst/AQE: customer/supplier/nation
+    broadcast, the fact never re-shuffles, and the only exchange is the
+    25-group final aggregate. Revenue is computed ENTIRELY in integers:
+    price quantizes to cents and discount to whole percent (both exact —
+    the stored values carry two decimals), then
+    ``cents · (100 − pct)`` accumulates as BIGINT hundredths-of-a-cent.
+    Quantizing the double PRODUCT instead would hit the engines'
+    different decimal rounding modes at half-cent boundaries (measured:
+    ±1-2 cents per nation at sf0.01) — the same class of drift the
+    integer-cents convention exists to kill.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    pct = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long")
+    rev = cents * (F.lit(100) - pct)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_cc"))
+        .orderBy(F.desc("revenue_cc"), "n_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL (identical semantics, identical output column names).
 # ---------------------------------------------------------------------------
 
 ORACLE_SQL: dict[str, str] = {
+    "q5_local_supplier_volume": """
+        SELECT n_name,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                                      AS BIGINT)))
+                    AS BIGINT) AS revenue_cc
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE c_nationkey = s_nationkey
+        GROUP BY n_name
+        ORDER BY revenue_cc DESC, n_name
+    """,
     "q1_count_shipped": """
         SELECT count(*) AS cnt
         FROM lineitem
@@ -199,4 +255,5 @@ QUERIES = {
     "q2_orders_shipped": q2_orders_shipped,
     "q3_part_supplier_shipped": q3_part_supplier_shipped,
     "q4_orders_by_nation": q4_orders_by_nation,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
 }

@@ -27,3 +27,21 @@ def test_q3_broadcasts_dimensions(spark):
 def test_q1_filter_pushdown(spark):
     plan = sa.q1_count_shipped(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_q5_broadcasts_dims_single_agg_exchange(spark):
+    """Q5's cycle-closing join keeps the fact un-reshuffled: every
+    dimension (orders is fact-sized — allowed to shuffle) broadcast or
+    AQE-decided, nation explicitly broadcast, and aggregation is the
+    only hash exchange beyond the fact-orders join."""
+    from tests.conftest import SF_SMOKE
+
+    df = sa.q5_local_supplier_volume(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    rows = df.collect()
+    assert rows
+    assert all(r["revenue_cc"] > 0 for r in rows)
+    revs = [r["revenue_cc"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
