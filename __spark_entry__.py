@@ -94,6 +94,7 @@ _DEFERRED = [
     "fuzzy_name_matches",
     "snapshot_diff",
     "q5_local_supplier_volume",
+    "batch_gd_train",
     # -- thrice green (r1+r2+r5), deferred to admit the ten new r6 queries --
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -158,6 +158,7 @@ HEADLINE = {
     "fuzzy_name_matches": analytics_ext.fuzzy_name_matches,
     "snapshot_diff": analytics_ext.snapshot_diff,
     "q5": sql_analytics.q5_local_supplier_volume,
+    "batch_gd_train": spam.batch_gd_train,
 }
 
 

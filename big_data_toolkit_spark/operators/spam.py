@@ -223,7 +223,134 @@ def sgd_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FEATS = f"list_distinct({DUCKDB_TOKENS.format(col='text')})"
 
+GD_ITERS = 5
+GD_TICK = 1e-9  # weight/residual quantization (integer ticks)
+GD_LR = LEARN_RATE
+
+
+def batch_gd_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(feature, w_ticks): full-batch gradient-descent logistic regression —
+    the DISTRIBUTED twin of ``sgd_train``, and the scale-correct one.
+
+    The reference's online SGD (``a5/TrainSpamClassifier.scala:49-87``)
+    is order-dependent and single-reducer by construction; batch GD
+    computes each iteration's gradient over ALL docs as ordinary
+    aggregates, so every step is shuffle-parallel and the result is
+    partitioning-independent. Determinism across engines comes from
+    running the numerics in INTEGER TICKS (1e-9): per-doc scores are
+    exact BIGINT sums of weight ticks; the only floats are the sigmoid
+    (evaluated on the same double both engines see) whose residual is
+    immediately re-quantized ``floor(r·1e9 + 0.5)``; per-feature
+    gradients are exact BIGINT sums of those ticks; and the lr step
+    re-quantizes the same way. Five iterations; per-iteration cost is
+    two feature-keyed aggregates + two vocabulary-sized joins, each
+    ``localCheckpoint``-ed (the weight table is vocab-sized — tiny
+    relative to the corpus at any scale).
+    """
+    feats = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            (F.col("lang") == "en").cast("int").alias("y"),
+            F.explode(F.array_distinct(tokenize("text"))).alias("feature"),
+        )
+        .localCheckpoint()
+    )
+    w = (
+        feats.select("feature")
+        .distinct()
+        .withColumn("w_ticks", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    inv_tick = 1.0 / GD_TICK
+    for _ in range(GD_ITERS):
+        scores = (
+            feats.join(w, "feature", "left")
+            .groupBy("doc_id", "y")
+            .agg(F.coalesce(F.sum("w_ticks"), F.lit(0)).alias("st"))
+        )
+        resid = scores.select(
+            "doc_id",
+            F.floor(
+                (
+                    F.col("y")
+                    - F.lit(1.0)
+                    / (F.lit(1.0) + F.exp(-(F.col("st") * F.lit(GD_TICK))))
+                )
+                * F.lit(inv_tick)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("rt"),
+        )
+        grad = (
+            feats.join(resid, "doc_id")
+            .groupBy("feature")
+            .agg(F.sum("rt").alias("gt"))
+        )
+        w = (
+            grad.join(w, "feature", "left")
+            .select(
+                "feature",
+                (
+                    F.coalesce(F.col("w_ticks"), F.lit(0))
+                    + F.floor(F.col("gt") * F.lit(GD_LR) + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).alias("w_ticks"),
+            )
+            .localCheckpoint()
+        )
+    return w
+
+
+def _batch_gd_oracle_sql(iters: int = GD_ITERS) -> str:
+    """The GD loop unrolled as MATERIALIZED CTEs (each round references the
+    previous weight table twice — inline expansion would be exponential,
+    the kcore lesson)."""
+    feats = (
+        "SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, "
+        f"unnest(list_distinct({DUCKDB_TOKENS.format(col='text')})) AS feature "
+        "FROM documents"
+    )
+    sql = f"""
+    WITH feats AS MATERIALIZED ({feats}),
+    w0 AS MATERIALIZED (
+      SELECT DISTINCT feature, CAST(0 AS BIGINT) AS w_ticks FROM feats
+    )"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    s{i} AS MATERIALIZED (
+      SELECT f.doc_id, f.y,
+             CAST(coalesce(sum(w.w_ticks), 0) AS BIGINT) AS st
+      FROM feats f LEFT JOIN w{i - 1} w USING (feature)
+      GROUP BY f.doc_id, f.y
+    ),
+    r{i} AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(floor((y - 1.0 / (1.0 + exp(-(st * {GD_TICK}))))
+                        * {1.0 / GD_TICK} + 0.5) AS BIGINT) AS rt
+      FROM s{i}
+    ),
+    g{i} AS MATERIALIZED (
+      SELECT f.feature, CAST(sum(r.rt) AS BIGINT) AS gt
+      FROM feats f JOIN r{i} r USING (doc_id)
+      GROUP BY f.feature
+    ),
+    w{i} AS MATERIALIZED (
+      SELECT g.feature,
+             CAST(coalesce(w.w_ticks, 0)
+                  + CAST(floor(g.gt * {GD_LR} + 0.5) AS BIGINT) AS BIGINT)
+               AS w_ticks
+      FROM g{i} g LEFT JOIN w{i - 1} w USING (feature)
+    )"""
+    sql += f"""
+    SELECT feature, w_ticks FROM w{iters}"""
+    return sql
+
+
 ORACLE_SQL: dict[str, str] = {
+    "batch_gd_train": _batch_gd_oracle_sql(),
     "spam_score": f"""
         WITH feats AS (SELECT doc_id, unnest({_FEATS}) AS feature FROM documents),
         weights AS (SELECT feature, count(*) AS weight FROM feats GROUP BY feature),
@@ -270,4 +397,5 @@ QUERIES = {
     "spam_ensemble": spam_ensemble,
     "sgd_train": sgd_train,
     "sgd_score": sgd_score,
+    "batch_gd_train": batch_gd_train,
 }

@@ -106,3 +106,74 @@ def test_sgd_score_labels_present(spark):
     assert out.count() > 0
     labels = {r["label"] for r in out.select("label").distinct().collect()}
     assert labels <= {"spam", "ham"}
+
+
+def test_batch_gd_matches_python_replica_exactly(spark):
+    """The distributed GD must equal a straight-Python fold of the same
+    quantized algorithm EXACTLY (integer ticks — no tolerance), proving
+    partitioning-independence of every step."""
+    import math
+
+    from tests.conftest import SF_ORACLE
+
+    from big_data_toolkit_spark.catalog import load_table
+    from big_data_toolkit_spark.functions.text import tokenize as _tok
+    from pyspark.sql import functions as F
+
+    docs = (
+        load_table(spark, SF_ORACLE, "documents")
+        .select(
+            "doc_id",
+            (F.col("lang") == "en").cast("int").alias("y"),
+            F.array_distinct(_tok("text")).alias("features"),
+        )
+        .collect()
+    )
+    w: dict[str, int] = {
+        f: 0 for r in docs for f in r["features"]
+    }
+    inv = 1.0 / spam.GD_TICK
+    for _ in range(spam.GD_ITERS):
+        grad: dict[str, int] = {f: 0 for f in w}
+        for r in docs:
+            st = sum(w[f] for f in r["features"])
+            rt = math.floor(
+                (r["y"] - 1.0 / (1.0 + math.exp(-(st * spam.GD_TICK)))) * inv
+                + 0.5
+            )
+            for f in r["features"]:
+                grad[f] += rt
+        for f in w:
+            w[f] += math.floor(grad[f] * spam.GD_LR + 0.5)
+    got = {
+        r["feature"]: r["w_ticks"]
+        for r in spam.batch_gd_train(spark, SF_ORACLE).collect()
+    }
+    assert got == w
+
+
+def test_batch_gd_learns_separation(spark):
+    """Trained weights must separate en from non-en docs: mean score of
+    y=1 docs strictly above mean score of y=0 docs."""
+    from tests.conftest import SF_ORACLE
+
+    from big_data_toolkit_spark.catalog import load_table
+    from big_data_toolkit_spark.functions.text import tokenize as _tok
+    from pyspark.sql import functions as F
+
+    w = spam.batch_gd_train(spark, SF_ORACLE)
+    docs = load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.explode(F.array_distinct(_tok("text"))).alias("feature"),
+    )
+    scored = (
+        docs.join(w, "feature")
+        .groupBy("doc_id", "y")
+        .agg(F.sum("w_ticks").alias("st"))
+        .groupBy("y")
+        .agg(F.avg("st").alias("mean_score"))
+        .collect()
+    )
+    means = {r["y"]: r["mean_score"] for r in scored}
+    assert means[1] > means[0], means
