@@ -159,6 +159,7 @@ HEADLINE = {
     "snapshot_diff": analytics_ext.snapshot_diff,
     "q5": sql_analytics.q5_local_supplier_volume,
     "batch_gd_train": spam.batch_gd_train,
+    "batch_gd_score": spam.batch_gd_score,
 }
 
 

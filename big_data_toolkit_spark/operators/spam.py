@@ -304,6 +304,30 @@ def batch_gd_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w
 
 
+def batch_gd_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score_ticks, label): distributed scoring with the batch-GD
+    model — the fully-oracle-checked train→score pair the sequential SGD
+    path can't provide (its rows-only status is inherent; this twin's
+    integer ticks survive the cross-engine hash). Same U2 plan shape as
+    ``sgd_score``: explode ⋈ weights ⋈ sum; the model join is left to
+    AQE (vocab-sized side)."""
+    w = batch_gd_train(spark, sf_dir)
+    feats = _doc_features(spark, sf_dir)
+    return (
+        feats.select("doc_id", F.explode("features").alias("feature"))
+        .join(w, "feature", "left")
+        .groupBy("doc_id")
+        .agg(F.coalesce(F.sum("w_ticks"), F.lit(0)).alias("score_ticks"))
+        .select(
+            "doc_id",
+            "score_ticks",
+            F.when(F.col("score_ticks") > 0, F.lit("spam"))
+            .otherwise(F.lit("ham"))
+            .alias("label"),
+        )
+    )
+
+
 def _batch_gd_oracle_sql(iters: int = GD_ITERS) -> str:
     """The GD loop unrolled as MATERIALIZED CTEs (each round references the
     previous weight table twice — inline expansion would be exponential,
@@ -349,8 +373,22 @@ def _batch_gd_oracle_sql(iters: int = GD_ITERS) -> str:
     return sql
 
 
+def _batch_gd_score_oracle_sql() -> str:
+    train = _batch_gd_oracle_sql()
+    # reuse the unrolled training CTE chain; score from its final table
+    head, final = train.rsplit("SELECT feature, w_ticks FROM", 1)
+    return f"""{head}
+    SELECT f.doc_id,
+           CAST(coalesce(sum(w.w_ticks), 0) AS BIGINT) AS score_ticks,
+           CASE WHEN coalesce(sum(w.w_ticks), 0) > 0
+                THEN 'spam' ELSE 'ham' END AS label
+    FROM feats f LEFT JOIN {final.strip()} w USING (feature)
+    GROUP BY f.doc_id"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "batch_gd_train": _batch_gd_oracle_sql(),
+    "batch_gd_score": _batch_gd_score_oracle_sql(),
     "spam_score": f"""
         WITH feats AS (SELECT doc_id, unnest({_FEATS}) AS feature FROM documents),
         weights AS (SELECT feature, count(*) AS weight FROM feats GROUP BY feature),
@@ -398,4 +436,5 @@ QUERIES = {
     "sgd_train": sgd_train,
     "sgd_score": sgd_score,
     "batch_gd_train": batch_gd_train,
+    "batch_gd_score": batch_gd_score,
 }
