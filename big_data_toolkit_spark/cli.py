@@ -37,6 +37,7 @@ def _registry():
         text_analytics,
     )
     from big_data_toolkit_spark.plans import scale
+    from big_data_toolkit_spark.streaming import anomaly as streaming_anomaly
     from big_data_toolkit_spark.streaming import windows as streaming_windows
 
     out = {}
@@ -47,6 +48,7 @@ def _registry():
         spam,
         pagerank,
         streaming_windows,
+        streaming_anomaly,
         dedup,
         similarity,
         quality,
