@@ -96,6 +96,7 @@ _DEFERRED = [
     "q5_local_supplier_volume",
     "batch_gd_train",
     "batch_gd_score",
+    "dau_wau_stickiness",
     # -- thrice green (r1+r2+r5), deferred to admit the ten new r6 queries --
     "dedup_exact",
     "dedup_ngram_jaccard",

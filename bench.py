@@ -160,6 +160,7 @@ HEADLINE = {
     "q5": sql_analytics.q5_local_supplier_volume,
     "batch_gd_train": spam.batch_gd_train,
     "batch_gd_score": spam.batch_gd_score,
+    "dau_wau_stickiness": analytics_ext.dau_wau_stickiness,
 }
 
 

@@ -372,6 +372,51 @@ def part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WAU_DAYS = 7
+
+
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, dau, wau, stickiness): daily/weekly active users and their
+    ratio — the engagement dashboard staple.
+
+    WAU is a trailing-7-day DISTINCT count, which no engine's window
+    operator does directly; the scale-shaped form is the banding trick
+    from the range join: each distinct (day, user) pair fans out map-side
+    to the ≤7 window-end days it supports, then ONE distinct aggregate
+    per window day. Cost: |distinct day-user| × 7 through a partial-
+    aggregated shuffle — no range join, no per-day re-scan. Window days
+    beyond the observed range are dropped (every reported day is a real
+    activity day). Counts exact; stickiness is the single closing
+    division.
+    """
+    events = load_table(spark, sf_dir, "events")
+    du = events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    wau = (
+        du.select(
+            F.explode(
+                F.expr(f"sequence(day, date_add(day, {WAU_DAYS - 1}))")
+            ).alias("wday"),
+            "user_id",
+        )
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.wday)
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
 DIFF_OLD_MOD, DIFF_NEW_MOD = 7, 5
 
 
@@ -716,6 +761,21 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_events
         FROM events GROUP BY event_type
     """,
+    "dau_wau_stickiness": f"""
+        WITH du AS (
+          SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+        wau AS (
+          SELECT day + CAST(x AS INTEGER) AS wday,
+                 count(DISTINCT user_id) AS wau
+          FROM du, unnest(range(0, {WAU_DAYS})) AS t(x)
+          GROUP BY wday
+        )
+        SELECT d.day, d.dau, w.wau,
+               round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+        FROM dau d JOIN wau w ON w.wday = d.day
+    """,
     "snapshot_diff": f"""
         WITH old AS (
           SELECT doc_id, md5(text) AS fp_old FROM documents
@@ -906,5 +966,6 @@ QUERIES = {
     "integrity_audit": integrity_audit,
     "fuzzy_name_matches": fuzzy_name_matches,
     "snapshot_diff": snapshot_diff,
+    "dau_wau_stickiness": dau_wau_stickiness,
     "event_reach_approx": event_reach_approx,  # rows-only (sketches)
 }

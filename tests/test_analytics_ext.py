@@ -260,3 +260,19 @@ def test_snapshot_diff_statuses_reconcile(spark):
     assert by_status.get("removed", set()) == in_old - in_new
     has_upper = {r["doc_id"] for r in docs if r["text"] != r["text"].lower()}
     assert by_status.get("changed", set()) == (in_old & in_new & has_upper)
+
+
+def test_dau_wau_invariants(spark):
+    """dau <= wau everywhere (a day's actives are inside its trailing
+    week), stickiness in (0, 1], and the first observed day has
+    dau == wau (no earlier days to widen the window)."""
+    rows = sorted(
+        ax.dau_wau_stickiness(spark, SF_SMOKE).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    for r in rows:
+        assert 0 < r["dau"] <= r["wau"]
+        assert 0.0 < r["stickiness"] <= 1.0
+    assert rows[0]["dau"] == rows[0]["wau"]
+    assert rows[0]["stickiness"] == 1.0
