@@ -97,6 +97,7 @@ _DEFERRED = [
     "batch_gd_train",
     "batch_gd_score",
     "dau_wau_stickiness",
+    "customer_cohort_ltv",
     # -- thrice green (r1+r2+r5), deferred to admit the ten new r6 queries --
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -161,6 +161,7 @@ HEADLINE = {
     "batch_gd_train": spam.batch_gd_train,
     "batch_gd_score": spam.batch_gd_score,
     "dau_wau_stickiness": analytics_ext.dau_wau_stickiness,
+    "customer_cohort_ltv": analytics_ext.customer_cohort_ltv,
 }
 
 

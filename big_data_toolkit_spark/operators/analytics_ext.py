@@ -372,6 +372,51 @@ def part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort_month, month_offset, n_customers, spend_cents, cum_spend_cents):
+    lifetime-value curve per acquisition cohort — the revenue companion to
+    ``retention_cohorts``.
+
+    Customers cohort by the month of their FIRST order; every later
+    order's spend lands at offset = months(order) − months(cohort). The
+    cumulative curve is a window sum over the |cohorts|×|offsets|
+    aggregate (tens of rows), not over orders. All money is exact integer
+    cents (the r2→r3 convention); months compare as ``year·12 + month``
+    ints so the offset is exact integer arithmetic in both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    mon = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    with_m = orders.select(
+        "o_custkey",
+        mon.alias("m"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    first = with_m.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    per_cell = (
+        with_m.join(first, "o_custkey")
+        .groupBy(
+            F.col("m0").alias("cohort_month"),
+            (F.col("m") - F.col("m0")).alias("month_offset"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum("cents").alias("spend_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_cell.select(
+        "cohort_month",
+        "month_offset",
+        "n_customers",
+        "spend_cents",
+        F.sum("spend_cents").over(w).alias("cum_spend_cents"),
+    )
+
+
 WAU_DAYS = 7
 
 
@@ -761,6 +806,30 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_events
         FROM events GROUP BY event_type
     """,
+    "customer_cohort_ltv": """
+        WITH wm AS (
+          SELECT o_custkey,
+                 CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                   AS m,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+          FROM orders
+        ),
+        first AS (SELECT o_custkey, min(m) AS m0 FROM wm GROUP BY o_custkey),
+        cell AS (
+          SELECT f.m0 AS cohort_month, wm.m - f.m0 AS month_offset,
+                 count(DISTINCT wm.o_custkey) AS n_customers,
+                 CAST(sum(wm.cents) AS BIGINT) AS spend_cents
+          FROM wm JOIN first f USING (o_custkey)
+          GROUP BY 1, 2
+        )
+        SELECT cohort_month, month_offset, n_customers, spend_cents,
+               CAST(sum(spend_cents) OVER (PARTITION BY cohort_month
+                                           ORDER BY month_offset
+                                           ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_spend_cents
+        FROM cell
+    """,
     "dau_wau_stickiness": f"""
         WITH du AS (
           SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
@@ -967,5 +1036,6 @@ QUERIES = {
     "fuzzy_name_matches": fuzzy_name_matches,
     "snapshot_diff": snapshot_diff,
     "dau_wau_stickiness": dau_wau_stickiness,
+    "customer_cohort_ltv": customer_cohort_ltv,
     "event_reach_approx": event_reach_approx,  # rows-only (sketches)
 }

@@ -276,3 +276,32 @@ def test_dau_wau_invariants(spark):
         assert 0.0 < r["stickiness"] <= 1.0
     assert rows[0]["dau"] == rows[0]["wau"]
     assert rows[0]["stickiness"] == 1.0
+
+
+def test_cohort_ltv_reconciles_to_total_revenue(spark):
+    """Cohort cells partition all orders: spend sums to total revenue
+    cents; cum_spend is non-decreasing within each cohort; offset 0 exists
+    for every cohort."""
+    from big_data_toolkit_spark.catalog import load_table
+
+    rows = ax.customer_cohort_ltv(spark, SF_SMOKE).collect()
+    total = sum(r["spend_cents"] for r in rows)
+    truth = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("c")
+        )
+        .agg({"c": "sum"})
+        .collect()[0][0]
+    )
+    assert total == truth
+    by_cohort: dict[int, list] = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_month"], []).append(r)
+    for cells in by_cohort.values():
+        cells.sort(key=lambda r: r["month_offset"])
+        assert cells[0]["month_offset"] == 0
+        cums = [c["cum_spend_cents"] for c in cells]
+        assert cums == sorted(cums)
