@@ -162,6 +162,7 @@ HEADLINE = {
     "batch_gd_score": spam.batch_gd_score,
     "dau_wau_stickiness": analytics_ext.dau_wau_stickiness,
     "customer_cohort_ltv": analytics_ext.customer_cohort_ltv,
+    "fulfillment_pct_approx": relational_ext.order_fulfillment_percentiles_approx,
 }
 
 

@@ -455,6 +455,41 @@ def order_fulfillment_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
     return delays.groupBy("o_orderpriority").agg(*aggs)
 
 
+APPROX_PCT_ACCURACY = 10000
+
+
+def order_fulfillment_percentiles_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB twin of ``order_fulfillment_percentiles``: the same
+    p50/p90/p99 profile from ``percentile_approx`` sketches.
+
+    Exact percentiles shuffle every group's values to sort them; the
+    KLL-style sketch is fixed-size per group and single-pass — the same
+    exact/approx split as ``event_reach`` / ``event_reach_approx``.
+    Deterministic for a given input but not bit-equal to any exact SQL,
+    so rows-only per the driver contract; pytest bounds it against the
+    exact twin (integer delays: the sketch at accuracy 10000 is within
+    1 day of exact on every quantile).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship_day")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("order_day")
+    )
+    delays = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority", F.datediff("ship_day", "order_day").alias("delay")
+    )
+    aggs = [F.count("*").alias("n")] + [
+        F.percentile_approx("delay", F.lit(p), F.lit(APPROX_PCT_ACCURACY))
+        .cast("double")
+        .alias(f"p{int(p * 100)}_days")
+        for p in FULFILLMENT_PCTS
+    ]
+    return delays.groupBy("o_orderpriority").agg(*aggs)
+
+
 SESSION_PATH_TOP_K = 10
 
 
@@ -585,5 +620,6 @@ QUERIES = {
     "user_value_moving_avg": user_value_moving_avg,
     "curated_corpus": curated_corpus,
     "order_fulfillment_percentiles": order_fulfillment_percentiles,
+    "order_fulfillment_percentiles_approx": order_fulfillment_percentiles_approx,
     "session_paths": session_paths,
 }

@@ -7,10 +7,41 @@ from tests.conftest import SF_ORACLE, SF_SMOKE
 from tests.oracle_utils import compare
 
 
-@pytest.mark.parametrize("name", sorted(rx.QUERIES))
+@pytest.mark.parametrize("name", sorted(rx.ORACLE_SQL))
 def test_oracle_match(spark, name):
     df = rx.QUERIES[name](spark, SF_ORACLE)
     compare(df, rx.ORACLE_SQL[name], SF_ORACLE)
+
+
+def test_every_query_has_oracle_or_is_sketch(spark):
+    assert set(rx.QUERIES) - set(rx.ORACLE_SQL) == {
+        "order_fulfillment_percentiles_approx"
+    }
+
+
+def test_approx_percentiles_track_exact(spark):
+    """The sketch profile must sit within 1 day of the exact twin on every
+    (priority, quantile): within max(1 day, 0.2%) — the sketch returns a
+    real data point while the exact form interpolates, so wide-spread
+    tails differ by a fraction of the local gap."""
+    exact = {
+        r["o_orderpriority"]: r
+        for r in rx.order_fulfillment_percentiles(spark, SF_ORACLE).collect()
+    }
+    approx = {
+        r["o_orderpriority"]: r
+        for r in rx.order_fulfillment_percentiles_approx(
+            spark, SF_ORACLE
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for prio, a in approx.items():
+        e = exact[prio]
+        assert a["n"] == e["n"]
+        for p in rx.FULFILLMENT_PCTS:
+            col = f"p{int(p * 100)}_days"
+            tol = max(1.0, 0.002 * abs(e[col]))
+            assert abs(a[col] - e[col]) <= tol, (prio, col, a[col], e[col])
 
 
 def test_asof_single_shuffle_no_join(spark):
