@@ -99,6 +99,7 @@ _DEFERRED = [
     "dau_wau_stickiness",
     "customer_cohort_ltv",
     "order_fulfillment_percentiles_approx",  # no_oracle by design: sketch
+    "index_merge_incremental",
     # -- thrice green (r1+r2+r5), deferred to admit the ten new r6 queries --
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -163,6 +163,7 @@ HEADLINE = {
     "dau_wau_stickiness": analytics_ext.dau_wau_stickiness,
     "customer_cohort_ltv": analytics_ext.customer_cohort_ltv,
     "fulfillment_pct_approx": relational_ext.order_fulfillment_percentiles_approx,
+    "index_merge_incremental": inverted_index.index_merge_incremental,
 }
 
 

@@ -100,3 +100,26 @@ def test_hybrid_subset_of_legs_and_ordered(spark):
     lex_ids = {r["doc_id"] for r in ii.ranked_retrieval_bm25(spark, SF_SMOKE).collect()}
     sem_ids = {r["vec_id"] for r in knn_ivf(spark, SF_SMOKE).collect()}
     assert {r["doc_id"] for r in fused} <= (lex_ids | sem_ids)
+
+
+def test_index_merge_equals_rebuild_restricted(spark):
+    """Incremental maintenance must equal a from-scratch rebuild restricted
+    to the delta's terms — compared row-for-row against the full postings."""
+    from tests.conftest import SF_ORACLE
+
+    merged = {
+        (r["term"], r["doc_id"], r["tf"], r["df"])
+        for r in ii.index_merge_incremental(spark, SF_ORACLE).collect()
+    }
+    full = ii.postings(spark, SF_ORACLE).collect()
+    touched = {
+        r["term"]
+        for r in full
+        if r["doc_id"] % ii.INDEX_BATCH_MOD == ii.INDEX_BATCH_MOD - 1
+    }
+    rebuild = {
+        (r["term"], r["doc_id"], r["tf"], r["df"])
+        for r in full
+        if r["term"] in touched
+    }
+    assert merged == rebuild and merged
