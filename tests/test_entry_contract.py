@@ -17,8 +17,13 @@ def test_registry_shape():
     assert len(q) >= 50
     # every oracle key corresponds to a registered query
     assert set(o) <= set(q)
-    # rows-only queries are the documented by-design trio
-    assert set(q) - set(o) == {"sgd_train", "sgd_score", "event_reach_approx"}
+    # rows-only queries are the documented by-design sketch/sequential set
+    assert set(q) - set(o) == {
+        "sgd_train",
+        "sgd_score",
+        "event_reach_approx",
+        "order_fulfillment_percentiles_approx",
+    }
 
 
 def test_deferred_are_registered_and_tail():
