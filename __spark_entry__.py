@@ -100,6 +100,7 @@ _DEFERRED = [
     "customer_cohort_ltv",
     "order_fulfillment_percentiles_approx",  # no_oracle by design: sketch
     "index_merge_incremental",
+    "weekly_reach_from_sketches",  # no_oracle by design: mergeable HLL sketches
     # -- thrice green (r1+r2+r5), deferred to admit the ten new r6 queries --
     "dedup_exact",
     "dedup_ngram_jaccard",

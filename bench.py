@@ -164,6 +164,7 @@ HEADLINE = {
     "customer_cohort_ltv": analytics_ext.customer_cohort_ltv,
     "fulfillment_pct_approx": relational_ext.order_fulfillment_percentiles_approx,
     "index_merge_incremental": inverted_index.index_merge_incremental,
+    "weekly_reach_sketches": analytics_ext.weekly_reach_from_sketches,
 }
 
 

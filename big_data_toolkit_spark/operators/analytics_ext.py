@@ -541,6 +541,39 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_LGK = 14  # ~0.6% relative error, 2^14 registers per sketch
+
+
+def weekly_reach_from_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(week, approx_users): weekly distinct users by MERGING daily HLL
+    sketches — the re-aggregatable form of ``event_reach_approx``.
+
+    The production 100 TB pattern this demonstrates: distinct counts
+    don't compose (day-level exact distincts cannot be summed into a
+    week), but Datasketches HLL UNIONS do — store one fixed-size sketch
+    per (day), merge for ANY window without rescanning raw events. Here
+    both levels run in one plan: per-day ``hll_sketch_agg`` (first
+    shuffle, fixed-size state per day), then ``hll_union_agg`` per week
+    over the |days| intermediate rows. Rows-only per the driver contract
+    (sketch estimates aren't SQL-expressible); pytest bounds every weekly
+    estimate against the exact distinct within 2%.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sk"))
+    )
+    return (
+        daily.groupBy(
+            F.date_trunc("week", F.col("day")).cast("date").alias("week")
+        )
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+        )
+    )
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -1038,4 +1071,5 @@ QUERIES = {
     "dau_wau_stickiness": dau_wau_stickiness,
     "customer_cohort_ltv": customer_cohort_ltv,
     "event_reach_approx": event_reach_approx,  # rows-only (sketches)
+    "weekly_reach_from_sketches": weekly_reach_from_sketches,  # rows-only
 }

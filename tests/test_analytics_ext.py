@@ -17,7 +17,10 @@ def test_oracle_match(spark, name):
 
 
 def test_every_query_registered_has_oracle_or_is_sketch(spark):
-    assert set(ax.QUERIES) - set(ax.ORACLE_SQL) == {"event_reach_approx"}
+    assert set(ax.QUERIES) - set(ax.ORACLE_SQL) == {
+        "event_reach_approx",
+        "weekly_reach_from_sketches",
+    }
 
 
 def test_approx_reach_within_tolerance(spark):
@@ -305,3 +308,30 @@ def test_cohort_ltv_reconciles_to_total_revenue(spark):
         assert cells[0]["month_offset"] == 0
         cums = [c["cum_spend_cents"] for c in cells]
         assert cums == sorted(cums)
+
+
+def test_weekly_sketch_merge_tracks_exact(spark):
+    """Every weekly estimate from merged daily sketches within 2% of the
+    exact weekly distinct; estimates update contract tests too (rows-only
+    set grows)."""
+    from big_data_toolkit_spark.catalog import load_table
+
+    approx = {
+        r["week"]: r["approx_users"]
+        for r in ax.weekly_reach_from_sketches(spark, SF_ORACLE).collect()
+    }
+    exact = {
+        r["week"]: r["n"]
+        for r in load_table(spark, SF_ORACLE, "events")
+        .select(
+            F.date_trunc("week", F.to_date("ts")).cast("date").alias("week"),
+            "user_id",
+        )
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for wk, a in approx.items():
+        e = exact[wk]
+        assert abs(a - e) <= max(2, 0.02 * e), (wk, a, e)

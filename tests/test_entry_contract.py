@@ -23,6 +23,7 @@ def test_registry_shape():
         "sgd_score",
         "event_reach_approx",
         "order_fulfillment_percentiles_approx",
+        "weekly_reach_from_sketches",
     }
 
 
