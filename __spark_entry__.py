@@ -101,6 +101,7 @@ _DEFERRED = [
     "order_fulfillment_percentiles_approx",  # no_oracle by design: sketch
     "index_merge_incremental",
     "weekly_reach_from_sketches",  # no_oracle by design: mergeable HLL sketches
+    "label_propagation_communities",
     # -- thrice green (r1+r2+r5), deferred to admit the ten new r6 queries --
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -165,6 +165,7 @@ HEADLINE = {
     "fulfillment_pct_approx": relational_ext.order_fulfillment_percentiles_approx,
     "index_merge_incremental": inverted_index.index_merge_incremental,
     "weekly_reach_sketches": analytics_ext.weekly_reach_from_sketches,
+    "lpa_communities": pagerank.label_propagation_communities,
 }
 
 

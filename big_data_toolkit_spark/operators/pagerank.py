@@ -31,7 +31,7 @@ aggregation. Dangling mass is a 1-row aggregate crossed in via broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_toolkit_spark.catalog import load_table
@@ -472,13 +472,126 @@ def _kcore_oracle_sql(k: int = KCORE_K, rounds: int = KCORE_MAX_ROUNDS) -> str:
     return sql
 
 
+LPA_ROUNDS = 4
+LPA_MIN_PAIRS = 3
+
+
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part, community): synchronous label propagation over the co-purchase
+    graph — community detection, the fourth graph-algorithm family (after
+    PageRank, triangles, k-core).
+
+    Edges are part pairs co-purchased in ≥3 orders (in-row pair
+    generation, no self-join on the basket key). LPA (Raghavan et al.
+    2007) in its SYNCHRONOUS fixed-round form WITH SELF-VOTES: every
+    round, each node adopts the most frequent label among its neighbours
+    and itself, ties broken by the SMALLEST label. The self-vote is the
+    standard synchronous-LPA fix for bipartite label oscillation (a lone
+    edge would otherwise swap labels forever); min-tie-break makes every
+    round an exact integer/min operation, so a fixed round count is
+    deterministic and cross-engine reproducible even pre-convergence
+    (the dedup_components precedent). Each round is one join + one
+    (node, label) count + one argmax window; labels ``localCheckpoint``
+    per round.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, x -> "
+                    "transform(filter(parts, y -> y > x), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= LPA_MIN_PAIRS)
+    )
+    sym = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    # self-loops carry each node's own vote through the same join
+    edges = sym.union(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    ).localCheckpoint()
+    labels = nodes.withColumn("community", F.col("node")).localCheckpoint()
+    w = Window.partitionBy("node").orderBy(
+        F.desc("votes"), F.asc("community")
+    )
+    for _ in range(LPA_ROUNDS):
+        labels = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy(edges["src"].alias("node"), "community")
+            .agg(F.count("*").alias("votes"))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("node", "community")
+            .localCheckpoint()
+        )
+    return labels.select(F.col("node").alias("part"), "community")
+
+
+def _lpa_oracle_sql(rounds: int = LPA_ROUNDS) -> str:
+    """Fixed-round synchronous LPA unrolled as MATERIALIZED CTEs."""
+    sql = f"""
+    WITH baskets AS MATERIALIZED (
+      SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    ex AS MATERIALIZED (
+      SELECT l_orderkey, unnest(parts) AS part FROM baskets
+    ),
+    pairs AS MATERIALIZED (
+      SELECT x.part AS a, y.part AS b
+      FROM ex x JOIN ex y
+        ON x.l_orderkey = y.l_orderkey AND y.part > x.part
+      GROUP BY x.part, y.part
+      HAVING count(*) >= {LPA_MIN_PAIRS}
+    ),
+    sym AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL SELECT b AS src, a AS dst FROM pairs
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+    edges AS MATERIALIZED (
+      SELECT src, dst FROM sym
+      UNION ALL SELECT node AS src, node AS dst FROM nodes
+    ),
+    l0 AS MATERIALIZED (
+      SELECT node, node AS community FROM nodes
+    )"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+    l{i} AS MATERIALIZED (
+      SELECT node, community FROM (
+        SELECT e.src AS node, l.community, count(*) AS votes,
+               row_number() OVER (PARTITION BY e.src
+                                  ORDER BY count(*) DESC, l.community) AS rk
+        FROM edges e JOIN l{i - 1} l ON e.dst = l.node
+        GROUP BY e.src, l.community
+      ) WHERE rk = 1
+    )"""
+    sql += f"""
+    SELECT node AS part, community FROM l{rounds}"""
+    return sql
+
+
 QUERIES = {
     "pagerank_top20": pagerank_top20,
     "triangle_count": triangle_count,
     "kcore_subgraph": kcore_subgraph,
+    "label_propagation_communities": label_propagation_communities,
 }
 ORACLE_SQL = {
     "pagerank_top20": pagerank_oracle_sql(),
     "triangle_count": _triangle_oracle_sql(),
     "kcore_subgraph": _kcore_oracle_sql(),
+    "label_propagation_communities": _lpa_oracle_sql(),
 }

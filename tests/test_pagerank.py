@@ -198,3 +198,18 @@ def test_kcore_subgraph_oracle(spark):
         pr.ORACLE_SQL["kcore_subgraph"],
         SF_ORACLE,
     )
+
+
+def test_lpa_labels_valid_and_nontrivial(spark):
+    """Every graph node gets exactly one community label drawn from the
+    node-id space, and propagation actually merges labels (fewer distinct
+    communities than nodes)."""
+    from tests.conftest import SF_ORACLE
+
+    rows = pr.label_propagation_communities(spark, SF_ORACLE).collect()
+    assert rows
+    nodes = {r["part"] for r in rows}
+    assert len(rows) == len(nodes)  # one label per node
+    comms = {r["community"] for r in rows}
+    assert comms <= nodes  # labels are node ids
+    assert len(comms) < len(nodes)  # some propagation happened
