@@ -102,6 +102,7 @@ _DEFERRED = [
     "index_merge_incremental",
     "weekly_reach_from_sketches",  # no_oracle by design: mergeable HLL sketches
     "label_propagation_communities",
+    "boolean_and_not",
     # -- thrice green (r1+r2+r5), deferred to admit the ten new r6 queries --
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -166,6 +166,7 @@ HEADLINE = {
     "index_merge_incremental": inverted_index.index_merge_incremental,
     "weekly_reach_sketches": analytics_ext.weekly_reach_from_sketches,
     "lpa_communities": pagerank.label_propagation_communities,
+    "boolean_and_not": inverted_index.boolean_and_not,
 }
 
 

@@ -36,6 +36,7 @@ from big_data_toolkit_spark.functions.text import DUCKDB_TOKENS, tokenize
 QUERY_AND = "spark fast AND"
 QUERY_OR = "spark fast OR"
 QUERY_MIXED = "spark fast AND slow OR"
+QUERY_NOT = "spark slow NOT"
 
 
 def postings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,6 +147,12 @@ def boolean_retrieval(spark: SparkSession, sf_dir: str, query: str) -> DataFrame
         elif tok == "OR":
             right, left = stack.pop(), stack.pop()
             stack.append(left.union(right).distinct())
+        elif tok == "NOT":
+            # binary difference: docs in left minus docs in right — the set
+            # op the reference's a3 stack machine lacks (AND/OR only);
+            # plans as a LeftAnti join, never a cartesian complement.
+            right, left = stack.pop(), stack.pop()
+            stack.append(left.join(right, "doc_id", "left_anti"))
         else:
             stack.append(
                 term_docs.where(F.col("term") == F.lit(tok)).select("doc_id")
@@ -167,6 +174,12 @@ def boolean_or(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def boolean_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boolean_retrieval(spark, sf_dir, QUERY_MIXED)
+
+
+def boolean_and_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs containing 'spark' but NOT 'slow' — the difference operator the
+    reference's AND/OR-only stack machine lacks (U7 completion)."""
+    return boolean_retrieval(spark, sf_dir, QUERY_NOT)
 
 
 RANKED_TERMS = ("spark", "fast", "slow")
@@ -380,6 +393,11 @@ ORACLE_SQL: dict[str, str] = {
         hits AS ({_contains("spark")} UNION {_contains("fast")})
         SELECT d.doc_id, d.text FROM hits JOIN documents d USING (doc_id)
     """,
+    "boolean_and_not": f"""
+        WITH term_docs AS ({_TERM_DOCS}),
+        hits AS ({_contains("spark")} EXCEPT {_contains("slow")})
+        SELECT d.doc_id, d.text FROM hits JOIN documents d USING (doc_id)
+    """,
     "boolean_mixed": f"""
         WITH term_docs AS ({_TERM_DOCS}),
         hits AS (
@@ -475,6 +493,7 @@ ORACLE_SQL["hybrid_retrieval"] = _hybrid_oracle_sql()
 QUERIES = {
     "inverted_index": postings,
     "index_merge_incremental": index_merge_incremental,
+    "boolean_and_not": boolean_and_not,
     "boolean_and": boolean_and,
     "boolean_or": boolean_or,
     "boolean_mixed": boolean_mixed,

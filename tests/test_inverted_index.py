@@ -123,3 +123,21 @@ def test_index_merge_equals_rebuild_restricted(spark):
         if r["term"] in touched
     }
     assert merged == rebuild and merged
+
+
+def test_boolean_not_semantics(spark):
+    """NOT compiles to a LeftAnti join; result = spark-docs minus
+    slow-docs, cross-checked directly."""
+    from tests.conftest import SF_ORACLE
+
+    df = ii.boolean_and_not(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "Cartesian" not in plan
+    got = {r["doc_id"] for r in df.collect()}
+    spark_docs = {
+        r["doc_id"] for r in ii.boolean_retrieval(spark, SF_ORACLE, "spark").collect()
+    }
+    slow_docs = {
+        r["doc_id"] for r in ii.boolean_retrieval(spark, SF_ORACLE, "slow").collect()
+    }
+    assert got == spark_docs - slow_docs and got
