@@ -103,6 +103,7 @@ _DEFERRED = [
     "weekly_reach_from_sketches",  # no_oracle by design: mergeable HLL sketches
     "label_propagation_communities",
     "boolean_and_not",
+    "phrase_search",
     # -- thrice green (r1+r2+r5), deferred to admit the ten new r6 queries --
     "dedup_exact",
     "dedup_ngram_jaccard",

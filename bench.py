@@ -167,6 +167,7 @@ HEADLINE = {
     "weekly_reach_sketches": analytics_ext.weekly_reach_from_sketches,
     "lpa_communities": pagerank.label_propagation_communities,
     "boolean_and_not": inverted_index.boolean_and_not,
+    "phrase_search": inverted_index.phrase_search,
 }
 
 

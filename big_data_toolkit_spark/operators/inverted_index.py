@@ -91,6 +91,53 @@ def index_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHRASE = ("spark", "fast")  # test-bench phrase query
+
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_matches): documents containing the exact phrase
+    'spark fast' — POSITIONAL retrieval, beyond the reference's
+    non-positional a3 index (which can only AND the terms and
+    over-matches docs where they never touch).
+
+    The positional-postings plan: ``posexplode`` keeps each term's offset
+    on the same scan that builds tf; per (doc, term) the offsets pack
+    into a sorted array (bounded by per-doc term frequency); the phrase
+    test is then ONE equi-join of the two terms' per-doc position sets
+    with the adjacency check as an in-row ``array_intersect`` of
+    (positions(w1)+1) with positions(w2) — no per-position row explosion
+    through the join, no window over the token stream. n_matches counts
+    the adjacent pairs exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokenize("text")).alias("pos", "term")
+    ).where(F.col("term").isin(list(PHRASE)))
+    per_doc = tok.groupBy("doc_id", "term").agg(
+        F.sort_array(F.collect_list("pos")).alias("ps")
+    )
+    a = per_doc.where(F.col("term") == PHRASE[0]).select(
+        "doc_id", F.col("ps").alias("pa")
+    )
+    b = per_doc.where(F.col("term") == PHRASE[1]).select(
+        "doc_id", F.col("ps").alias("pb")
+    )
+    return (
+        a.join(b, "doc_id")
+        .select(
+            "doc_id",
+            F.size(
+                F.array_intersect(
+                    F.expr("transform(pa, p -> p + 1)"), F.col("pb")
+                )
+            )
+            .cast("long")
+            .alias("n_matches"),
+        )
+        .where(F.col("n_matches") > 0)
+    )
+
+
 def postings_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-term postings list: (term, df, postings ARRAY<STRUCT<doc_id,tf>>).
 
@@ -393,6 +440,24 @@ ORACLE_SQL: dict[str, str] = {
         hits AS ({_contains("spark")} UNION {_contains("fast")})
         SELECT d.doc_id, d.text FROM hits JOIN documents d USING (doc_id)
     """,
+    "phrase_search": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({_TOKENS}) AS term,
+                 unnest(range(0, len({_TOKENS}))) AS pos
+          FROM documents
+        ),
+        pd AS (
+          SELECT doc_id, term, list_sort(list(pos)) AS ps
+          FROM tok WHERE term IN ('{PHRASE[0]}', '{PHRASE[1]}')
+          GROUP BY doc_id, term
+        )
+        SELECT a.doc_id,
+               CAST(len(list_intersect(list_transform(a.ps, p -> p + 1),
+                                       b.ps)) AS BIGINT) AS n_matches
+        FROM pd a JOIN pd b USING (doc_id)
+        WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+          AND len(list_intersect(list_transform(a.ps, p -> p + 1), b.ps)) > 0
+    """,
     "boolean_and_not": f"""
         WITH term_docs AS ({_TERM_DOCS}),
         hits AS ({_contains("spark")} EXCEPT {_contains("slow")})
@@ -494,6 +559,7 @@ QUERIES = {
     "inverted_index": postings,
     "index_merge_incremental": index_merge_incremental,
     "boolean_and_not": boolean_and_not,
+    "phrase_search": phrase_search,
     "boolean_and": boolean_and,
     "boolean_or": boolean_or,
     "boolean_mixed": boolean_mixed,

@@ -141,3 +141,33 @@ def test_boolean_not_semantics(spark):
         r["doc_id"] for r in ii.boolean_retrieval(spark, SF_ORACLE, "slow").collect()
     }
     assert got == spark_docs - slow_docs and got
+
+
+def test_phrase_search_matches_python_scan(spark):
+    """Every (doc, n_matches) equals a direct Python scan for adjacent
+    'spark fast' token pairs; phrase docs are a subset of the AND result."""
+    import re
+
+    from tests.conftest import SF_ORACLE
+
+    from big_data_toolkit_spark.catalog import load_table
+
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in ii.phrase_search(spark, SF_ORACLE).collect()
+    }
+    assert got
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text").collect()
+    expect = {}
+    for r in docs:
+        toks = [t for t in re.split("[^a-z]+", r["text"].lower()) if t]
+        n = sum(
+            1
+            for x, y in zip(toks, toks[1:])
+            if (x, y) == ii.PHRASE
+        )
+        if n:
+            expect[r["doc_id"]] = n
+    assert got == expect
+    and_docs = {r["doc_id"] for r in ii.boolean_and(spark, SF_ORACLE).collect()}
+    assert set(got) <= and_docs
