@@ -104,6 +104,7 @@ _DEFERRED = [
     "label_propagation_communities",
     "boolean_and_not",
     "phrase_search",
+    "q6_forecast_revenue",
     # -- thrice green (r1+r2+r5), deferred to admit the ten new r6 queries --
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -168,6 +168,7 @@ HEADLINE = {
     "lpa_communities": pagerank.label_propagation_communities,
     "boolean_and_not": inverted_index.boolean_and_not,
     "phrase_search": inverted_index.phrase_search,
+    "q6": sql_analytics.q6_forecast_revenue,
 }
 
 

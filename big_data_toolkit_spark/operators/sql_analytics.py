@@ -193,11 +193,55 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q6_DISCOUNT_LO, Q6_DISCOUNT_HI = 0.02, 0.04  # whole-percent band [2%, 4%]
+Q6_MAX_QTY = 24
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row (revenue_cc): the TPC-H Q6 shape — pure scan + filter +
+    aggregate, the canonical predicate-pushdown showcase (every predicate
+    reaches the parquet scan; no join, no shuffle beyond the final 1-row
+    aggregate).
+
+    Revenue = Σ price·discount over lineitems in a discount band below a
+    quantity cap, in EXACT integers (cents × whole-percent — the q5
+    convention): the stored values carry two decimals, so quantizing each
+    factor separately is lossless while quantizing the double product
+    would hit engine rounding-mode differences. The discount-band filter
+    compares quantized integers too, so band edges cannot drift.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    pct = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        li.where(
+            (F.col("l_quantity") < Q6_MAX_QTY)
+        )
+        .select(cents.alias("cents"), pct.alias("pct"))
+        .where(
+            (F.col("pct") >= int(Q6_DISCOUNT_LO * 100))
+            & (F.col("pct") <= int(Q6_DISCOUNT_HI * 100))
+        )
+        .agg(F.sum(F.col("cents") * F.col("pct")).alias("revenue_cc"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL (identical semantics, identical output column names).
 # ---------------------------------------------------------------------------
 
 ORACLE_SQL: dict[str, str] = {
+    "q6_forecast_revenue": f"""
+        SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)
+                        * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                               AS BIGINT))
+                    AS BIGINT) AS revenue_cc
+        FROM lineitem
+        WHERE l_quantity < {Q6_MAX_QTY}
+          AND CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+              BETWEEN {int(Q6_DISCOUNT_LO * 100)} AND {int(Q6_DISCOUNT_HI * 100)}
+    """,
     "q5_local_supplier_volume": """
         SELECT n_name,
                CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
@@ -256,4 +300,5 @@ QUERIES = {
     "q3_part_supplier_shipped": q3_part_supplier_shipped,
     "q4_orders_by_nation": q4_orders_by_nation,
     "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
 }

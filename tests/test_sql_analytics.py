@@ -45,3 +45,13 @@ def test_q5_broadcasts_dims_single_agg_exchange(spark):
     assert all(r["revenue_cc"] > 0 for r in rows)
     revs = [r["revenue_cc"] for r in rows]
     assert revs == sorted(revs, reverse=True)
+
+
+def test_q6_quantity_filter_pushed_to_scan(spark):
+    """Q6's quantity predicate must reach the parquet scan (the whole
+    point of the query shape); one row out, positive revenue."""
+    df = sa.q6_forecast_revenue(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_quantity" in plan
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["revenue_cc"] > 0
