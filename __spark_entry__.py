@@ -105,6 +105,7 @@ _DEFERRED = [
     "boolean_and_not",
     "phrase_search",
     "q6_forecast_revenue",
+    "priority_revenue_share",
     # -- thrice green (r1+r2+r5), deferred to admit the ten new r6 queries --
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -169,6 +169,7 @@ HEADLINE = {
     "boolean_and_not": inverted_index.boolean_and_not,
     "phrase_search": inverted_index.phrase_search,
     "q6": sql_analytics.q6_forecast_revenue,
+    "priority_revenue_share": relational_ext.priority_revenue_share,
 }
 
 

@@ -455,6 +455,33 @@ def order_fulfillment_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
     return delays.groupBy("o_orderpriority").agg(*aggs)
 
 
+def priority_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderpriority, revenue_cents, share): percent-of-total revenue per
+    priority — the ratio-to-report window frame, the one window type the
+    suite didn't yet cover (unpartitioned, unordered full-frame sum over
+    an already-tiny aggregate).
+
+    The full-frame window sees |priorities| rows (5), not orders — the
+    same reduce-before-window rule as ``customer_spend_quartiles``.
+    Revenue is exact integer cents; the share is one double division of
+    two BIGINTs, rounded once.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.sum(_cents("o_totalprice")).alias("revenue_cents")
+    )
+    total = F.sum("revenue_cents").over(
+        Window.partitionBy()
+    )
+    return per.select(
+        "o_orderpriority",
+        "revenue_cents",
+        F.round(F.col("revenue_cents").cast("double") / total, 6).alias(
+            "share"
+        ),
+    )
+
+
 APPROX_PCT_ACCURACY = 10000
 
 
@@ -536,6 +563,19 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(SESSION_PATH_TOP_K)
     )
 
+
+ORACLE_SQL["priority_revenue_share"] = """
+    WITH per AS (
+      SELECT o_orderpriority,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, revenue_cents,
+           round(CAST(revenue_cents AS DOUBLE) / sum(revenue_cents) OVER (),
+                 6) AS share
+    FROM per
+"""
 
 ORACLE_SQL["order_fulfillment_percentiles"] = f"""
     WITH delays AS (
@@ -620,6 +660,7 @@ QUERIES = {
     "user_value_moving_avg": user_value_moving_avg,
     "curated_corpus": curated_corpus,
     "order_fulfillment_percentiles": order_fulfillment_percentiles,
+    "priority_revenue_share": priority_revenue_share,
     "order_fulfillment_percentiles_approx": order_fulfillment_percentiles_approx,
     "session_paths": session_paths,
 }

@@ -115,3 +115,12 @@ def test_session_paths_windows_share_one_exchange(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_priority_revenue_share_sums_to_one(spark):
+    """Shares partition the total: they sum to ~1 and the window ran over
+    the 5-row aggregate (assert small result)."""
+    rows = rx.priority_revenue_share(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 10
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-5
+    assert all(r["share"] > 0 for r in rows)
