@@ -160,3 +160,43 @@ def test_online_anomaly_fold_is_batch_split_invariant(day_counts, cuts):
             for r in out
         )
     assert got == expected
+
+
+@_SETTINGS
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),  # minute offset
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=200), max_size=4),
+)
+def test_funnel_fold_is_batch_split_invariant(events, cuts):
+    """Folding one user's event stream through ANY time-ordered batch
+    partitioning yields the same stage entries as a single-batch fold —
+    the property that lets the streaming funnel replay deterministically."""
+    import pandas as pd
+
+    from big_data_toolkit_spark.streaming.funnel import _fold_funnel
+
+    events = sorted(events)
+    base = pd.Timestamp("2021-01-01")
+    ts = [base + pd.Timedelta(minutes=m) for m, _ in events]
+    types = [t for _, t in events]
+    whole = pd.DataFrame({"ts": pd.Series(ts), "event_type": types})
+
+    *_, out_single = _fold_funnel(-1, -1, -1, -1, [whole])
+
+    bounds = sorted({0, 201} | set(cuts))
+    state = (-1, -1, -1, -1)
+    out_multi = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        mask = [lo <= m < hi for m, _ in events]
+        part = whole[pd.Series(mask).values]
+        if len(part):
+            *state, out = _fold_funnel(*state, [part])
+            out_multi.extend(out)
+    assert out_multi == out_single
