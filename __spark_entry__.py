@@ -53,41 +53,25 @@ _MODULES = [
 # round).  Coverage rotates: each round, queries green (rows+schema+hash) in
 # TWO driver rounds may move to the tail and the stalest deferred set is
 # re-admitted, so no query's newest driver row is ever more than two rounds
-# old.  Round-6 rotation (the plan recorded in BASELINE.md "Gate rotation
-# state after round 6"): the 21 queries deferred through r5 (newest rows r4,
-# two rounds old by r7) re-enter the gate; of the r5 head — all 50 green in
-# CORRECTNESS_r05 — the 26 entries below with rows from BOTH r4 and r5
-# rotate out (including the four stayers the r5 plan would have kept:
-# their slots go to the FIVE queries NEW this round, which need first
-# driver rows — dedup_star_components, kmeans_clusters,
-# cluster_balanced_sample, text_clean, pii_redaction; deferring
-# dedup_components also halves the ~120 s/side DuckDB components-oracle
-# cost, star now carrying that oracle's driver row).  Also kept in the
-# head: shard_pack and image_features (repaired in r5, only once green).
-# Late-r6 amendment: the TEN queries added after that plan was written
-# (knn_ivf_trained .. event_funnel) also enter the head for first driver
-# rows — their slots come from ten thrice-green (r1+r2+r5) heavyweights
-# deferred below, all with fresh r5 rows (valid through r7).  Every
-# deferred query remains registered and pytest-oracle-covered
-# (tests/oracle_utils.compare replicates the driver's comparison).
+# old.  Round-7 rotation (executing the plan recorded in BASELINE.md "Gate
+# rotation state after round 6 (the r7 plan)"): the 36 queries whose newest
+# driver rows are r5 (two rounds old by r7) re-enter the head, joined by
+# `user_value_moving_avg` — the one r6 RED (driver-serialization hash on a
+# round(,6) DOUBLE), now emitting BIGINT micro-units per the repo's
+# integer-output protocol and needing a green row — plus the first 13
+# never-rowed entrants from the recorded queue (all pytest-oracle-green
+# and full-precision strict-MATCH in the r7 preflight sweep).
+# 36 + 1 + 13 = 50.  The 14th planned entrant (`nearest_centroid_confusion`)
+# yields its slot to the red-row retry and joins the r8 queue below.
+# Every r6-head query except the red one defers (r6 rows, one round old).
+# Every deferred query remains registered and pytest-oracle-covered
+# (tests/oracle_utils.compare replicates the driver's comparison; the new
+# --strict preflight mode replicates its full-precision float hash).
 _DEFERRED = [
     "sgd_train",  # no_oracle by design: rows-only check, seen r01+r02
     "sgd_score",  # no_oracle by design: rows-only check, seen r01+r02
     "event_reach_approx",  # no_oracle by design: rows-only, rows-green r04
-    # -- NEW post-amendment (head full at 50): pytest-oracle-covered, r7 entrants --
-    "retention_cohorts",
-    "user_activity_anomalies",
-    "keyword_extraction",
-    "kcore_subgraph",
-    "knn_int8",
-    "order_fulfillment_percentiles",
-    "session_paths",
-    "cross_source_leakage",
-    "vocab_coverage",
-    "event_value_histogram",
-    "priority_sample",
-    "online_user_anomalies",
-    "label_centroids",
+    # -- never-rowed queue for r8 (pytest-oracle + strict-preflight green) --
     "nearest_centroid_confusion",
     "part_affinity",
     "integrity_audit",
@@ -106,44 +90,56 @@ _DEFERRED = [
     "phrase_search",
     "q6_forecast_revenue",
     "priority_revenue_share",
-    # -- thrice green (r1+r2+r5), deferred to admit the ten new r6 queries --
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "knn_lsh",
-    "ivf_assignments",
-    "knn_ivf",
-    "lang_id",
-    "token_count",
-    "fingerprint",
-    "event_count_hourly",
-    # -- twice green (r4 + r5), rotating out this round --
-    "dedup_components",
-    "event_reach",
-    "temperature_mix",
-    "corpus_stats_by_source",
-    "ranked_retrieval_tfidf",
-    "dedup_incremental",
-    "dedup_embedding_ivf",
-    "repetition_score",
-    "unigram_logprob",
-    "benchmark_contamination",
-    "quality_quantile_filter",
-    "orders_rollup",
-    "events_cube",
-    "orders_grouping_sets",
-    "customer_order_timeline",
-    "customer_spend_quartiles",
-    "user_event_matrix",
-    "json_props_stats",
-    "multimodal_meta",
-    "video_frame_sample",
-    "hash_sample",
-    "stratified_sample",
-    "source_mix",
-    "chunk_documents",
-    "distinct_users_by_type",
-    "skewed_join_enrich",
+    # -- r6 head (green rows in CORRECTNESS_r06, one round old), deferring --
+    "q1_count_shipped",
+    "q2_orders_shipped",
+    "q3_part_supplier_shipped",
+    "q4_orders_by_nation",
+    "word_count",
+    "next_word_after",
+    "bigram_relative_frequency",
+    "pmi_pairs",
+    "inverted_index",
+    "boolean_and",
+    "boolean_or",
+    "boolean_mixed",
+    "ranked_retrieval_bm25",
+    "hybrid_retrieval",
+    "spam_score",
+    "spam_ensemble",
+    "pagerank_top20",
+    "triangle_count",
+    "region_event_count",
+    "trending_events",
+    "dedup_minhash_lsh",
+    "dedup_star_components",
+    "simhash_fingerprints",
+    "dedup_simhash",
+    "span_dedup",
+    "semantic_dedup",
+    "dedup_embedding_lsh",
+    "knn_brute_force",
+    "kmeans_clusters",
+    "cluster_balanced_sample",
+    "knn_ivf_trained",
+    "quality_score",
+    "dsir_weights",
+    "bigram_logprob",
+    "text_clean",
+    "pii_redaction",
+    "asof_purchase_attribution",
+    "error_bursts",
+    "top_orders_per_priority",
+    "lineitem_stats",
+    "event_count_sliding",
+    "user_sessions",
+    "curated_corpus",
+    "customers_without_orders",
+    "daily_activity_full",
+    "never_ordered_parts",
+    "event_funnel",
+    "image_features",
+    "shard_pack",
 ]
 
 

@@ -288,6 +288,27 @@ def main() -> None:
             "NOT comparable to the pinned 45-query baseline"
         )
     print(json.dumps(out))
+    # The driver artifact keeps only the stdout TAIL; the full per-query
+    # line above can exceed what survives (the r6 artifact lost its meta
+    # fields to front-truncation, VERDICT r6). Emit a compact summary
+    # LAST so the governing numbers always survive tail capture.
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_summary",
+                "value": total,
+                "unit": "sec",
+                "baseline_subset_seconds": baseline_subset,
+                "baseline_subset_n": baseline_n,
+                "total_seconds": total,
+                "n_queries": len(timings),
+                "n_errors": len(errors),
+                "slowest": {q: v for q, v in slowest},
+                "sf": sf_dir,
+            }
+        )
+    )
     spark.stop()
 
 

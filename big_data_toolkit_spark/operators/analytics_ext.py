@@ -899,7 +899,8 @@ ORACLE_SQL: dict[str, str] = {
     "fuzzy_name_matches": f"""
         WITH names AS (
           SELECT p_name, count(*) AS cnt,
-                 split_part(p_name, ' ', 2) AS noun
+                 -- last token = head noun, matching Spark's element_at(split, -1)
+                 split_part(p_name, ' ', -1) AS noun
           FROM part GROUP BY p_name
         )
         SELECT a.p_name AS name_a, b.p_name AS name_b,

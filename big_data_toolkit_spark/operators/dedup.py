@@ -1011,7 +1011,9 @@ ORACLE_SQL["dedup_incremental"] = f"""
 # ---------------------------------------------------------------------------
 
 
-def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_dedup(
+    spark: SparkSession, sf_dir: str, cents: dict[int, list[float]] | None = None
+) -> DataFrame:
     """(vec_id, cluster, kept): SemDeDup-style pruning over trained clusters.
 
     The SemDeDup recipe (Abbas et al. 2023): k-means-cluster the embedding
@@ -1035,15 +1037,23 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     that stage); drops reduce through ``distinct`` on vec_id — partial-
     aggregated — and rejoin the assignment as a broadcast-or-shuffle
     LEFT join Catalyst picks by size.
+
+    ``cents`` (optional): pre-trained Lloyd centroids (cluster → double
+    vector, see ``plans.materialize``) — skips the in-plan training scans;
+    the corpus quantization (a map-only expression) still runs.
     """
     from big_data_toolkit_spark.operators.similarity import (
         _dot,
         _kmeans_assign,
         _lloyd,
         _norm,
+        _quantize,
     )
 
-    q, cents = _lloyd(spark, sf_dir)
+    if cents is None:
+        q, cents = _lloyd(spark, sf_dir)
+    else:
+        q = _quantize(load_table(spark, sf_dir, "embeddings"))
     assigned = _kmeans_assign(q, cents).select("vec_id", "embedding", "cluster")
     nemb = assigned.select(
         "vec_id", "cluster", "embedding", _norm("embedding").alias("nrm")
@@ -1208,7 +1218,9 @@ ORACLE_SQL["dedup_components"] = dedup_components_oracle_sql(CC_ITERS)
 # converged on this corpus — see dedup_star_components docstring).
 ORACLE_SQL["dedup_star_components"] = dedup_components_oracle_sql(CC_ITERS)
 
-def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cross_source_leakage(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """(source_a, source_b, n_pairs, max_jaccard): near-duplicate pairs that
     SPAN sources — the train/eval contamination map.
 
@@ -1223,9 +1235,13 @@ def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the source labels — AQE broadcasts the pair side against the bucketed
     doc scan — then one low-cardinality aggregate. ``max`` (not ``avg``)
     of the verify-Jaccard keeps the summary order-independent exact.
+
+    ``pairs`` (optional): pre-materialized near-dup pair table
+    (d1, d2, jaccard), see ``plans.materialize``.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    pairs = dedup_minhash_lsh(spark, sf_dir)
+    if pairs is None:
+        pairs = dedup_minhash_lsh(spark, sf_dir)
     labeled = (
         pairs.join(
             docs.select(

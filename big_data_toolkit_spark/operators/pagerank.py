@@ -270,7 +270,9 @@ ORDER BY "rank" DESC, node LIMIT {k}"""
     return sql
 
 
-def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def triangle_count(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """(n_wedges, n_triangles): degree-oriented triangle count of the
     MinHash near-dup graph — how clique-like the duplicate clusters are.
 
@@ -287,10 +289,17 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All-integer arithmetic (no float risk); the two global counts are
     1-row aggregates crossed into a single row.
+
+    ``pairs`` (optional) supplies a pre-materialized near-dup pair table
+    (columns d1, d2; see ``plans.materialize``) — the 100 TB consumption
+    pattern where the MinHash pair graph is built ONCE and shared across
+    graph analyses instead of recomputed in-plan per query.
     """
     from big_data_toolkit_spark.operators.dedup import dedup_minhash_lsh
 
-    e = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    if pairs is None:
+        pairs = dedup_minhash_lsh(spark, sf_dir)
+    e = pairs.select("d1", "d2")
     deg = (
         e.select(F.col("d1").alias("node"))
         .union(e.select(F.col("d2").alias("node")))
@@ -374,7 +383,9 @@ KCORE_K = 2
 KCORE_MAX_ROUNDS = 12
 
 
-def kcore_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kcore_subgraph(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, core_deg): the 2-core of the MinHash near-dup graph — every
     node's degree after iteratively peeling all degree-<2 nodes.
 
@@ -393,12 +404,15 @@ def kcore_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     than returning an unpeeled (wrong) core; the oracle unrolls the same
     round count, and rounds past the fixpoint are identity, so any
     in-budget convergence matches it.
+
+    ``pairs`` (optional): pre-materialized near-dup pair table (d1, d2),
+    see ``plans.materialize``.
     """
     from big_data_toolkit_spark.operators.dedup import dedup_minhash_lsh
 
-    edges = (
-        dedup_minhash_lsh(spark, sf_dir).select("d1", "d2").localCheckpoint()
-    )
+    if pairs is None:
+        pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.select("d1", "d2").localCheckpoint()
     n_edges = edges.count()
     converged = False
     for _ in range(KCORE_MAX_ROUNDS):

@@ -266,7 +266,7 @@ MOVING_WINDOW_SECONDS = 3600  # trailing 1-hour frame
 
 
 def user_value_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(event_id, user_id, sum_cents_1h, n_1h, avg_value_1h): per-event
+    """(event_id, user_id, sum_cents_1h, n_1h, avg_value_micros_1h): per-event
     trailing 1-hour moving aggregate of ``value`` within each user's stream.
 
     The time-RANGE window frame (a frame defined by the ORDER-BY value, not
@@ -278,6 +278,13 @@ def user_value_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-dependent. The ORDER BY key is epoch SECONDS (truncated
     identically in both engines), so frame membership is unambiguous;
     RANGE includes same-second peers.
+
+    The derived average is emitted as BIGINT micro-units of the original
+    value — ``(sum_cents_1h * 10000) DIV n_1h``, truncating integer
+    division (both engines truncate toward zero; sums here are
+    non-negative) — per the repo's integer-output protocol
+    (BASELINE.md "Known driver-hash sensitivities"): a round(x, 6)
+    DOUBLE hashed red in CORRECTNESS_r06 despite value-identical results.
 
     Scale: one shuffle on user_id, per-user sorted frames — the standard
     window plan; frame state is one running (sum, count), never the event
@@ -300,10 +307,7 @@ def user_value_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "sum_cents_1h",
         "n_1h",
-        F.round(
-            F.col("sum_cents_1h").cast("double") / F.lit(100.0) / F.col("n_1h"),
-            6,
-        ).alias("avg_value_1h"),
+        F.expr("sum_cents_1h * 10000 DIV n_1h").alias("avg_value_micros_1h"),
     )
 
 
@@ -524,20 +528,24 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(path, cnt): the 10 most common 3-step event-type sequences inside
     30-minute user sessions — sequential pattern mining over the stream.
 
-    Composes sessionization (gaps-and-islands, same `>` gap rule as
-    ``user_sessions``) with in-session trigram extraction: two ``lead``s
-    over the (user, session) frame. ONE shuffle on ``user_id`` serves the
-    session-id window AND both leads (the narrower partition key is a
-    prefix refinement, no re-exchange); trigram counting partial-aggregates
-    map-side; top-10 is TakeOrderedAndProject. Ordering is pinned by
-    (ts, event_id) so same-timestamp events sequence identically in both
-    engines, and ties in the top-10 cut break lexically on the path.
+    Composes sessionization (gaps-and-islands, microsecond-exact `>` gap
+    rule matching ``session_window``'s semantics) with in-session trigram
+    extraction: two ``lead``s over the (user, session) frame. ONE shuffle
+    on ``user_id`` serves the session-id window AND both leads (the
+    narrower partition key is a prefix refinement, no re-exchange);
+    trigram counting partial-aggregates map-side; top-10 is
+    TakeOrderedAndProject. Ordering is pinned by (ts, event_id) so
+    same-timestamp events sequence identically in both engines, and ties
+    in the top-10 cut break lexically on the path. The gap compares epoch
+    MICROSECONDS on both engines (whole-second truncation could classify
+    a fractional gap in (1800 s, 1801 s) differently from the oracle's
+    exact INTERVAL comparison).
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     new_session = F.when(
-        F.lag("ts").over(w).isNull()
-        | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+        F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000),
         1,
     ).otherwise(0)
     sess = ev.select(
@@ -624,11 +632,8 @@ ORACLE_SQL["user_value_moving_avg"] = f"""
            sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w
              AS sum_cents_1h,
            count(*) OVER w AS n_1h,
-           round(
-             (sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w)
-               ::DOUBLE / 100.0 / (count(*) OVER w),
-             6
-           ) AS avg_value_1h
+           (sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w)
+             * 10000 // (count(*) OVER w) AS avg_value_micros_1h
     FROM events
     WINDOW w AS (
       PARTITION BY user_id

@@ -371,7 +371,11 @@ def _lloyd(
 
 
 def knn_ivf_trained(
-    spark: SparkSession, sf_dir: str, query_vec_id: int = QUERY_VEC_ID, k: int = TOP_K
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = QUERY_VEC_ID,
+    k: int = TOP_K,
+    cents: dict[int, list[float]] | None = None,
 ) -> DataFrame:
     """IVF ANN top-k over TRAINED k-means centroids: (vec_id, sim).
 
@@ -384,8 +388,14 @@ def knn_ivf_trained(
     fold, bit-matching the oracle's ORDER BY); the search itself is one
     map-only scan — literal-centroid assignment, literal probe filter,
     broadcast query vector, TakeOrderedAndProject.
+
+    ``cents`` (optional): pre-trained Lloyd centroids (see
+    ``plans.materialize``) — skips the in-plan training scans.
     """
-    q, cents = _lloyd(spark, sf_dir)
+    if cents is None:
+        q, cents = _lloyd(spark, sf_dir)
+    else:
+        q = _quantize(load_table(spark, sf_dir, "embeddings"))
     qv = [
         float(x)
         for x in q.where(F.col("vec_id") == query_vec_id).first()["qv"]

@@ -35,6 +35,11 @@ def main() -> int:
     ap.add_argument(
         "--head-only", action="store_true", help="gate window (first 50) only"
     )
+    ap.add_argument(
+        "--strict",
+        action="store_true",
+        help="full-precision float comparison (replicates the driver hash)",
+    )
     args = ap.parse_args()
 
     queries = entry.queries()
@@ -66,7 +71,7 @@ def main() -> int:
                 n_rows_only += 1
                 status = f"rows-only ({n} rows)"
             else:
-                compare(df, osql, args.sf_dir)
+                compare(df, osql, args.sf_dir, strict=args.strict)
                 n_match += 1
                 status = "MATCH"
         except Exception as exc:  # noqa: BLE001 — report every failure
