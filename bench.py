@@ -33,7 +33,7 @@ from big_data_toolkit_spark.operators import (  # noqa: E402
     text_analytics,
 )
 from big_data_toolkit_spark.multimodal import binary_ops as multimodal  # noqa: E402
-from big_data_toolkit_spark.plans import scale  # noqa: E402
+from big_data_toolkit_spark.plans import materialize, scale  # noqa: E402
 from big_data_toolkit_spark.session import build_spark  # noqa: E402
 from big_data_toolkit_spark.streaming import anomaly as streaming_anomaly
 from big_data_toolkit_spark.streaming import windows as streaming_windows  # noqa: E402
@@ -170,6 +170,13 @@ HEADLINE = {
     "phrase_search": inverted_index.phrase_search,
     "q6": sql_analytics.q6_forecast_revenue,
     "priority_revenue_share": relational_ext.priority_revenue_share,
+    # Round-7 addition: the artifact-sharing pipeline — ONE pair-graph
+    # build + ONE centroid training feeding all five graph/embedding
+    # consumers. Compare its single time against the sum of the five
+    # in-plan forms (triangle_count + kcore_subgraph +
+    # cross_source_leakage + semantic_dedup + knn_ivf_trained) to read
+    # the recompute saved by materialization.
+    "materialized_suite": materialize.materialized_graph_suite,
 }
 
 

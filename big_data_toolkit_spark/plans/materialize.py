@@ -1,0 +1,170 @@
+"""Materialized shared artifacts: build expensive blocking/training products
+ONCE, persist them, and let downstream analyses consume the stored copy.
+
+The oracle-gated queries (``triangle_count``, ``kcore_subgraph``,
+``cross_source_leakage``, ``semantic_dedup``, ``knn_ivf_trained``) each
+recompute their upstream artifact IN-PLAN — the MinHash near-dup pair graph
+or the Lloyd-trained centroids — deliberately, so every driver query is a
+self-contained oracle-checkable plan. At 100 TB that recompute is the wrong
+production shape: the pair graph costs a full tokenize+shingle+band pass
+over the corpus and the centroids cost ``KMEANS_ITERS`` corpus scans, so a
+real pipeline materializes both once per corpus snapshot and shares them
+across every consumer (the reference stages intermediates between jobs the
+same way — e.g. its PageRank pipeline persists the partitioned graph,
+``a4/PartitionGraph.java``, rather than re-deriving it per iteration batch).
+
+Artifacts:
+
+* ``neardup_pairs`` — the MinHash-LSH verified near-dup pair table
+  (d1, d2, jaccard), written key-range-partitioned and sorted on d1
+  (``write_sorted_bucketed``) so pair-side joins scan sorted runs.
+* ``centroids`` — the Lloyd-trained k-means centroids (cluster, centroid
+  ARRAY<DOUBLE>), K rows. Doubles round-trip parquet bit-exactly, so a
+  consumer of the stored centroids produces results IDENTICAL to the
+  in-plan training path (tests assert equality).
+
+``materialized_graph_suite`` is the bench form: one artifact build + all
+five consumers, demonstrating the saved recompute vs running the five
+in-plan queries independently.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+from big_data_toolkit_spark.sources.writers import write_sorted_bucketed
+
+PAIRS_DIR = "neardup_pairs"
+CENTROIDS_DIR = "centroids"
+
+
+def build_artifacts(spark: SparkSession, sf_dir: str, workdir: str) -> dict[str, str]:
+    """Compute and persist both shared artifacts; returns name → path.
+
+    One corpus pass builds the pair graph, ``KMEANS_ITERS`` passes train
+    the centroids — after this, NO consumer touches the raw text again
+    (the centroid consumers still scan the embeddings table, which is the
+    data they analyze, not an artifact recompute).
+    """
+    from big_data_toolkit_spark.operators.dedup import dedup_minhash_lsh
+    from big_data_toolkit_spark.operators.similarity import _lloyd
+
+    pairs_path = os.path.join(workdir, PAIRS_DIR)
+    cents_path = os.path.join(workdir, CENTROIDS_DIR)
+
+    # localCheckpoint before the sorted write: repartitionByRange SAMPLES
+    # its child to pick range bounds, which would otherwise recompute the
+    # whole tokenize+shingle+band+verify pipeline a second time.
+    write_sorted_bucketed(
+        dedup_minhash_lsh(spark, sf_dir).localCheckpoint(), pairs_path, "d1"
+    )
+
+    _, cents = _lloyd(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("cluster", LongType(), False),
+            StructField("centroid", ArrayType(DoubleType(), False), False),
+        ]
+    )
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in m]) for c, m in sorted(cents.items())],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(cents_path)
+    return {PAIRS_DIR: pairs_path, CENTROIDS_DIR: cents_path}
+
+
+def read_neardup_pairs(spark: SparkSession, workdir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(workdir, PAIRS_DIR))
+
+
+def read_centroids(spark: SparkSession, workdir: str) -> dict[int, list[float]]:
+    """Load the K-row centroid table back into the literal dict the
+    assignment expressions are parameterized with (O(K·dim) driver bytes —
+    the same budget as the in-plan training fetch)."""
+    rows = spark.read.parquet(os.path.join(workdir, CENTROIDS_DIR)).collect()
+    return {int(r["cluster"]): [float(x) for x in r["centroid"]] for r in rows}
+
+
+def triangle_count_materialized(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> DataFrame:
+    from big_data_toolkit_spark.operators.pagerank import triangle_count
+
+    return triangle_count(spark, sf_dir, pairs=read_neardup_pairs(spark, workdir))
+
+
+def kcore_subgraph_materialized(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> DataFrame:
+    from big_data_toolkit_spark.operators.pagerank import kcore_subgraph
+
+    return kcore_subgraph(spark, sf_dir, pairs=read_neardup_pairs(spark, workdir))
+
+
+def cross_source_leakage_materialized(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> DataFrame:
+    from big_data_toolkit_spark.operators.dedup import cross_source_leakage
+
+    return cross_source_leakage(
+        spark, sf_dir, pairs=read_neardup_pairs(spark, workdir)
+    )
+
+
+def semantic_dedup_materialized(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> DataFrame:
+    from big_data_toolkit_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(spark, sf_dir, cents=read_centroids(spark, workdir))
+
+
+def knn_ivf_trained_materialized(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> DataFrame:
+    from big_data_toolkit_spark.operators.similarity import knn_ivf_trained
+
+    return knn_ivf_trained(spark, sf_dir, cents=read_centroids(spark, workdir))
+
+
+_CONSUMERS = (
+    triangle_count_materialized,
+    kcore_subgraph_materialized,
+    cross_source_leakage_materialized,
+    semantic_dedup_materialized,
+    knn_ivf_trained_materialized,
+)
+
+
+def materialized_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build both artifacts into a scratch dir, run all five consumers, and
+    return one (consumer, n_rows) summary row per consumer.
+
+    The bench entry for the artifact-sharing pattern: its wall-clock covers
+    ONE pair-graph build + ONE centroid training + five consumers, vs five
+    independent in-plan recomputes for the gated query forms. Scratch lives
+    under the JVM's Spark local dir (cleaned with the session)."""
+    import shutil
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="bdts-artifacts-")
+    try:
+        build_artifacts(spark, sf_dir, workdir)
+        counts = [
+            (
+                fn.__name__.replace("_materialized", ""),
+                fn(spark, sf_dir, workdir).count(),
+            )
+            for fn in _CONSUMERS
+        ]
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    # summary rows are driver-local after the eager counts — safe to drop
+    # the scratch dir before returning the DataFrame.
+    return spark.createDataFrame(counts, "consumer string, n_rows long").orderBy(
+        "consumer"
+    )

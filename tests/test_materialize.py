@@ -1,0 +1,82 @@
+"""Materialized-artifact pipeline: stored pair graph / centroids must yield
+results IDENTICAL to the oracle-gated in-plan recompute forms."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_toolkit_spark.operators import dedup, pagerank, similarity
+from big_data_toolkit_spark.plans import materialize
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def workdir(spark, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("artifacts"))
+    paths = materialize.build_artifacts(spark, SF_SMOKE, wd)
+    assert set(paths) == {materialize.PAIRS_DIR, materialize.CENTROIDS_DIR}
+    return wd
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_pairs_artifact_roundtrip_exact(spark, workdir):
+    stored = _rows(materialize.read_neardup_pairs(spark, workdir))
+    inplan = _rows(dedup.dedup_minhash_lsh(spark, SF_SMOKE))
+    assert stored == inplan and len(stored) > 0
+
+
+def test_centroids_artifact_roundtrip_exact(spark, workdir):
+    stored = materialize.read_centroids(spark, workdir)
+    _, trained = similarity._lloyd(spark, SF_SMOKE)
+    # parquet DOUBLE round-trips bit-exactly: the stored centroids ARE the
+    # trained ones, so downstream assignments cannot drift.
+    assert stored == trained
+
+
+def test_triangle_count_materialized_equals_inplan(spark, workdir):
+    assert _rows(
+        materialize.triangle_count_materialized(spark, SF_SMOKE, workdir)
+    ) == _rows(pagerank.triangle_count(spark, SF_SMOKE))
+
+
+def test_kcore_materialized_equals_inplan(spark, workdir):
+    assert _rows(
+        materialize.kcore_subgraph_materialized(spark, SF_SMOKE, workdir)
+    ) == _rows(pagerank.kcore_subgraph(spark, SF_SMOKE))
+
+
+def test_leakage_materialized_equals_inplan(spark, workdir):
+    assert _rows(
+        materialize.cross_source_leakage_materialized(spark, SF_SMOKE, workdir)
+    ) == _rows(dedup.cross_source_leakage(spark, SF_SMOKE))
+
+
+def test_semantic_dedup_materialized_equals_inplan(spark, workdir):
+    assert _rows(
+        materialize.semantic_dedup_materialized(spark, SF_SMOKE, workdir)
+    ) == _rows(dedup.semantic_dedup(spark, SF_SMOKE))
+
+
+def test_knn_ivf_materialized_equals_inplan(spark, workdir):
+    assert _rows(
+        materialize.knn_ivf_trained_materialized(spark, SF_SMOKE, workdir)
+    ) == _rows(similarity.knn_ivf_trained(spark, SF_SMOKE))
+
+
+def test_suite_summary_counts(spark):
+    rows = {
+        r["consumer"]: r["n_rows"]
+        for r in materialize.materialized_graph_suite(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {
+        "triangle_count",
+        "kcore_subgraph",
+        "cross_source_leakage",
+        "semantic_dedup",
+        "knn_ivf_trained",
+    }
+    assert rows["triangle_count"] == 1  # single summary row by contract
+    assert all(n >= 0 for n in rows.values())
