@@ -153,6 +153,65 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
+def ngram_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d1, d2): the CANDIDATE set of the shingle-blocked Jaccard path —
+    every doc pair sharing ≥1 df-capped shingle, before thresholding.
+
+    Exposed so the sub-quadratic claim is MEASURABLE: the df cap bounds a
+    shingle's pair fan-out at ``MAX_SHINGLE_DF``·(``MAX_SHINGLE_DF``−1)/2,
+    so candidates grow ~linearly with the corpus, never |docs|².
+    tests/test_candidate_bounds.py asserts the measured per-doc fan-out.
+    """
+    capped = (
+        _shingles(spark, sf_dir)
+        .withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .where(F.col("df") <= MAX_SHINGLE_DF)
+        .drop("df")
+    )
+    left = capped.select(F.col("doc_id").alias("d1"), "shingle")
+    right = capped.select(F.col("doc_id").alias("d2"), "shingle")
+    return (
+        left.join(right, "shingle")
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+
+
+def minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d1, d2): the LSH candidate set — doc pairs sharing ≥1 signature
+    band, before Jaccard verification (the pairs ``dedup_minhash_lsh``
+    pays exact verification for). Exposed for the same measurability
+    reason as ``ngram_candidate_pairs``."""
+    sigs = minhash_signatures(spark, sf_dir)
+    rows_per_band = MINHASH_K // LSH_BANDS
+    bands_long = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(b),
+                        *[
+                            F.col(f"sig_{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    )
+    return (
+        bands_long.alias("x")
+        .join(bands_long.alias("y"), "band")
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .where(F.col("d1") < F.col("d2"))
+        .distinct()
+    )
+
+
 def _shingle_hash32() -> F.Column:
     """32-bit integer hash of the shingle string, md5-derived (cross-engine)."""
     return F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")

@@ -200,3 +200,99 @@ def test_funnel_fold_is_batch_split_invariant(events, cuts):
             *state, out = _fold_funnel(*state, [part])
             out_multi.extend(out)
     assert out_multi == out_single
+
+
+@_SETTINGS
+@given(
+    values=st.lists(
+        st.floats(
+            min_value=0.0,
+            max_value=9.99e8,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        max_size=30,
+    )
+)
+def test_cents_quantization_parity(spark, values):
+    """Spark's (CAST(v AS DECIMAL(18,2)) * 100)::BIGINT == DuckDB's — the
+    integer-money primitive every exact-sum oracle leans on (BASELINE.md
+    decimal-serialization protocol). Fuzzes the double→DECIMAL rounding
+    boundary, where HALF_UP vs round-to-even engines would diverge."""
+    from big_data_toolkit_spark.operators.relational_ext import _cents
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i long, v double")
+    got = {
+        r["i"]: r["c"] for r in df.select("i", _cents("v").alias("c")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, v DOUBLE)")
+    if values:
+        con.executemany(
+            "INSERT INTO t VALUES (?, ?)", list(enumerate(values))
+        )
+    want = dict(
+        con.sql(
+            "SELECT i, CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT) FROM t"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+
+
+@_SETTINGS
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1.0,
+                max_value=1.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        max_size=15,
+    )
+)
+def test_fixed_point_quantize_parity(spark, vecs):
+    """Spark's floor(double(x) * KMEANS_QUANT) over float32 embeddings ==
+    DuckDB's floor(x::DOUBLE * Q)::BIGINT — the quantization that makes
+    distributed Lloyd sums order-independent and oracle-exact. floor is
+    rounding-mode-unambiguous; the float32→double widening must match too."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from big_data_toolkit_spark.operators.similarity import KMEANS_QUANT, _quantize
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("embedding", ArrayType(FloatType(), False), False),
+        ]
+    )
+    df = spark.createDataFrame(list(enumerate(vecs)), schema)
+    got = {
+        r["vec_id"]: list(r["qv"]) for r in _quantize(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (vec_id BIGINT, embedding FLOAT[])")
+    if vecs:
+        con.executemany(
+            "INSERT INTO t VALUES (?, ?)", list(enumerate(vecs))
+        )
+    want = dict(
+        con.sql(
+            "SELECT vec_id, list_transform(embedding, "
+            f"x -> floor(x::DOUBLE * {KMEANS_QUANT})::BIGINT) FROM t"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
