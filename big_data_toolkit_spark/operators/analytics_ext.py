@@ -636,9 +636,15 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("vmin"), F.max("value").alias("vmax")
     )
     w = (F.col("vmax") - F.col("vmin")) / F.lit(float(HIST_BINS))
-    bin_ = F.least(
-        F.floor((F.col("value") - F.col("vmin")) / w).cast("long"),
-        F.lit(HIST_BINS - 1),
+    # Degenerate range (vmin == vmax, e.g. a constant-valued corpus slice)
+    # pins everything to bin 0 explicitly: a zero width would divide 0/0 —
+    # NaN bins in Spark, inf/NaN through DuckDB's floor — and the engines
+    # would diverge silently. lo/hi stay consistent (bin * 0 = 0 → vmin).
+    bin_ = F.when(F.col("vmax") == F.col("vmin"), F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.floor((F.col("value") - F.col("vmin")) / w).cast("long"),
+            F.lit(HIST_BINS - 1),
+        )
     )
     return (
         events.crossJoin(F.broadcast(rng))
@@ -969,9 +975,10 @@ ORACLE_SQL: dict[str, str] = {
         WITH rng AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
         b AS (
           SELECT event_type,
-                 least(CAST(floor((value - vmin) /
+                 CASE WHEN vmax = vmin THEN 0
+                      ELSE least(CAST(floor((value - vmin) /
                                   ((vmax - vmin) / {float(HIST_BINS)})) AS BIGINT),
-                       {HIST_BINS - 1}) AS bin,
+                                 {HIST_BINS - 1}) END AS bin,
                  vmin, vmax
           FROM events, rng
         )

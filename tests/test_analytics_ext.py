@@ -335,3 +335,32 @@ def test_weekly_sketch_merge_tracks_exact(spark):
     for wk, a in approx.items():
         e = exact[wk]
         assert abs(a - e) <= max(2, 0.02 * e), (wk, a, e)
+
+
+def test_event_value_histogram_degenerate_range(spark, tmp_path):
+    """A constant-valued corpus (vmin == vmax) must land entirely in bin 0
+    on BOTH engines — not NaN/inf bins from the zero bin width (ADVICE r6)."""
+    import os
+
+    from big_data_toolkit_spark.catalog import TABLES, load_table
+    from tests.oracle_utils import compare
+
+    import duckdb
+
+    sf = str(tmp_path)
+    for t in TABLES:
+        if t != "events":
+            os.symlink(f"{SF_SMOKE}/{t}.parquet", f"{sf}/{t}.parquet")
+    # flat-file parquet (not a Spark part-dir) so BOTH engines read it
+    duckdb.sql(
+        "COPY (SELECT event_id, ts, user_id, event_type, 7.25 AS value, "
+        f"props FROM '{SF_SMOKE}/events.parquet' LIMIT 50) "
+        f"TO '{sf}/events.parquet' (FORMAT PARQUET)"
+    )
+
+    rows = ax.event_value_histogram(spark, sf).collect()
+    assert rows and all(r["bin"] == 0 for r in rows)
+    assert all(r["lo"] == 7.25 and r["hi"] == 7.25 for r in rows)
+    assert sum(r["n"] for r in rows) == 50
+    compare(ax.event_value_histogram(spark, sf),
+            ax.ORACLE_SQL["event_value_histogram"], sf, strict=True)
