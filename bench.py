@@ -170,6 +170,11 @@ HEADLINE = {
     "phrase_search": inverted_index.phrase_search,
     "q6": sql_analytics.q6_forecast_revenue,
     "priority_revenue_share": relational_ext.priority_revenue_share,
+    # Round-7 additions: exact embedding covariance (Arrow gram pass),
+    # deterministic epoch shuffle, TPC-H Q7-shaped cross-border volume.
+    "embedding_covariance": similarity.embedding_covariance,
+    "corpus_shuffle": curation.corpus_shuffle,
+    "q7": sql_analytics.q7_volume_shipping,
     # Round-7 addition: the artifact-sharing pipeline — ONE pair-graph
     # build + ONE centroid training feeding all five graph/embedding
     # consumers. Compare its single time against the sum of the five

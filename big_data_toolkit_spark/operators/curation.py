@@ -445,3 +445,50 @@ QUERIES = {
     "chunk_documents": chunk_documents,
     "priority_sample": priority_sample,
 }
+
+
+N_SHUFFLE_SHARDS = 8
+SHUFFLE_EPOCH = "ep0"  # seed prefix; a new epoch string reshuffles everything
+
+
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shard, pos): deterministic global training-order shuffle —
+    every document gets a shard and a position within it, uniformly random
+    w.r.t. the md5 order key yet fully reproducible from the epoch seed.
+
+    The epoch-shuffle pass every large-scale trainer needs (data order
+    drives convergence; restarts must replay the identical order). Keyed
+    on md5('{epoch}:' || doc_id) so the permutation is independent of the
+    sampling hash (``hash_sample`` uses bare doc_id) and rotates per
+    epoch by changing one literal.
+
+    Scale shape: shard assignment is a pure map expression; the position
+    is ONE row_number window per shard — exactly the per-shard sorted
+    write a 100 TB shuffle materializes (each output shard is written
+    sorted by the random key; readers stream shards sequentially). No
+    global sort, no driver state; shard count scales the parallelism.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = _hash32(F.concat(F.lit(SHUFFLE_EPOCH + ":"), F.col("doc_id")))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .withColumn("shard", F.col("h") % N_SHUFFLE_SHARDS)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+_SHUF_H = _H32_SQL.format(col=f"'{SHUFFLE_EPOCH}:' || doc_id")
+
+ORACLE_SQL["corpus_shuffle"] = f"""
+    SELECT doc_id,
+           {_SHUF_H} % {N_SHUFFLE_SHARDS} AS shard,
+           row_number() OVER (
+             PARTITION BY {_SHUF_H} % {N_SHUFFLE_SHARDS}
+             ORDER BY {_SHUF_H}, doc_id
+           ) AS pos
+    FROM documents
+"""
+
+QUERIES["corpus_shuffle"] = corpus_shuffle

@@ -878,3 +878,85 @@ QUERIES = {
     "label_centroids": label_centroids,
     "nearest_centroid_confusion": nearest_centroid_confusion,
 }
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(i, j, n, s_i, s_j, s_ij): exact second-moment statistics of the
+    embedding space, one row per upper-triangle dimension pair — the
+    one-pass prep for PCA / whitening / feature-correlation audits of an
+    embedding corpus.
+
+    The covariance entry is derivable as (s_ij − s_i·s_j/n)/n, but the
+    OUTPUT is the exact integer sufficient statistics: sums of fixed-point
+    quantized components (the ``_quantize`` ticks), so the result is
+    addition-order-independent and oracle-exact — the ``label_centroids``
+    integer-sum discipline applied to the dim×dim second moment.
+
+    Scale shape: ONE corpus scan through an Arrow-batched gram
+    accumulation (``mapInPandas``: per batch, an int64 Qᵀ·Q GEMM plus a
+    column sum — fixed dim×dim state per batch, the right use of a UDF
+    exactly like ``knn_lsh``'s signature GEMM), then a partial-aggregated
+    merge shuffle of dim(dim+1)/2 cells × partitions — constants, not
+    data. An explode-and-self-join formulation would shuffle dim·n rows;
+    this moves only per-partition partials. int64 headroom: |tick| ≤ 1e6
+    ⇒ |product| ≤ 1e12, so ~9×10⁶ rows per BATCH are safe per cell sum
+    (Arrow batches are far smaller); the merge sums would need
+    DECIMAL(38,0)/HUGEINT only past ~10⁶ billion-row partials — at that
+    scale swap the final ``sum`` to ``sum(cast(decimal))`` on both
+    engines.
+    """
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    iu = np.triu_indices(EMB_DIM)
+    out_schema = (
+        "i long, j long, n long, s_i long, s_j long, s_ij long"
+    )
+
+    def gram(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(x * KMEANS_QUANT).astype(np.int64)
+            g = q.T @ q  # int64-exact GEMM
+            s = q.sum(axis=0, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype(np.int64),
+                    "j": iu[1].astype(np.int64),
+                    "n": np.int64(len(q)),
+                    "s_i": s[iu[0]],
+                    "s_j": s[iu[1]],
+                    "s_ij": g[iu],
+                }
+            )
+
+    return (
+        emb.mapInPandas(gram, out_schema)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s_i").alias("s_i"),
+            F.sum("s_j").alias("s_j"),
+            F.sum("s_ij").alias("s_ij"),
+        )
+    )
+
+
+ORACLE_SQL["embedding_covariance"] = f"""
+    WITH q AS (
+      SELECT list_transform(embedding,
+                            x -> floor(x::DOUBLE * {KMEANS_QUANT})::BIGINT) AS qv
+      FROM embeddings
+    ),
+    idx AS (SELECT i FROM range({EMB_DIM}) t(i)),
+    cells AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON a.i <= b.i)
+    SELECT c.i, c.j, count(*) AS n,
+           CAST(sum(q.qv[c.i + 1]) AS BIGINT) AS s_i,
+           CAST(sum(q.qv[c.j + 1]) AS BIGINT) AS s_j,
+           CAST(sum(q.qv[c.i + 1] * q.qv[c.j + 1]) AS BIGINT) AS s_ij
+    FROM q, cells c GROUP BY c.i, c.j
+"""
+
+QUERIES["embedding_covariance"] = embedding_covariance

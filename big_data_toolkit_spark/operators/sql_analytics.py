@@ -226,6 +226,51 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(supp_nation, cust_nation, l_year, revenue_cc): cross-border trade
+    volume by (supplier nation, customer nation, ship year) — the TPC-H Q7
+    join pattern generalized to ALL nation pairs (no pinned-literal pair),
+    continuing the beyond-a6 SQL suite (q5 closed the nation cycle; this
+    opens it: supp_nation ≠ cust_nation).
+
+    Plan: the q5 dim chain — customer/supplier broadcast onto the fact,
+    nation broadcast TWICE under different aliases for the two roles —
+    with the inequality as a post-broadcast filter and a
+    |nations|²·|years| final aggregate. Revenue in exact integer
+    hundredths-of-a-cent (the q5/q6 convention).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    pct = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long")
+    rev = cents * (F.lit(100) - pct)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(rev).alias("revenue_cc"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL (identical semantics, identical output column names).
 # ---------------------------------------------------------------------------
@@ -301,4 +346,23 @@ QUERIES = {
     "q4_orders_by_nation": q4_orders_by_nation,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
 }
+
+ORACLE_SQL["q7_volume_shipping"] = """
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                                  AS BIGINT)))
+                AS BIGINT) AS revenue_cc
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE s_nationkey <> c_nationkey
+    GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+"""

@@ -205,3 +205,22 @@ def test_priority_sample_weight_proportional(spark):
         {"n_chars": "avg"}
     ).collect()[0][0]
     assert sample_mean > corpus
+
+
+def test_corpus_shuffle_is_a_permutation(spark):
+    """Every doc appears once; per-shard positions are contiguous 1..n;
+    the assignment is deterministic (two plans, identical rows)."""
+    from big_data_toolkit_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    a = curation.corpus_shuffle(spark, SF_SMOKE).collect()
+    b = curation.corpus_shuffle(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert len(a) == n_docs and len({r["doc_id"] for r in a}) == n_docs
+    by_shard = {}
+    for r in a:
+        assert 0 <= r["shard"] < curation.N_SHUFFLE_SHARDS
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))

@@ -247,3 +247,27 @@ def test_nearest_centroid_confusion_reconciles(spark):
     assert sum(r["n"] for r in rows) == total
     acc = sum(r["n"] for r in rows if r["label"] == r["predicted"]) / total
     assert acc > 0.25, acc
+
+
+def test_embedding_covariance_matches_numpy_exactly(spark):
+    """The Arrow gram pass must equal a single-process numpy int64
+    accumulation cell-for-cell — quantization is deterministic, so there
+    is no tolerance, only equality."""
+    import numpy as np
+
+    from big_data_toolkit_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").orderBy("vec_id").collect()
+    x = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    q = np.floor(x * sim.KMEANS_QUANT).astype(np.int64)
+    g = q.T @ q
+    s = q.sum(axis=0, dtype=np.int64)
+    got = {
+        (r["i"], r["j"]): (r["n"], r["s_i"], r["s_j"], r["s_ij"])
+        for r in sim.embedding_covariance(spark, SF_SMOKE).collect()
+    }
+    assert len(got) == sim.EMB_DIM * (sim.EMB_DIM + 1) // 2
+    for (i, j), (n, s_i, s_j, s_ij) in got.items():
+        assert i <= j
+        assert (n, s_i, s_j, s_ij) == (len(q), s[i], s[j], g[i, j])

@@ -55,3 +55,15 @@ def test_q6_quantity_filter_pushed_to_scan(spark):
     assert "PushedFilters: [" in plan and "l_quantity" in plan
     rows = df.collect()
     assert len(rows) == 1 and rows[0]["revenue_cc"] > 0
+
+
+def test_q7_two_role_nation_broadcasts(spark):
+    """Q7 joins nation twice under different roles — both broadcast; the
+    inequality never degrades to a cartesian/nested-loop plan."""
+    df = sa.q7_volume_shipping(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    rows = df.collect()
+    assert rows
+    assert all(r["supp_nation"] != r["cust_nation"] for r in rows)
