@@ -346,3 +346,163 @@ QUERIES = {
     "pmi_pairs": pmi_pairs,
     "keyword_extraction": keyword_extraction,
 }
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE merge induction
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 8  # learned merge rules; the oracle unrolls the same count
+
+
+def _bpe_merge_expr(x: str, y: str) -> str:
+    """Greedy left-to-right merge of adjacent (x, y) in the `syms` array as
+    ONE Catalyst fold — the classic merge scan (i += 2 after a fusion) as
+    an aggregate with a `fused` flag so a freshly fused token never chains
+    into the next original symbol. Tokens are [a-z]+ so literal inlining
+    is injection-safe."""
+    return f"""
+    aggregate(
+      syms,
+      named_struct('out', cast(array() as array<string>), 'fused', false),
+      (acc, s) -> IF(NOT acc.fused AND size(acc.out) > 0
+                       AND element_at(acc.out, -1) = '{x}' AND s = '{y}',
+                     named_struct('out',
+                                  concat(slice(acc.out, 1, size(acc.out) - 1),
+                                         array('{x}{y}')),
+                                  'fused', true),
+                     named_struct('out', concat(acc.out, array(s)),
+                                  'fused', false)),
+      acc -> acc.out)
+    """
+
+
+_BPE_PAIRS = (
+    "CASE WHEN size(syms) < 2 THEN array() "
+    "ELSE transform(sequence(0, size(syms) - 2), "
+    "i -> named_struct('x', syms[i], 'y', syms[i + 1])) END"
+)
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(step, merge_left, merge_right, pair_count): the first
+    ``BPE_MERGES`` byte-pair-encoding merge rules learned from the corpus
+    — tokenizer training (Sennrich et al. 2016) as a distributed
+    iteration, the vocabulary-induction pass an LLM data pipeline runs
+    before anything is tokenized.
+
+    Classic BPE trains on the word-FREQUENCY table, not the token stream:
+    the corpus is scanned ONCE for (word, count), and every merge round
+    runs over the |vocab| table — iteration cost is independent of corpus
+    size (vocab ≪ corpus at 100 TB). Per round: one pair-count
+    aggregation (adjacent symbol pairs generated IN-ROW, weighted by word
+    count, partial-aggregated map-side), a 1-row driver fetch of the
+    argmax pair (cnt desc, then lexical — deterministic; the kmeans
+    plan-literal pattern), then a MAP-ONLY in-array greedy fold applies
+    the rule (``_bpe_merge_expr``; overlapping occurrences like 'aaa'
+    merge left-to-right, matching the reference algorithm). The vocab
+    table ``localCheckpoint``s per round to keep lineage flat (the
+    PageRank discipline).
+
+    Pair counts include overlapping occurrences ('aaa' counts (a,a)
+    twice), exactly like get_stats in the original implementation. The
+    DuckDB oracle unrolls the same rounds in ROW form: greedy
+    non-overlapping application = keep every odd-ranked candidate within
+    a run of consecutive candidate positions (runs only arise when
+    x == y), an islands-and-parity window — two formulations, equal by
+    construction, asserted equal by the gate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokenize("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "syms",
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ),
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, BPE_MERGES + 1):
+        top = (
+            words.select("cnt", F.explode(F.expr(_BPE_PAIRS)).alias("p"))
+            .groupBy("p.x", "p.y")
+            .agg(F.sum("cnt").alias("total"))
+            .orderBy(F.desc("total"), "x", "y")
+            .first()
+        )
+        if top is None:
+            break
+        merges.append((step, top["x"], top["y"], int(top["total"])))
+        words = words.withColumn(
+            "syms", F.expr(_bpe_merge_expr(top["x"], top["y"]))
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step long, merge_left string, merge_right string, pair_count long"
+    )
+
+
+def _bpe_oracle_sql(rounds: int = BPE_MERGES) -> str:
+    """The same induction unrolled as CTEs over (word, cnt, pos, sym) rows."""
+    sql = f"""
+    WITH w0 AS (
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest({_TOKENS}) AS word FROM documents)
+      GROUP BY word
+    ),
+    s1 AS MATERIALIZED (
+      SELECT word, cnt, unnest(range(1, length(word) + 1)) AS pos,
+             unnest(list_transform(range(1, length(word) + 1),
+                                   i -> substr(word, i, 1))) AS sym
+      FROM w0
+    )"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    p{r} AS MATERIALIZED (
+      SELECT a.sym AS x, b.sym AS y, sum(a.cnt) AS total
+      FROM s{r} a JOIN s{r} b ON a.word = b.word AND b.pos = a.pos + 1
+      GROUP BY 1, 2
+    ),
+    t{r} AS MATERIALIZED (SELECT x, y FROM p{r} ORDER BY total DESC, x, y LIMIT 1),
+    m{r} AS (
+      SELECT {r} AS step, p.x AS merge_left, p.y AS merge_right,
+             p.total AS pair_count
+      FROM p{r} p JOIN t{r} t ON p.x = t.x AND p.y = t.y
+    ),
+    c{r} AS (
+      SELECT s.word, s.cnt, s.pos, s.sym, t.x, t.y,
+             coalesce(s.sym = t.x
+                      AND lead(s.sym) OVER (PARTITION BY s.word
+                                            ORDER BY s.pos) = t.y,
+                      false) AS cand
+      FROM s{r} s, t{r} t
+    ),
+    k{r} AS MATERIALIZED (
+      SELECT word, cnt, pos, sym, x, y,
+             cand AND (row_number() OVER (PARTITION BY word, grp
+                                          ORDER BY pos) % 2 = 1) AS keep
+      FROM (SELECT *, pos - row_number() OVER (PARTITION BY word, cand
+                                               ORDER BY pos) AS grp
+            FROM c{r})
+    ),
+    n{r} AS (
+      SELECT word, cnt, pos,
+             CASE WHEN keep THEN x || y ELSE sym END AS sym,
+             coalesce(lag(keep) OVER (PARTITION BY word ORDER BY pos),
+                      false) AS consumed
+      FROM k{r}
+    ),
+    s{r + 1} AS MATERIALIZED (
+      SELECT word, cnt,
+             row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+      FROM n{r} WHERE NOT consumed
+    )"""
+    union = "\n    UNION ALL ".join(f"SELECT * FROM m{r}" for r in range(1, rounds + 1))
+    return sql + f"\n    {union}\n    ORDER BY step"
+
+
+ORACLE_SQL["bpe_merges"] = _bpe_oracle_sql()
+QUERIES["bpe_merges"] = bpe_merges

@@ -80,3 +80,51 @@ def test_keyword_extraction_shape_and_prune(spark):
     for ranks in by_doc.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= ta.KEYWORDS_PER_DOC
+
+
+def _py_bpe_merge(syms, x, y):
+    """Reference greedy left-to-right merge (the classic merge_word scan)."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+            out.append(x + y)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def test_bpe_merge_fold_matches_reference_scan(spark):
+    """The Catalyst fold must equal the classic merge scan on adversarial
+    sequences — especially overlapping x==y runs ('aaa', 'aaaa')."""
+    import itertools
+
+    cases = ["".join(p) for n in range(0, 6) for p in itertools.product("ab", repeat=n)]
+    df = spark.createDataFrame(
+        [(i, list(w)) for i, w in enumerate(cases)], "id long, syms array<string>"
+    )
+    for x, y in (("a", "a"), ("a", "b"), ("b", "a")):
+        got = {
+            r["id"]: list(r["m"])
+            for r in df.select(
+                "id", F.expr(ta._bpe_merge_expr(x, y)).alias("m")
+            ).collect()
+        }
+        for i, w in enumerate(cases):
+            assert got[i] == _py_bpe_merge(list(w), x, y), (w, x, y)
+
+
+def test_bpe_merges_counts_non_increasing(spark):
+    """Merge-rule counts are non-increasing (a new pair's occurrences are a
+    subset of a pre-merge pair's) and every rule is over distinct symbols
+    learned deterministically."""
+    rows = ta.bpe_merges(spark, SF_SMOKE).collect()
+    assert len(rows) == ta.BPE_MERGES
+    assert [r["step"] for r in rows] == list(range(1, ta.BPE_MERGES + 1))
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r["pair_count"] > 0 for r in rows)
+    # determinism: a second run learns the identical table
+    again = ta.bpe_merges(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
