@@ -73,6 +73,11 @@ _DEFERRED = [
     "event_reach_approx",  # no_oracle by design: rows-only, rows-green r04
     # -- never-rowed queue for r8 (pytest-oracle + strict-preflight green) --
     "nearest_centroid_confusion",
+    # round-7 additions (strict-preflight MATCH at registration)
+    "q7_volume_shipping",
+    "bpe_merges",
+    "embedding_covariance",
+    "corpus_shuffle",
     "part_affinity",
     "integrity_audit",
     "fuzzy_name_matches",
