@@ -75,6 +75,7 @@ _DEFERRED = [
     "nearest_centroid_confusion",
     # round-7 additions (strict-preflight MATCH at registration)
     "q7_volume_shipping",
+    "q8_market_share",
     "bpe_merges",
     "embedding_covariance",
     "corpus_shuffle",

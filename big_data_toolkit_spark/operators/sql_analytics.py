@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_toolkit_spark.catalog import load_table
@@ -271,6 +271,50 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(r_name, l_year, n_name, revenue_cc, share): each supplier nation's
+    share of its REGION's annual revenue — the TPC-H Q8 market-share shape
+    generalized to every (region, year, nation) cell.
+
+    Completes the dimension hierarchy the suite exercises: lineitem →
+    supplier → nation → region is a three-level broadcast chain (region is
+    5 rows; the whole dim tree stays broadcast). Revenue is the exact
+    integer convention; the share is a ratio-to-report window over the
+    |regions|·|years|·|nations| aggregate — tens of rows — with ONE
+    rounded double division (both engines divide the same exact BIGINTs).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    pct = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long")
+    rev = cents * (F.lit(100) - pct)
+    per = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            "r_name",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            "n_name",
+        )
+        .agg(F.sum(rev).alias("revenue_cc"))
+    )
+    w = Window.partitionBy("r_name", "l_year")
+    return per.select(
+        "r_name",
+        "l_year",
+        "n_name",
+        "revenue_cc",
+        F.round(
+            F.col("revenue_cc").cast("double") / F.sum("revenue_cc").over(w), 6
+        ).alias("share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL (identical semantics, identical output column names).
 # ---------------------------------------------------------------------------
@@ -347,7 +391,29 @@ QUERIES = {
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
 }
+
+ORACLE_SQL["q8_market_share"] = """
+    WITH per AS (
+      SELECT r_name, CAST(year(l_shipdate) AS BIGINT) AS l_year, n_name,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)
+                      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                                    AS BIGINT)))
+                  AS BIGINT) AS revenue_cc
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, year(l_shipdate), n_name
+    )
+    SELECT r_name, l_year, n_name, revenue_cc,
+           round(CAST(revenue_cc AS DOUBLE) /
+                 sum(revenue_cc) OVER (PARTITION BY r_name, l_year),
+                 6) AS share
+    FROM per
+"""
 
 ORACLE_SQL["q7_volume_shipping"] = """
     SELECT sn.n_name AS supp_nation,

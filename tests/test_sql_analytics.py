@@ -67,3 +67,18 @@ def test_q7_two_role_nation_broadcasts(spark):
     rows = df.collect()
     assert rows
     assert all(r["supp_nation"] != r["cust_nation"] for r in rows)
+
+
+def test_q8_shares_sum_to_one_per_cell(spark):
+    """Within every (region, year): shares sum to ~1 and the whole dim tree
+    stays broadcast (region-nation-supplier chain; no extra exchanges)."""
+    df = sa.q8_market_share(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    assert rows
+    cells = {}
+    for r in rows:
+        cells.setdefault((r["r_name"], r["l_year"]), []).append(r["share"])
+    for shares in cells.values():
+        assert abs(sum(shares) - 1.0) < 1e-4
