@@ -77,7 +77,9 @@ _DEFERRED = [
     "q7_volume_shipping",
     "q8_market_share",
     "bpe_merges",
+    "bpe_vocab",
     "embedding_covariance",
+    "pca_variance",  # no_oracle by design: eigendecomposition
     "corpus_shuffle",
     "part_affinity",
     "integrity_audit",

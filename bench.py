@@ -177,6 +177,8 @@ HEADLINE = {
     "q7": sql_analytics.q7_volume_shipping,
     "bpe_merges": text_analytics.bpe_merges,
     "q8": sql_analytics.q8_market_share,
+    "bpe_vocab": text_analytics.bpe_vocab,
+    "pca_variance": similarity.pca_variance,
     # Round-7 addition: the artifact-sharing pipeline — ONE pair-graph
     # build + ONE centroid training feeding all five graph/embedding
     # consumers. Compare its single time against the sum of the five

@@ -960,3 +960,40 @@ ORACLE_SQL["embedding_covariance"] = f"""
 """
 
 QUERIES["embedding_covariance"] = embedding_covariance
+
+
+def pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(component, eigenvalue, var_ratio): the eigen-spectrum of the
+    embedding covariance — how many principal directions carry the
+    corpus's variance (the dimensionality audit before PCA projection /
+    whitening / Matryoshka truncation).
+
+    Scale split: the covariance sufficient statistics come from the
+    distributed one-pass ``embedding_covariance`` (exact integers); the
+    eigendecomposition is O(dim³) on a dim×dim matrix — driver-side
+    numpy ``eigvalsh`` on dim(dim+1)/2 collected cells (O(dim²) driver
+    bytes, the same budget as the Lloyd centroid fetch; at dim = 64 that
+    is 2,080 cells regardless of corpus size). Rows-only for the driver
+    gate (an eigendecomposition is not SQL-expressible); pytest asserts
+    exact agreement with a single-process numpy covariance + eigh.
+    """
+    cells = embedding_covariance(spark, sf_dir).collect()
+    n = cells[0]["n"]
+    c = np.zeros((EMB_DIM, EMB_DIM))
+    for r in cells:
+        # covariance in original embedding units: ticks are value*QUANT
+        cov = (r["s_ij"] - r["s_i"] * r["s_j"] / n) / n / (KMEANS_QUANT**2)
+        c[r["i"], r["j"]] = cov
+        c[r["j"], r["i"]] = cov
+    lam = np.linalg.eigvalsh(c)[::-1]  # descending
+    total = float(lam.sum())
+    rows = [
+        (int(k), float(v), float(v / total) if total > 0 else 0.0)
+        for k, v in enumerate(lam)
+    ]
+    return spark.createDataFrame(
+        rows, "component long, eigenvalue double, var_ratio double"
+    )
+
+
+QUERIES["pca_variance"] = pca_variance

@@ -412,6 +412,18 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     x == y), an islands-and-parity window — two formulations, equal by
     construction, asserted equal by the gate.
     """
+    _, merges = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "step long, merge_left string, merge_right string, pair_count long"
+    )
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str, rounds: int = BPE_MERGES
+) -> tuple[DataFrame, list[tuple[int, str, str, int]]]:
+    """Run the BPE induction; return the post-merge vocabulary table
+    (word, cnt, syms) and the learned merge list — shared by
+    ``bpe_merges`` (the rules) and ``bpe_vocab`` (the applied result)."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(tokenize("text")).alias("word"))
@@ -426,7 +438,7 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     merges: list[tuple[int, str, str, int]] = []
-    for step in range(1, BPE_MERGES + 1):
+    for step in range(1, rounds + 1):
         top = (
             words.select("cnt", F.explode(F.expr(_BPE_PAIRS)).alias("p"))
             .groupBy("p.x", "p.y")
@@ -440,13 +452,48 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         words = words.withColumn(
             "syms", F.expr(_bpe_merge_expr(top["x"], top["y"]))
         ).localCheckpoint()
-    return spark.createDataFrame(
-        merges, "step long, merge_left string, merge_right string, pair_count long"
+    return words, merges
+
+
+def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token, cnt): the corpus subword vocabulary AFTER applying the
+    ``BPE_MERGES`` learned rules — the train→apply closure of
+    ``bpe_merges`` (what the tokenizer actually emits, with corpus
+    frequencies).
+
+    One explode of the post-merge symbol arrays weighted by word count;
+    the aggregation partial-combines map-side. At 100 TB applying a
+    FROZEN merge table to new text is the same fold chain as a map-only
+    expression — no iteration, no driver round-trips.
+    """
+    words, _ = _bpe_train(spark, sf_dir)
+    return (
+        words.select("cnt", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("cnt"))
     )
 
 
 def _bpe_oracle_sql(rounds: int = BPE_MERGES) -> str:
     """The same induction unrolled as CTEs over (word, cnt, pos, sym) rows."""
+    sql = _bpe_oracle_chain(rounds)
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM m{r}" for r in range(1, rounds + 1)
+    )
+    return sql + f"\n    {union}\n    ORDER BY step"
+
+
+def _bpe_vocab_oracle_sql(rounds: int = BPE_MERGES) -> str:
+    """Final subword counts off the same unrolled chain's end state."""
+    return (
+        _bpe_oracle_chain(rounds)
+        + f"""
+    SELECT sym AS token, CAST(sum(cnt) AS BIGINT) AS cnt
+    FROM s{rounds + 1} GROUP BY sym"""
+    )
+
+
+def _bpe_oracle_chain(rounds: int) -> str:
     sql = f"""
     WITH w0 AS (
       SELECT word, count(*) AS cnt
@@ -500,9 +547,10 @@ def _bpe_oracle_sql(rounds: int = BPE_MERGES) -> str:
              row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
       FROM n{r} WHERE NOT consumed
     )"""
-    union = "\n    UNION ALL ".join(f"SELECT * FROM m{r}" for r in range(1, rounds + 1))
-    return sql + f"\n    {union}\n    ORDER BY step"
+    return sql
 
 
 ORACLE_SQL["bpe_merges"] = _bpe_oracle_sql()
 QUERIES["bpe_merges"] = bpe_merges
+ORACLE_SQL["bpe_vocab"] = _bpe_vocab_oracle_sql()
+QUERIES["bpe_vocab"] = bpe_vocab

@@ -8,7 +8,7 @@ from tests.conftest import SF_ORACLE
 from tests.oracle_utils import compare
 
 
-@pytest.mark.parametrize("name", sorted(sim.QUERIES))
+@pytest.mark.parametrize("name", sorted(sim.ORACLE_SQL))
 def test_oracle_match(spark, name):
     df = sim.QUERIES[name](spark, SF_ORACLE)
     compare(df, sim.ORACLE_SQL[name], SF_ORACLE)
@@ -271,3 +271,24 @@ def test_embedding_covariance_matches_numpy_exactly(spark):
     for (i, j), (n, s_i, s_j, s_ij) in got.items():
         assert i <= j
         assert (n, s_i, s_j, s_ij) == (len(q), s[i], s[j], g[i, j])
+
+
+def test_pca_variance_matches_numpy(spark):
+    """Distributed-covariance eigen spectrum == single-process numpy on the
+    same quantized data; spectrum is PSD-descending and ratios sum to 1."""
+    import numpy as np
+
+    from big_data_toolkit_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").collect()
+    x = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    q = np.floor(x * sim.KMEANS_QUANT)
+    c = np.cov(q, rowvar=False, bias=True) / (sim.KMEANS_QUANT**2)
+    want = np.linalg.eigvalsh(c)[::-1]
+    rows = sim.pca_variance(spark, SF_SMOKE).orderBy("component").collect()
+    got = np.array([r["eigenvalue"] for r in rows])
+    assert np.allclose(got, want, rtol=1e-9, atol=1e-15)
+    assert all(got[i] >= got[i + 1] for i in range(len(got) - 1))
+    assert got[-1] > -1e-12  # PSD up to float error
+    assert abs(sum(r["var_ratio"] for r in rows) - 1.0) < 1e-9

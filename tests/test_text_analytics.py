@@ -128,3 +128,20 @@ def test_bpe_merges_counts_non_increasing(spark):
     # determinism: a second run learns the identical table
     again = ta.bpe_merges(spark, SF_SMOKE).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_bpe_vocab_reconciles_with_corpus(spark):
+    """Total subword-token mass is conserved: Σ token·cnt characters ==
+    total tokenized corpus characters (merges never drop symbols)."""
+    rows = ta.bpe_vocab(spark, SF_SMOKE).collect()
+    assert rows
+    total_chars = sum(len(r["token"]) * r["cnt"] for r in rows)
+    want = (
+        ta._doc_tokens(spark, SF_SMOKE)
+        .select(F.explode("tokens").alias("w"))
+        .agg(F.sum(F.length("w")))
+        .first()[0]
+    )
+    assert total_chars == want
+    # merged tokens exist (the rules actually applied)
+    assert any(len(r["token"]) > 1 for r in rows)
