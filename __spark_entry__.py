@@ -76,6 +76,7 @@ _DEFERRED = [
     # round-7 additions (strict-preflight MATCH at registration)
     "q7_volume_shipping",
     "q8_market_share",
+    "q1_pricing_summary",
     "bpe_merges",
     "bpe_vocab",
     "embedding_covariance",

@@ -177,6 +177,7 @@ HEADLINE = {
     "q7": sql_analytics.q7_volume_shipping,
     "bpe_merges": text_analytics.bpe_merges,
     "q8": sql_analytics.q8_market_share,
+    "q1_pricing": sql_analytics.q1_pricing_summary,
     "bpe_vocab": text_analytics.bpe_vocab,
     "pca_variance": similarity.pca_variance,
     # Round-7 addition: the artifact-sharing pipeline — ONE pair-graph

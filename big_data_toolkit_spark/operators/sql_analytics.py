@@ -315,6 +315,65 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q1_CUTOFF = "1998-09-02 00:00:00"  # TPC-H Q1's shipdate ceiling
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL TPC-H Q1 pricing summary (the reference's a6 Q1 keeps only
+    the count): per (l_returnflag, l_linestatus) over shipped lineitems —
+    quantity/price/discounted/charged sums, integer-division averages, and
+    the row count.
+
+    Every money/quantity column quantizes to exact integers BEFORE
+    aggregation (the q5/q6 convention, extended to the three-factor
+    charge): qty and price to hundredths, discount and tax to whole
+    percent — all lossless for 2-decimal stored values — so
+    ``charge = cents · (100−d) · (100+t)`` accumulates as BIGINT
+    ten-thousandths-of-a-cent with zero rounding-mode exposure. The
+    averages are BIGINT micro-unit integer divisions (truncating, both
+    engines) per the integer-output protocol. One partial-aggregated
+    shuffle of ≤ |flags|·|statuses| groups; the date predicate pushes to
+    the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_c = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    d_pct = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long")
+    t_pct = (F.col("l_tax").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            qty_c.alias("qc"),
+            cents.alias("pc"),
+            (cents * (F.lit(100) - d_pct)).alias("dp"),
+            (cents * (F.lit(100) - d_pct) * (F.lit(100) + t_pct)).alias("ch"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qc").alias("sum_qty_c"),
+            F.sum("pc").alias("sum_base_price_c"),
+            F.sum("dp").alias("sum_disc_price_cc"),
+            F.sum("ch").alias("sum_charge_ccpm"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty_c",
+            "sum_base_price_c",
+            "sum_disc_price_cc",
+            "sum_charge_ccpm",
+            F.expr("sum_qty_c * 10000 DIV count_order").alias("avg_qty_micros"),
+            F.expr("sum_base_price_c * 10000 DIV count_order").alias(
+                "avg_price_micros"
+            ),
+            "count_order",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL (identical semantics, identical output column names).
 # ---------------------------------------------------------------------------
@@ -392,7 +451,30 @@ QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
+    "q1_pricing_summary": q1_pricing_summary,
 }
+
+ORACLE_SQL["q1_pricing_summary"] = f"""
+    WITH q AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qc,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
+             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS dp_pct,
+             CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS t_pct
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(qc) AS BIGINT) AS sum_qty_c,
+           CAST(sum(pc) AS BIGINT) AS sum_base_price_c,
+           CAST(sum(pc * (100 - dp_pct)) AS BIGINT) AS sum_disc_price_cc,
+           CAST(sum(pc * (100 - dp_pct) * (100 + t_pct)) AS BIGINT)
+             AS sum_charge_ccpm,
+           CAST(sum(qc) AS BIGINT) * 10000 // count(*) AS avg_qty_micros,
+           CAST(sum(pc) AS BIGINT) * 10000 // count(*) AS avg_price_micros,
+           count(*) AS count_order
+    FROM q GROUP BY l_returnflag, l_linestatus
+"""
 
 ORACLE_SQL["q8_market_share"] = """
     WITH per AS (

@@ -82,3 +82,24 @@ def test_q8_shares_sum_to_one_per_cell(spark):
         cells.setdefault((r["r_name"], r["l_year"]), []).append(r["share"])
     for shares in cells.values():
         assert abs(sum(shares) - 1.0) < 1e-4
+
+
+def test_q1_pricing_summary_pushes_date_and_reconciles(spark):
+    """Date predicate reaches the scan; group sums reconcile with the
+    global filtered totals."""
+    df = sa.q1_pricing_summary(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    rows = df.collect()
+    assert rows
+    from big_data_toolkit_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF_SMOKE, "lineitem").where(
+        F.col("l_shipdate") <= F.lit(sa.Q1_CUTOFF).cast("timestamp")
+    )
+    assert sum(r["count_order"] for r in rows) == li.count()
+    want_qty = li.select(
+        F.sum((F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long"))
+    ).first()[0]
+    assert sum(r["sum_qty_c"] for r in rows) == want_qty
