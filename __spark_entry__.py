@@ -77,6 +77,7 @@ _DEFERRED = [
     "q7_volume_shipping",
     "q8_market_share",
     "q1_pricing_summary",
+    "customer_rfm",
     "bpe_merges",
     "bpe_vocab",
     "embedding_covariance",

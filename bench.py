@@ -178,6 +178,7 @@ HEADLINE = {
     "bpe_merges": text_analytics.bpe_merges,
     "q8": sql_analytics.q8_market_share,
     "q1_pricing": sql_analytics.q1_pricing_summary,
+    "customer_rfm": analytics_ext.customer_rfm,
     "bpe_vocab": text_analytics.bpe_vocab,
     "pca_variance": similarity.pca_variance,
     # Round-7 addition: the artifact-sharing pipeline — ONE pair-graph

@@ -1081,3 +1081,72 @@ QUERIES = {
     "event_reach_approx": event_reach_approx,  # rows-only (sketches)
     "weekly_reach_from_sketches": weekly_reach_from_sketches,  # rows-only
 }
+
+
+RFM_TILES = 4
+RFM_ASOF = "2001-08-02 00:00:00"  # day after the corpus's last order
+
+
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_custkey, recency_days, frequency, monetary_cents, r, f, m,
+    segment): RFM segmentation — the marketing-analytics staple that
+    exercises THREE independent ntile windows over different orderings of
+    the same customer aggregate.
+
+    One shuffle reduces orders to a |customers|-row profile (recency =
+    days from last order to the pinned as-of date; frequency = order
+    count; monetary = exact integer cents); each score is ntile over
+    (metric, custkey) — custkey tie-break pins cross-engine determinism,
+    and recency ranks ASCENDING (recent buyers score 1) while f/m rank
+    DESCENDING (heavy buyers score 1). The segment string is just the
+    concatenated scores. Window input is the customer profile, never raw
+    orders.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    prof = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_ASOF).cast("timestamp"), F.max("o_orderdate")
+        ).cast("long").alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(_cents("o_totalprice")).alias("monetary_cents"),
+    )
+    wr = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey"))
+    scored = prof.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(RFM_TILES).over(wr).cast("long").alias("r"),
+        F.ntile(RFM_TILES).over(wf).cast("long").alias("f"),
+        F.ntile(RFM_TILES).over(wm).cast("long").alias("m"),
+    )
+    return scored.withColumn(
+        "segment", F.concat_ws("-", F.col("r"), F.col("f"), F.col("m"))
+    )
+
+
+ORACLE_SQL["customer_rfm"] = f"""
+    WITH prof AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(max(o_orderdate) AS DATE),
+                       DATE '2001-08-02') AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary_cents,
+             ntile({RFM_TILES}) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r,
+             ntile({RFM_TILES}) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f,
+             ntile({RFM_TILES}) OVER (ORDER BY monetary_cents DESC, o_custkey ASC) AS m
+      FROM prof
+    )
+    SELECT o_custkey, recency_days, frequency, monetary_cents, r, f, m,
+           r || '-' || f || '-' || m AS segment
+    FROM scored
+"""
+
+QUERIES["customer_rfm"] = customer_rfm

@@ -364,3 +364,19 @@ def test_event_value_histogram_degenerate_range(spark, tmp_path):
     assert sum(r["n"] for r in rows) == 50
     compare(ax.event_value_histogram(spark, sf),
             ax.ORACLE_SQL["event_value_histogram"], sf, strict=True)
+
+
+def test_customer_rfm_tiles_balanced_and_consistent(spark):
+    """Each score dimension splits customers into near-equal quartiles;
+    segment string always matches the three scores."""
+    rows = ax.customer_rfm(spark, SF_SMOKE).collect()
+    assert rows
+    n = len(rows)
+    for dim in ("r", "f", "m"):
+        sizes = {}
+        for r in rows:
+            sizes[r[dim]] = sizes.get(r[dim], 0) + 1
+        assert set(sizes) == set(range(1, ax.RFM_TILES + 1))
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert all(r["segment"] == f"{r['r']}-{r['f']}-{r['m']}" for r in rows)
+    assert all(r["recency_days"] >= 1 for r in rows)  # as-of is after max date
