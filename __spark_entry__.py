@@ -78,6 +78,7 @@ _DEFERRED = [
     "q8_market_share",
     "q1_pricing_summary",
     "customer_rfm",
+    "order_backlog_timeline",
     "bpe_merges",
     "bpe_vocab",
     "embedding_covariance",

@@ -179,6 +179,7 @@ HEADLINE = {
     "q8": sql_analytics.q8_market_share,
     "q1_pricing": sql_analytics.q1_pricing_summary,
     "customer_rfm": analytics_ext.customer_rfm,
+    "order_backlog": analytics_ext.order_backlog_timeline,
     "bpe_vocab": text_analytics.bpe_vocab,
     "pca_variance": similarity.pca_variance,
     # Round-7 addition: the artifact-sharing pipeline — ONE pair-graph

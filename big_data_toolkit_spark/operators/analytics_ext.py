@@ -1150,3 +1150,75 @@ ORACLE_SQL["customer_rfm"] = f"""
 """
 
 QUERIES["customer_rfm"] = customer_rfm
+
+
+def order_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, n_placed, n_completed, open_orders): the daily order backlog —
+    an event-sourced running balance (placements +1, completions −1,
+    cumulative net), the inventory/queue-depth accounting shape.
+
+    An order COMPLETES on its last shipment day (max l_shipdate over its
+    lineitems); orders that never shipped stay open forever. Both daily
+    series reduce before anything joins — the FULL OUTER join and the
+    cumulative window see |days| rows, never facts — and the running
+    balance is one global window over that tiny frame (the
+    ``daily_activity_full`` + ``customer_order_timeline`` disciplines
+    composed). All-integer output.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    placed = (
+        orders.select(F.to_date("o_orderdate").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n_placed"))
+    )
+    completed = (
+        li.groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n_completed"))
+    )
+    merged = (
+        placed.join(completed, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_placed", F.lit(0)).alias("n_placed"),
+            F.coalesce("n_completed", F.lit(0)).alias("n_completed"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return merged.select(
+        "day",
+        "n_placed",
+        "n_completed",
+        F.sum(F.col("n_placed") - F.col("n_completed")).over(w).alias(
+            "open_orders"
+        ),
+    )
+
+
+ORACLE_SQL["order_backlog_timeline"] = """
+    WITH placed AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_placed
+      FROM orders GROUP BY 1
+    ),
+    completed AS (
+      SELECT day, count(*) AS n_completed FROM (
+        SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS day
+        FROM lineitem GROUP BY l_orderkey
+      ) GROUP BY day
+    ),
+    merged AS (
+      SELECT coalesce(p.day, c.day) AS day,
+             coalesce(n_placed, 0) AS n_placed,
+             coalesce(n_completed, 0) AS n_completed
+      FROM placed p FULL OUTER JOIN completed c ON p.day = c.day
+    )
+    SELECT day, n_placed, n_completed,
+           sum(n_placed - n_completed) OVER (
+             ORDER BY day ROWS UNBOUNDED PRECEDING
+           ) AS open_orders
+    FROM merged
+"""
+
+QUERIES["order_backlog_timeline"] = order_backlog_timeline

@@ -380,3 +380,20 @@ def test_customer_rfm_tiles_balanced_and_consistent(spark):
         assert max(sizes.values()) - min(sizes.values()) <= 1
     assert all(r["segment"] == f"{r['r']}-{r['f']}-{r['m']}" for r in rows)
     assert all(r["recency_days"] >= 1 for r in rows)  # as-of is after max date
+
+
+def test_order_backlog_conserves_orders(spark):
+    """Final open count == orders placed − orders ever completed; the
+    balance never dips below zero on this corpus (orders ship after
+    placement) and totals reconcile with direct counts."""
+    from big_data_toolkit_spark.catalog import load_table
+
+    rows = ax.order_backlog_timeline(spark, SF_SMOKE).orderBy("day").collect()
+    assert rows
+    n_orders = load_table(spark, SF_SMOKE, "orders").count()
+    n_completed = (
+        load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey").distinct().count()
+    )
+    assert sum(r["n_placed"] for r in rows) == n_orders
+    assert sum(r["n_completed"] for r in rows) == n_completed
+    assert rows[-1]["open_orders"] == n_orders - n_completed
