@@ -79,6 +79,8 @@ _DEFERRED = [
     "q1_pricing_summary",
     "customer_rfm",
     "order_backlog_timeline",
+    "audience_overlap",
+    "audience_overlap_approx",  # no_oracle by design: HLL sketches
     "bpe_merges",
     "bpe_vocab",
     "embedding_covariance",

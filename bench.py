@@ -180,6 +180,8 @@ HEADLINE = {
     "q1_pricing": sql_analytics.q1_pricing_summary,
     "customer_rfm": analytics_ext.customer_rfm,
     "order_backlog": analytics_ext.order_backlog_timeline,
+    "audience_overlap": analytics_ext.audience_overlap,
+    "audience_overlap_approx": analytics_ext.audience_overlap_approx,
     "bpe_vocab": text_analytics.bpe_vocab,
     "pca_variance": similarity.pca_variance,
     # Round-7 addition: the artifact-sharing pipeline — ONE pair-graph

@@ -1222,3 +1222,77 @@ ORACLE_SQL["order_backlog_timeline"] = """
 """
 
 QUERIES["order_backlog_timeline"] = order_backlog_timeline
+
+
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(type_a, type_b, n_both): distinct users active in BOTH event types,
+    per unordered type pair — the audience-overlap / co-engagement matrix.
+
+    One shuffle reduces events to the distinct (user, type) membership set;
+    the pair matrix is a self-join ON user_id with a<b (each user
+    contributes ≤ C(|types|,2) = 10 rows) and a count per pair — never a
+    users×users comparison. The exact twin of
+    ``audience_overlap_approx``'s sketch estimate.
+    """
+    events = load_table(spark, sf_dir, "events")
+    m = events.select("user_id", "event_type").distinct()
+    a = m.select("user_id", F.col("event_type").alias("type_a"))
+    b = m.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+
+
+def audience_overlap_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(type_a, type_b, approx_both): the same overlap matrix from HLL
+    sketches by inclusion-exclusion — |A∩B| ≈ |A| + |B| − |A∪B|.
+
+    The 100 TB shape: ONE pass builds a fixed-size sketch per event type
+    (5 sketches, no distinct-set shuffle of user ids); the pair estimates
+    combine |types|² sketch unions driver-free. HLL unions are exact over
+    the sketch lattice, so the only error is the ±~0.6% register noise —
+    bounded against the exact twin in pytest. Rows-only by driver
+    contract (sketch estimates are not SQL-expressible).
+    """
+    events = load_table(spark, sf_dir, "events")
+    sk = (
+        events.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sk"))
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            (
+                F.hll_sketch_estimate("sk_a")
+                + F.hll_sketch_estimate("sk_b")
+                - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+            ).cast("long").alias("approx_both"),
+        )
+    )
+
+
+ORACLE_SQL["audience_overlap"] = """
+    WITH m AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_both
+    FROM m a JOIN m b ON a.user_id = b.user_id
+    WHERE a.event_type < b.event_type
+    GROUP BY 1, 2
+"""
+
+QUERIES["audience_overlap"] = audience_overlap
+QUERIES["audience_overlap_approx"] = audience_overlap_approx

@@ -20,6 +20,7 @@ def test_every_query_registered_has_oracle_or_is_sketch(spark):
     assert set(ax.QUERIES) - set(ax.ORACLE_SQL) == {
         "event_reach_approx",
         "weekly_reach_from_sketches",
+        "audience_overlap_approx",
     }
 
 
@@ -397,3 +398,19 @@ def test_order_backlog_conserves_orders(spark):
     assert sum(r["n_placed"] for r in rows) == n_orders
     assert sum(r["n_completed"] for r in rows) == n_completed
     assert rows[-1]["open_orders"] == n_orders - n_completed
+
+
+def test_audience_overlap_sketch_tracks_exact(spark):
+    """Inclusion-exclusion HLL overlap within max(3, 5%) of the exact count
+    per type pair; identical pair coverage."""
+    exact = {
+        (r["type_a"], r["type_b"]): r["n_both"]
+        for r in ax.audience_overlap(spark, SF_ORACLE).collect()
+    }
+    approx = {
+        (r["type_a"], r["type_b"]): r["approx_both"]
+        for r in ax.audience_overlap_approx(spark, SF_ORACLE).collect()
+    }
+    assert set(exact) == set(approx)
+    for pair, e in exact.items():
+        assert abs(approx[pair] - e) <= max(3, 0.05 * e), (pair, approx[pair], e)
