@@ -139,3 +139,56 @@ def foreach_batch_per_window_sink(prefix: str):
         batch_df.write.mode("overwrite").parquet(f"{prefix}-{batch_id:08d}")
 
     return sink
+
+
+def zorder_key(c1, c2, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative integer columns'
+    low ``bits`` bits — a Column expression, computed entirely JVM-side.
+
+    Bit i of c1 lands at output bit 2i, bit i of c2 at 2i+1, so numeric
+    locality in EITHER dimension maps to locality on the single sort key.
+    """
+    from pyspark.sql import functions as F
+
+    # Column `|` is logical OR; use bitwiseOR (target bits are disjoint).
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(
+                F.shiftright(c1.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i
+            )
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftright(c2.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame, path: str, c1: str, c2: str, n_files: int = 8, bits: int = 16
+) -> None:
+    """Z-order-clustered parquet layout for TWO-dimensional pruning.
+
+    ``write_sorted_bucketed`` clusters one key; a 100 TB fact queried by
+    boxes in two dimensions (user × time, lat × lon) wants BOTH pruned.
+    Sorting by the Morton interleave places rows close in either
+    dimension into the same files/row-groups, so parquet min/max stats
+    skip most of the table for a 2-d box predicate — the Delta/Iceberg
+    OPTIMIZE ZORDER technique as a plain write. The key is a pure bit
+    expression (no UDF); the write is one range partition + in-file sort,
+    and the key column itself is dropped before writing (queries filter
+    on the ORIGINAL columns; the layout, not the schema, carries the
+    clustering). Locality is asserted by test: a 2-d box touches
+    measurably fewer files than under a one-dimensional layout.
+    """
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn("_z", zorder_key(F.col(c1), F.col(c2), bits))
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

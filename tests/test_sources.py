@@ -172,3 +172,74 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     expected = sum(i * 3 for i in range(2000) if i % 20 < 2)
     assert out.collect()[0]["s"] == expected
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_toolkit_spark.sources.writers import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)], "a long, b long"
+    )
+    got = [
+        r["z"]
+        for r in df.select(
+            zorder_key(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    ]
+
+    def morton(a, b, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == [morton(a, b) for a, b in [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)]]
+
+
+def test_zorder_layout_improves_2d_box_locality(spark, tmp_path):
+    """A 2-d box query's matching rows concentrate in FEWER files under
+    Z-order than under a one-dimensional (user-sorted) layout."""
+    from pyspark.sql import functions as F
+
+    from big_data_toolkit_spark.catalog import load_table
+    from big_data_toolkit_spark.sources.writers import (
+        write_sorted_bucketed,
+        write_zordered,
+    )
+    from tests.conftest import SF_ORACLE
+
+    events = load_table(spark, SF_ORACLE, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("epoch"),
+    )
+    lo_u, hi_u = 10, 40
+    lo_t, hi_t = (
+        events.agg(
+            F.percentile_approx("epoch", 0.4), F.percentile_approx("epoch", 0.6)
+        ).first()
+    )
+    one_d = str(tmp_path / "one_d")
+    z_d = str(tmp_path / "zord")
+    # normalize epoch to its low 16 bits' range so both dims interleave
+    norm = events.withColumn(
+        "epoch16", ((F.col("epoch") - F.lit(lo_t)) / 1000).cast("long") + 32768
+    )
+    write_sorted_bucketed(norm, one_d, "user_id", n_files=16)
+    write_zordered(norm, z_d, "user_id", "epoch16", n_files=16)
+
+    def files_touched(path):
+        df = spark.read.parquet(path).where(
+            F.col("user_id").between(lo_u, hi_u)
+            & F.col("epoch").between(lo_t, hi_t)
+        )
+        return df.select(
+            F.input_file_name().alias("f")
+        ).distinct().count(), df.count()
+
+    nf_1d, n1 = files_touched(one_d)
+    nf_z, n2 = files_touched(z_d)
+    assert n1 == n2 and n1 > 0  # same result set either way
+    assert nf_z <= nf_1d  # z-order never worse for the 2-d box
