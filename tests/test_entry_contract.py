@@ -24,6 +24,8 @@ def test_registry_shape():
         "event_reach_approx",
         "order_fulfillment_percentiles_approx",
         "weekly_reach_from_sketches",
+        "pca_variance",
+        "audience_overlap_approx",
     }
 
 
