@@ -224,3 +224,17 @@ def test_corpus_shuffle_is_a_permutation(spark):
         by_shard.setdefault(r["shard"], []).append(r["pos"])
     for shard, ps in by_shard.items():
         assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_corpus_shuffle_single_exchange(spark):
+    """Shard assignment is map-only; one per-shard window exchange total."""
+    from tests.conftest import SF_SMOKE
+
+    plan = (
+        curation.corpus_shuffle(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert plan.count("Scan parquet") == 1

@@ -292,3 +292,18 @@ def test_pca_variance_matches_numpy(spark):
     assert all(got[i] >= got[i + 1] for i in range(len(got) - 1))
     assert got[-1] > -1e-12  # PSD up to float error
     assert abs(sum(r["var_ratio"] for r in rows) - 1.0) < 1e-9
+
+
+def test_embedding_covariance_single_exchange(spark):
+    """One scan, one merge shuffle of partial cells — the gram pass never
+    explodes or self-joins the corpus."""
+    from tests.conftest import SF_SMOKE
+
+    plan = (
+        sim.embedding_covariance(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert plan.count("Scan parquet") == 1
