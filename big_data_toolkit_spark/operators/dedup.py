@@ -101,6 +101,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def capped_shingles(
+    shingles: DataFrame, max_shingle_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
+    """Drop shingles with document frequency above the cap — THE blocking
+    hygiene filter, shared by the exact-Jaccard path, the exposed
+    candidate-measurement function, and the candidate-bound tests (one
+    definition: a cap change cannot desynchronize what they measure)."""
+    return (
+        shingles.withColumn(
+            "df", F.count("*").over(Window.partitionBy("shingle"))
+        )
+        .where(F.col("df") <= max_shingle_df)
+        .drop("df")
+    )
+
+
 def _jaccard_pairs(
     shingles: DataFrame, max_shingle_df: int = MAX_SHINGLE_DF
 ) -> DataFrame:
@@ -116,13 +132,7 @@ def _jaccard_pairs(
     shared, not doubled. Sizes join carries no broadcast hint: the per-doc
     table grows with the corpus, so the join strategy is left to AQE.
     """
-    capped = (
-        shingles.withColumn(
-            "df", F.count("*").over(Window.partitionBy("shingle"))
-        )
-        .where(F.col("df") <= max_shingle_df)
-        .drop("df")
-    )
+    capped = capped_shingles(shingles, max_shingle_df)
     sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
     left = capped.select(F.col("doc_id").alias("d1"), "shingle")
     right = capped.select(F.col("doc_id").alias("d2"), "shingle")
@@ -162,12 +172,7 @@ def ngram_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so candidates grow ~linearly with the corpus, never |docs|².
     tests/test_candidate_bounds.py asserts the measured per-doc fan-out.
     """
-    capped = (
-        _shingles(spark, sf_dir)
-        .withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
-        .where(F.col("df") <= MAX_SHINGLE_DF)
-        .drop("df")
-    )
+    capped = capped_shingles(_shingles(spark, sf_dir))
     left = capped.select(F.col("doc_id").alias("d1"), "shingle")
     right = capped.select(F.col("doc_id").alias("d2"), "shingle")
     return (
@@ -183,26 +188,7 @@ def minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     band, before Jaccard verification (the pairs ``dedup_minhash_lsh``
     pays exact verification for). Exposed for the same measurability
     reason as ``ngram_candidate_pairs``."""
-    sigs = minhash_signatures(spark, sf_dir)
-    rows_per_band = MINHASH_K // LSH_BANDS
-    bands_long = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "_",
-                        F.lit(b),
-                        *[
-                            F.col(f"sig_{b * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("band"),
-    )
+    bands_long = minhash_bands(minhash_signatures(spark, sf_dir))
     return (
         bands_long.alias("x")
         .join(bands_long.alias("y"), "band")
@@ -227,6 +213,32 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(MINHASH_K)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band): one row per LSH band of a signature DataFrame — THE
+    banding layout, shared by the production pair path, the exposed
+    candidate-measurement function, and the candidate-bound tests (a
+    banding change cannot desynchronize what they measure)."""
+    rows_per_band = MINHASH_K // LSH_BANDS
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(b),
+                        *[
+                            F.col(f"sig_{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,25 +266,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(MINHASH_K)
     ]
     per_doc = sh.groupBy("doc_id").agg(*aggs, F.collect_list("shingle").alias("sh"))
-    rows_per_band = MINHASH_K // LSH_BANDS
-    bands_long = per_doc.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "_",
-                        F.lit(b),
-                        *[
-                            F.col(f"sig_{b * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("band"),
-    )
+    bands_long = minhash_bands(per_doc)
     cands = (
         bands_long.alias("x")
         .join(bands_long.alias("y"), "band")

@@ -57,9 +57,10 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc quality features + blended score (C4/Gopher-style filters)."""
-    docs = load_table(spark, sf_dir, "documents")
+def quality_expressions() -> dict[str, F.Column]:
+    """The quality feature/score Columns over a ``text`` column — THE single
+    definition, shared by ``quality_score`` and the streaming curation gate
+    (``streaming/curation.py``) so batch and stream cannot drift."""
     t = tokenize("text")
     n_tokens = F.size(t)
     n_types = F.size(F.array_distinct(t))
@@ -76,14 +77,29 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ttr * 0.25
         + F.least(avg_len / F.lit(5.0), F.lit(1.0)) * 0.25
     )
+    return {
+        "n_tokens": n_tokens,
+        "n_types": n_types,
+        "stop_ratio": stop_ratio,
+        "ttr": ttr,
+        "avg_len": avg_len,
+        "score": score,
+        "cleaned_tokens": F.filter(t, lambda w: ~F.array_contains(sw, w)),
+    }
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features + blended score (C4/Gopher-style filters)."""
+    docs = load_table(spark, sf_dir, "documents")
+    e = quality_expressions()
     return docs.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        n_types.alias("n_types"),
-        F.round(ttr, 6).alias("type_token_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(avg_len, 6).alias("avg_token_len"),
-        F.round(score, 6).alias("quality"),
+        e["n_tokens"].alias("n_tokens"),
+        e["n_types"].alias("n_types"),
+        F.round(e["ttr"], 6).alias("type_token_ratio"),
+        F.round(e["stop_ratio"], 6).alias("stopword_ratio"),
+        F.round(e["avg_len"], 6).alias("avg_token_len"),
+        F.round(e["score"], 6).alias("quality"),
     )
 
 
@@ -411,13 +427,12 @@ def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped so downstream token budgets can be adjusted without re-scanning.
     """
     docs = load_table(spark, sf_dir, "documents")
-    t = tokenize("text")
-    sw = F.array([F.lit(s) for s in STOPWORDS])
-    kept = F.filter(t, lambda w: ~F.array_contains(sw, w))
+    e = quality_expressions()
+    kept = e["cleaned_tokens"]
     return docs.select(
         "doc_id",
         F.concat_ws(" ", kept).alias("clean_text"),
-        (F.size(t) - F.size(kept)).cast("long").alias("n_removed"),
+        (e["n_tokens"] - F.size(kept)).cast("long").alias("n_removed"),
     )
 
 

@@ -529,7 +529,7 @@ def _bpe_oracle_chain(rounds: int) -> str:
     ),
     k{r} AS MATERIALIZED (
       SELECT word, cnt, pos, sym, x, y,
-             cand AND (row_number() OVER (PARTITION BY word, grp
+             cand AND (row_number() OVER (PARTITION BY word, cand, grp
                                           ORDER BY pos) % 2 = 1) AS keep
       FROM (SELECT *, pos - row_number() OVER (PARTITION BY word, cand
                                                ORDER BY pos) AS grp

@@ -31,42 +31,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_toolkit_spark.catalog import load_table
-from big_data_toolkit_spark.functions.text import tokenize
-from big_data_toolkit_spark.operators.quality import STOPWORDS
+from big_data_toolkit_spark.operators.quality import quality_expressions
 from big_data_toolkit_spark.operators.relational_ext import MIN_QUALITY, MIN_TOKENS
 
 
 def curation_columns(docs: DataFrame) -> DataFrame:
     """Stateless gate + clean + fingerprint; identical on batch and stream.
 
-    Mirrors ``quality_score``'s blended score and ``text_clean``'s stopword
-    removal (same constants), then filters to the ``curated_corpus`` gate.
+    Built on ``quality_expressions()`` — the SAME Column definitions
+    ``quality_score`` emits (one source of truth, so a future change to
+    the blend or stopwords updates the batch family and this gate
+    together) — then filters to the ``curated_corpus`` gate.
     """
-    t = tokenize("text")
-    n_tokens = F.size(t)
-    n_types = F.size(F.array_distinct(t))
-    letters = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
-    sw = F.array([F.lit(s) for s in STOPWORDS])
-    stop_ratio = F.when(
-        n_tokens > 0,
-        F.size(F.filter(t, lambda w: F.array_contains(sw, w))) / n_tokens,
-    ).otherwise(F.lit(0.0))
-    ttr = F.when(n_tokens > 0, n_types / n_tokens).otherwise(F.lit(0.0))
-    avg_len = F.when(n_tokens > 0, letters / n_tokens).otherwise(F.lit(0.0))
-    score = (
-        F.least(n_tokens / F.lit(50.0), F.lit(1.0)) * 0.25
-        + F.least(stop_ratio / F.lit(0.1), F.lit(1.0)) * 0.25
-        + ttr * 0.25
-        + F.least(avg_len / F.lit(5.0), F.lit(1.0)) * 0.25
-    )
-    kept = F.filter(t, lambda w: ~F.array_contains(sw, w))
+    e = quality_expressions()
     return docs.select(
         "doc_id",
         "source",
-        n_tokens.alias("n_tokens"),
-        F.round(score, 6).alias("quality"),
+        e["n_tokens"].alias("n_tokens"),
+        F.round(e["score"], 6).alias("quality"),
         F.md5("text").alias("text_md5"),
-        F.concat_ws(" ", kept).alias("clean_text"),
+        F.concat_ws(" ", e["cleaned_tokens"]).alias("clean_text"),
     ).where(
         (F.col("quality") >= MIN_QUALITY) & (F.col("n_tokens") >= MIN_TOKENS)
     )

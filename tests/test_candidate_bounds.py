@@ -71,37 +71,16 @@ def _check(n_candidates: int, structural_cap: int, n_items: int, layer: str):
 
 
 def test_ngram_candidates_bounded(spark, n_docs):
-    capped = (
-        dedup._shingles(spark, SF_ORACLE)
-        .withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
-        .where(F.col("df") <= dedup.MAX_SHINGLE_DF)
-    )
+    # the SAME capped_shingles the production path blocks on
+    capped = dedup.capped_shingles(dedup._shingles(spark, SF_ORACLE))
     cap = _sum_c2(capped, "shingle")
     n = dedup.ngram_candidate_pairs(spark, SF_ORACLE).count()
     _check(n, cap, n_docs, "ngram")
 
 
 def test_minhash_candidates_bounded(spark, n_docs):
-    sigs = dedup.minhash_signatures(spark, SF_ORACLE)
-    rows_per_band = dedup.MINHASH_K // dedup.LSH_BANDS
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "_",
-                        F.lit(b),
-                        *[
-                            F.col(f"sig_{b * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for b in range(dedup.LSH_BANDS)
-                ]
-            )
-        ).alias("band"),
-    )
+    # the SAME minhash_bands layout the production pair join uses
+    bands = dedup.minhash_bands(dedup.minhash_signatures(spark, SF_ORACLE))
     cap = _sum_c2(bands, "band")
     n = dedup.minhash_band_candidates(spark, SF_ORACLE).count()
     _check(n, cap, n_docs, "minhash")

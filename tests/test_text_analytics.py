@@ -145,3 +145,30 @@ def test_bpe_vocab_reconciles_with_corpus(spark):
     assert total_chars == want
     # merged tokens exist (the rules actually applied)
     assert any(len(r["token"]) > 1 for r in rows)
+
+
+def test_bpe_oracle_matches_on_xyxy_corpus(spark, tmp_path):
+    """Regression (round-7 review): the oracle's greedy parity window must
+    not under-merge xyxy-patterned words (x != y) — 'abab' merges to
+    ['ab','ab'], never ['ab','a','b']. Build a corpus whose TOP pair is
+    (a,b) with 'abab' present and compare engines end-to-end."""
+    import os
+
+    import duckdb
+
+    from big_data_toolkit_spark.catalog import TABLES
+
+    sf = str(tmp_path)
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{SF_SMOKE}/{t}.parquet", f"{sf}/{t}.parquet")
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES "
+        "(0, 'abab abab papa', 'en', 'src0', 14), "
+        "(1, 'ab ab ab mama', 'en', 'src0', 13), "
+        "(2, 'aaab abab abba', 'en', 'src0', 14)"
+        ") t(doc_id, text, lang, source, n_chars)) "
+        f"TO '{sf}/documents.parquet' (FORMAT PARQUET)"
+    )
+    compare(ta.bpe_merges(spark, sf), ta.ORACLE_SQL["bpe_merges"], sf, strict=True)
+    compare(ta.bpe_vocab(spark, sf), ta.ORACLE_SQL["bpe_vocab"], sf, strict=True)
