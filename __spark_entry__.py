@@ -85,6 +85,7 @@ _DEFERRED = [
     "bpe_vocab",
     "embedding_covariance",
     "pca_variance",  # no_oracle by design: eigendecomposition
+    "embedding_outliers",
     "corpus_shuffle",
     "part_affinity",
     "integrity_audit",

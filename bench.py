@@ -184,6 +184,7 @@ HEADLINE = {
     "audience_overlap_approx": analytics_ext.audience_overlap_approx,
     "bpe_vocab": text_analytics.bpe_vocab,
     "pca_variance": similarity.pca_variance,
+    "embedding_outliers": similarity.embedding_outliers,
     # Round-7 addition: the artifact-sharing pipeline — ONE pair-graph
     # build + ONE centroid training feeding all five graph/embedding
     # consumers. Compare its single time against the sum of the five

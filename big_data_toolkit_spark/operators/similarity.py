@@ -997,3 +997,83 @@ def pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["pca_variance"] = pca_variance
+
+
+OUTLIER_K = 20
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, dist2): the ``OUTLIER_K`` vectors FARTHEST from their
+    own label's centroid — the mislabel / anomalous-sample screen a
+    curation pipeline runs before training on labeled embeddings
+    (complements ``nearest_centroid_confusion``, which asks where a vector
+    would go; this asks how badly it fits where it IS).
+
+    Same numeric discipline as the confusion matrix: centroids from exact
+    integer-quantized component sums (order-independent, both engines
+    derive identical doubles), distances as in-order JVM folds against
+    the broadcast |labels|-row centroid table, global top-k via
+    TakeOrderedAndProject with (dist2 desc, vec_id) tie-break. Map-only
+    after the centroid aggregate; never a vector-vector join.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.expr(f"cast(floor(double(x) * {CENTROID_QUANT} + 0.5D) as bigint)")
+    cents = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.count("*").alias("n"), F.sum(q).alias("sq"))
+        .select(
+            "label",
+            "pos",
+            (
+                F.col("sq").cast("double") / F.col("n") / F.lit(CENTROID_QUANT)
+            ).alias("c"),
+        )
+    )
+    carr = (
+        cents.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.expr("transform(pc, p -> p.c)").alias("cv"))
+    )
+    dist = F.expr(
+        "aggregate(zip_with(embedding, cv, (x, y) -> "
+        "(double(x) - y) * (double(x) - y)), 0D, (acc, v) -> acc + v)"
+    )
+    return (
+        emb.join(F.broadcast(carr), "label")
+        .select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            F.round(dist, 6).alias("dist2"),
+        )
+        .orderBy(F.desc("dist2"), "vec_id")
+        .limit(OUTLIER_K)
+    )
+
+
+ORACLE_SQL["embedding_outliers"] = f"""
+    WITH ex AS (
+      SELECT label, unnest(range(1, len(embedding) + 1)) AS i,
+             embedding AS e
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, i,
+             CAST(sum(CAST(floor(e[i]::DOUBLE * {CENTROID_QUANT} + 0.5)
+                           AS BIGINT)) AS DOUBLE)
+               / count(*) / {CENTROID_QUANT} AS c
+      FROM ex GROUP BY label, i
+    ),
+    carr AS (
+      SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label
+    )
+    SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+           round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    i -> (e.embedding[i]::DOUBLE - c.cv[i]) *
+                         (e.embedding[i]::DOUBLE - c.cv[i]))), 6) AS dist2
+    FROM embeddings e JOIN carr c ON e.label = c.label
+    ORDER BY dist2 DESC, e.vec_id
+    LIMIT {OUTLIER_K}
+"""
+
+QUERIES["embedding_outliers"] = embedding_outliers

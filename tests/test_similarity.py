@@ -307,3 +307,31 @@ def test_embedding_covariance_single_exchange(spark):
     )
     assert plan.count("Exchange") == 1
     assert plan.count("Scan parquet") == 1
+
+
+def test_embedding_outliers_are_the_global_worst_fits(spark):
+    """Top-k by own-centroid distance, recomputed independently with numpy:
+    the flagged set must be exactly the k largest distances (ties by id)."""
+    import numpy as np
+
+    from big_data_toolkit_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = load_table(spark, SF_SMOKE, "embeddings").collect()
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r)
+    dist = {}
+    for label, rs in by_label.items():
+        q = np.floor(
+            np.array([r["embedding"] for r in rs], dtype=np.float64)
+            * sim.CENTROID_QUANT
+            + 0.5
+        )
+        c = q.sum(axis=0) / len(rs) / sim.CENTROID_QUANT
+        for r in rs:
+            d = np.array(r["embedding"], dtype=np.float64) - c
+            dist[r["vec_id"]] = float((d * d).sum())
+    want = sorted(dist, key=lambda v: (-round(dist[v], 6), v))[: sim.OUTLIER_K]
+    got = [r["vec_id"] for r in sim.embedding_outliers(spark, SF_SMOKE).collect()]
+    assert got == want
