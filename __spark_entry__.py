@@ -83,6 +83,7 @@ _DEFERRED = [
     "audience_overlap_approx",  # no_oracle by design: HLL sketches
     "bpe_merges",
     "bpe_vocab",
+    "heavy_hitters_cms",
     "embedding_covariance",
     "pca_variance",  # no_oracle by design: eigendecomposition
     "embedding_outliers",

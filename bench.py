@@ -183,6 +183,7 @@ HEADLINE = {
     "audience_overlap": analytics_ext.audience_overlap,
     "audience_overlap_approx": analytics_ext.audience_overlap_approx,
     "bpe_vocab": text_analytics.bpe_vocab,
+    "heavy_hitters_cms": text_analytics.heavy_hitters_cms,
     "pca_variance": similarity.pca_variance,
     "embedding_outliers": similarity.embedding_outliers,
     # Round-7 addition: the artifact-sharing pipeline — ONE pair-graph

@@ -554,3 +554,117 @@ ORACLE_SQL["bpe_merges"] = _bpe_oracle_sql()
 QUERIES["bpe_merges"] = bpe_merges
 ORACLE_SQL["bpe_vocab"] = _bpe_vocab_oracle_sql()
 QUERIES["bpe_vocab"] = bpe_vocab
+
+
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 1024  # buckets per row
+CMS_TOP_K = 10
+
+
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, exact_cnt, est_cnt): the exact top-``CMS_TOP_K`` words with
+    their Count-Min-sketch estimates alongside the truth — the frequency
+    member of the mergeable-sketch family (HLL reach, KLL percentiles,
+    CMS heavy hitters).
+
+    The sketch is a (depth × width) integer count grid: one aggregation
+    pass buckets every token through ``CMS_DEPTH`` md5-derived hashes
+    (deterministic, so BOTH engines build the identical grid and the
+    query is fully oracle-checkable — rare for a sketch); the estimate is
+    the MIN over rows of the word's bucket counts, which can only
+    over-count (collisions add, never subtract — ``est ≥ exact`` is
+    asserted in pytest, and the CMS bound est ≤ exact + εN holds with
+    ε = e/width). At 100 TB the grid is 4×1024 cells per corpus shard —
+    mergeable by cell-wise addition like the HLL sketches — while the
+    exact counts need the full word-frequency shuffle; here both run so
+    the error is measurable. The probe set is the exact top-k (cnt desc,
+    word) — a production pipeline keeps a heap of candidates instead.
+    """
+    words = (
+        _doc_tokens(spark, sf_dir)
+        .select(F.explode("tokens").alias("word"))
+    )
+
+    def bucket(d: int) -> F.Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{d}:"), F.col("word"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        return h % CMS_WIDTH
+
+    grid = (
+        words.select(
+            "word",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"), bucket(d).alias("bucket")
+                        )
+                        for d in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("cell"),
+        )
+        .groupBy("cell.d", "cell.bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "word")
+        .limit(CMS_TOP_K)
+    )
+    probes = top.select(
+        "word",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), bucket(d).alias("bucket"))
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    )
+    return (
+        probes.join(
+            F.broadcast(grid),
+            (probes["cell.d"] == grid["d"])
+            & (probes["cell.bucket"] == grid["bucket"]),
+        )
+        .groupBy("word", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+
+
+ORACLE_SQL["heavy_hitters_cms"] = f"""
+    WITH words AS (
+      SELECT unnest({_TOKENS}) AS word FROM documents
+    ),
+    cells AS (
+      SELECT word, d,
+             ('0x' || substr(md5(d || ':' || word), 1, 8))::BIGINT
+               % {CMS_WIDTH} AS bucket
+      FROM words, (SELECT unnest(range({CMS_DEPTH})) AS d)
+    ),
+    grid AS (
+      SELECT d, bucket, count(*) AS cnt FROM cells GROUP BY d, bucket
+    ),
+    top AS (
+      SELECT word, count(*) AS exact_cnt FROM words GROUP BY word
+      ORDER BY exact_cnt DESC, word LIMIT {CMS_TOP_K}
+    ),
+    probes AS (
+      SELECT t.word, t.exact_cnt, d,
+             ('0x' || substr(md5(d || ':' || t.word), 1, 8))::BIGINT
+               % {CMS_WIDTH} AS bucket
+      FROM top t, (SELECT unnest(range({CMS_DEPTH})) AS d)
+    )
+    SELECT p.word, p.exact_cnt, CAST(min(g.cnt) AS BIGINT) AS est_cnt
+    FROM probes p JOIN grid g ON p.d = g.d AND p.bucket = g.bucket
+    GROUP BY p.word, p.exact_cnt
+"""
+
+QUERIES["heavy_hitters_cms"] = heavy_hitters_cms

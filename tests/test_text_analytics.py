@@ -172,3 +172,21 @@ def test_bpe_oracle_matches_on_xyxy_corpus(spark, tmp_path):
     )
     compare(ta.bpe_merges(spark, sf), ta.ORACLE_SQL["bpe_merges"], sf, strict=True)
     compare(ta.bpe_vocab(spark, sf), ta.ORACLE_SQL["bpe_vocab"], sf, strict=True)
+
+
+def test_cms_estimates_bound_the_truth(spark):
+    """Count-Min can only over-count: exact <= est <= exact + (e/width)·N
+    for every probed word (the standard CMS guarantee, here deterministic)."""
+    import math
+
+    rows = ta.heavy_hitters_cms(spark, SF_SMOKE).collect()
+    assert len(rows) == ta.CMS_TOP_K
+    n_tokens = (
+        ta._doc_tokens(spark, SF_SMOKE)
+        .select(F.explode("tokens"))
+        .count()
+    )
+    eps = math.e / ta.CMS_WIDTH
+    for r in rows:
+        assert r["est_cnt"] >= r["exact_cnt"], r
+        assert r["est_cnt"] <= r["exact_cnt"] + eps * n_tokens, r
