@@ -77,6 +77,7 @@ _DEFERRED = [
     "q7_volume_shipping",
     "q8_market_share",
     "q1_pricing_summary",
+    "q10_returned_items",
     "customer_rfm",
     "order_backlog_timeline",
     "audience_overlap",

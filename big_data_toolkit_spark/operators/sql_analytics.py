@@ -315,6 +315,44 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q10_TOP_K = 20
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_custkey, c_name, n_name, revenue_cc): the TPC-H Q10 shape — the
+    top-``Q10_TOP_K`` customers by revenue LOST to returned items
+    (l_returnflag = 'R'), with their nation.
+
+    The returns-analysis join chain: the returnflag predicate pushes to
+    the lineitem scan BEFORE the orders join (two-thirds of the fact
+    never joins), customer and nation broadcast, revenue is the exact
+    integer convention, and the top-k is TakeOrderedAndProject with
+    custkey tie-break.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    pct = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long")
+    rev = cents * (F.lit(100) - pct)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("revenue_cc"))
+        .orderBy(F.desc("revenue_cc"), "c_custkey")
+        .limit(Q10_TOP_K)
+    )
+
+
 Q1_CUTOFF = "1998-09-02 00:00:00"  # TPC-H Q1's shipdate ceiling
 
 
@@ -452,7 +490,25 @@ QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q1_pricing_summary": q1_pricing_summary,
+    "q10_returned_items": q10_returned_items,
 }
+
+ORACLE_SQL["q10_returned_items"] = f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)
+                    * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                                  AS BIGINT)))
+                AS BIGINT) AS revenue_cc
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue_cc DESC, c_custkey
+    LIMIT {Q10_TOP_K}
+"""
 
 ORACLE_SQL["q1_pricing_summary"] = f"""
     WITH q AS (

@@ -103,3 +103,16 @@ def test_q1_pricing_summary_pushes_date_and_reconciles(spark):
         F.sum((F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long"))
     ).first()[0]
     assert sum(r["sum_qty_c"] for r in rows) == want_qty
+
+
+def test_q10_pushes_returnflag_and_broadcasts(spark):
+    """The returnflag filter reaches the scan (pre-join selectivity) and
+    the dims broadcast; exactly Q10_TOP_K rows, descending revenue."""
+    df = sa.q10_returned_items(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_returnflag" in plan
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    assert len(rows) == sa.Q10_TOP_K
+    revs = [r["revenue_cc"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
