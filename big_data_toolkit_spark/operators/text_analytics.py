@@ -561,6 +561,40 @@ CMS_WIDTH = 1024  # buckets per row
 CMS_TOP_K = 10
 
 
+def _cms_bucket(d: int) -> F.Column:
+    """Row-d hash bucket of the `word` column (md5-derived, cross-engine)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{d}:"), F.col("word"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return h % CMS_WIDTH
+
+
+def cms_grid(words: DataFrame) -> DataFrame:
+    """(d, bucket, cnt): the Count-Min grid over a `word` column — THE grid
+    definition, shared by the batch query and the streaming ingest twin
+    (`streaming/curation.py`). A pure groupBy-count, so it runs unchanged
+    as a streaming aggregation (cell-wise addition is the CMS merge)."""
+    return (
+        words.select(
+            "word",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"), _cms_bucket(d).alias("bucket")
+                        )
+                        for d in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("cell"),
+        )
+        .groupBy("cell.d", "cell.bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(word, exact_cnt, est_cnt): the exact top-``CMS_TOP_K`` words with
     their Count-Min-sketch estimates alongside the truth — the frequency
@@ -584,32 +618,8 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         _doc_tokens(spark, sf_dir)
         .select(F.explode("tokens").alias("word"))
     )
-
-    def bucket(d: int) -> F.Column:
-        h = F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{d}:"), F.col("word"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        return h % CMS_WIDTH
-
-    grid = (
-        words.select(
-            "word",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(d).alias("d"), bucket(d).alias("bucket")
-                        )
-                        for d in range(CMS_DEPTH)
-                    ]
-                )
-            ).alias("cell"),
-        )
-        .groupBy("cell.d", "cell.bucket")
-        .agg(F.count("*").alias("cnt"))
-    )
+    bucket = _cms_bucket
+    grid = cms_grid(words)
     top = (
         words.groupBy("word")
         .agg(F.count("*").alias("exact_cnt"))

@@ -68,3 +68,23 @@ def batch_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gated.join(canon, ["text_md5", "doc_id"]).select(
         "doc_id", "source", "n_tokens", "quality", "text_md5", "clean_text"
     )
+
+
+def stream_cms_grid(docs_stream: DataFrame) -> DataFrame:
+    """Streaming Count-Min grid over a document stream — the live-ingest
+    frequency sketch (pair to the batch ``heavy_hitters_cms``).
+
+    The grid is a pure groupBy-count over (row, bucket) cells, so the
+    BATCH definition (``text_analytics.cms_grid``) runs unchanged as a
+    streaming aggregation: state is the fixed 4×1024 cell counts (never
+    per-word), each micro-batch's tokens partial-aggregate map-side, and
+    the merge is cell-wise addition — exactly how per-shard CMS grids
+    merge at 100 TB. Replay == batch asserted at sf0.001.
+    """
+    from pyspark.sql import functions as F
+
+    from big_data_toolkit_spark.functions.text import tokenize
+    from big_data_toolkit_spark.operators.text_analytics import cms_grid
+
+    words = docs_stream.select(F.explode(tokenize("text")).alias("word"))
+    return cms_grid(words)

@@ -66,3 +66,40 @@ def test_curation_gate_filters_and_dedups(spark):
         r["quality"] >= sc.MIN_QUALITY and r["n_tokens"] >= sc.MIN_TOKENS
         for r in rows
     )
+
+
+def test_stream_cms_grid_matches_batch(spark, tmp_path):
+    """The streaming Count-Min grid after a multi-batch replay equals the
+    batch grid cell-for-cell (cell-wise addition is the CMS merge)."""
+    from big_data_toolkit_spark.operators.text_analytics import (
+        _doc_tokens,
+        cms_grid,
+    )
+
+    src = str(tmp_path / "src")
+    dirs = _write_doc_batches(spark, SF_SMOKE, src)
+    assert len(dirs) >= 2
+    stream = (
+        spark.readStream.schema(load_table(spark, SF_SMOKE, "documents").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "batch_*"))
+    )
+    q = (
+        sc.stream_cms_grid(stream)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in spark.sql("select * from cms_stream").collect()
+    }
+    from pyspark.sql import functions as F
+
+    words = _doc_tokens(spark, SF_SMOKE).select(F.explode("tokens").alias("word"))
+    want = {(r["d"], r["bucket"]): r["cnt"] for r in cms_grid(words).collect()}
+    assert got == want and got
