@@ -78,6 +78,7 @@ _DEFERRED = [
     "q8_market_share",
     "q1_pricing_summary",
     "q10_returned_items",
+    "q19_discounted_revenue",
     "customer_rfm",
     "order_backlog_timeline",
     "audience_overlap",

@@ -179,6 +179,7 @@ HEADLINE = {
     "q8": sql_analytics.q8_market_share,
     "q1_pricing": sql_analytics.q1_pricing_summary,
     "q10": sql_analytics.q10_returned_items,
+    "q19": sql_analytics.q19_discounted_revenue,
     "customer_rfm": analytics_ext.customer_rfm,
     "order_backlog": analytics_ext.order_backlog_timeline,
     "audience_overlap": analytics_ext.audience_overlap,

@@ -353,6 +353,51 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (brand, size range, quantity range) per Q19-style branch
+Q19_BRANCHES = (
+    ("Brand#13", 1, 10, 1, 15),
+    ("Brand#5", 5, 20, 10, 30),
+    ("Brand#19", 10, 40, 20, 45),
+)
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row (revenue_cc): the TPC-H Q19 shape — revenue over a DISJUNCTION
+    of three mixed-table branch predicates (each constraining the part's
+    brand + size AND the lineitem's quantity).
+
+    The disjunctive-pushdown stress case: no single conjunct spans the
+    whole filter, but each branch's part-side conjuncts union into a
+    part filter and the quantity bounds union into a lineitem filter
+    (Catalyst derives both via constraint propagation from the OR), so
+    BOTH scans prune before the broadcast join and the residual OR only
+    evaluates on survivors. Revenue in exact integer
+    hundredths-of-a-cent.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    pct = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long")
+    rev = cents * (F.lit(100) - pct)
+    branch = None
+    for brand, s_lo, s_hi, q_lo, q_hi in Q19_BRANCHES:
+        b = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+        branch = b if branch is None else (branch | b)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(branch)
+        .agg(F.sum(rev).alias("revenue_cc"))
+    )
+
+
 Q1_CUTOFF = "1998-09-02 00:00:00"  # TPC-H Q1's shipdate ceiling
 
 
@@ -491,7 +536,22 @@ QUERIES = {
     "q8_market_share": q8_market_share,
     "q1_pricing_summary": q1_pricing_summary,
     "q10_returned_items": q10_returned_items,
+    "q19_discounted_revenue": q19_discounted_revenue,
 }
+
+ORACLE_SQL["q19_discounted_revenue"] = f"""
+    SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)
+                    * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                                  AS BIGINT)))
+                AS BIGINT) AS revenue_cc
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE {" OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+        f"AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in Q19_BRANCHES
+    )}
+"""
 
 ORACLE_SQL["q10_returned_items"] = f"""
     SELECT c_custkey, c_name, n_name,

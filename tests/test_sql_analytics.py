@@ -116,3 +116,14 @@ def test_q10_pushes_returnflag_and_broadcasts(spark):
     assert len(rows) == sa.Q10_TOP_K
     revs = [r["revenue_cc"] for r in rows]
     assert revs == sorted(revs, reverse=True)
+
+
+def test_q19_disjunction_prunes_both_scans(spark):
+    """Constraint propagation from the OR must derive per-table filters:
+    both scans carry pushed filters, the join broadcasts, one row out."""
+    df = sa.q19_discounted_revenue(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "l_quantity" in plan and "p_brand" in plan
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["revenue_cc"] > 0
