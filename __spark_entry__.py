@@ -82,6 +82,7 @@ _DEFERRED = [
     "customer_rfm",
     "order_backlog_timeline",
     "audience_overlap",
+    "dormant_rich_customers",
     "audience_overlap_approx",  # no_oracle by design: HLL sketches
     "bpe_merges",
     "bpe_vocab",

@@ -183,6 +183,7 @@ HEADLINE = {
     "customer_rfm": analytics_ext.customer_rfm,
     "order_backlog": analytics_ext.order_backlog_timeline,
     "audience_overlap": analytics_ext.audience_overlap,
+    "dormant_rich": analytics_ext.dormant_rich_customers,
     "audience_overlap_approx": analytics_ext.audience_overlap_approx,
     "bpe_vocab": text_analytics.bpe_vocab,
     "heavy_hitters_cms": text_analytics.heavy_hitters_cms,

@@ -1296,3 +1296,63 @@ ORACLE_SQL["audience_overlap"] = """
 
 QUERIES["audience_overlap"] = audience_overlap
 QUERIES["audience_overlap_approx"] = audience_overlap_approx
+
+
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_mktsegment, n_customers, total_bal_cents): customers whose account
+    balance exceeds the GLOBAL positive-balance average yet who placed no
+    URGENT order — the TPC-H Q22 shape (scalar-subquery threshold + anti
+    join + small aggregate), the "high-value dormant accounts" report.
+
+    The threshold is a 1-row aggregate broadcast into the filter (the
+    scalar-subquery plan: no second scan of customer per row); dormancy is
+    a LEFT ANTI against the key-projected urgent orders; balances
+    aggregate as exact integer cents. Both predicates evaluate before the
+    |segments|-row aggregate.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    bal_cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    avg_pos = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(F.avg(bal_cents).alias("avg_bal"))
+    )
+    return (
+        cust.select("c_custkey", "c_mktsegment", bal_cents.alias("bal"))
+        .crossJoin(F.broadcast(avg_pos))
+        .where(F.col("bal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("bal").alias("total_bal_cents"),
+        )
+    )
+
+
+ORACLE_SQL["dormant_rich_customers"] = """
+    WITH b AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal
+      FROM customer
+    ),
+    t AS (
+      SELECT avg(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment, count(*) AS n_customers,
+           CAST(sum(bal) AS BIGINT) AS total_bal_cents
+    FROM b, t
+    WHERE bal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = b.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+"""
+
+QUERIES["dormant_rich_customers"] = dormant_rich_customers

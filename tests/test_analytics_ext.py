@@ -414,3 +414,31 @@ def test_audience_overlap_sketch_tracks_exact(spark):
     assert set(exact) == set(approx)
     for pair, e in exact.items():
         assert abs(approx[pair] - e) <= max(3, 0.05 * e), (pair, approx[pair], e)
+
+
+def test_dormant_rich_customers_reconciles(spark):
+    """Recompute the Q22-shape set directly: above-average positive balance
+    and no urgent order — counts and cent totals must match per segment."""
+    from big_data_toolkit_spark.catalog import load_table
+
+    cust = load_table(spark, SF_SMOKE, "customer").collect()
+    urgent = {
+        r["o_custkey"]
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .collect()
+    }
+    cents = lambda x: int(round(x * 100))  # noqa: E731 — 2-decimal data
+    pos = [cents(r["c_acctbal"]) for r in cust if r["c_acctbal"] > 0]
+    avg_bal = sum(pos) / len(pos)
+    want: dict = {}
+    for r in cust:
+        b = cents(r["c_acctbal"])
+        if b > avg_bal and r["c_custkey"] not in urgent:
+            n, t = want.get(r["c_mktsegment"], (0, 0))
+            want[r["c_mktsegment"]] = (n + 1, t + b)
+    got = {
+        r["c_mktsegment"]: (r["n_customers"], r["total_bal_cents"])
+        for r in ax.dormant_rich_customers(spark, SF_SMOKE).collect()
+    }
+    assert got == want and got
