@@ -36,6 +36,27 @@ def load_rounds(repo_root: str) -> dict[int, dict[str, float]]:
             data = json.load(fh)
         parsed = data.get("parsed", data)  # driver wrapper or bare bench line
         queries = parsed.get("queries") if isinstance(parsed, dict) else None
+        if not queries and isinstance(data.get("tail"), str):
+            # bench.py emits the per-query line FIRST and a compact summary
+            # line LAST (so the governing numbers survive tail truncation);
+            # if the driver parsed the summary line, recover per-query
+            # times from the captured tail text instead.
+            pairs = {
+                k: float(v)
+                for k, v in re.findall(
+                    r'"([a-z0-9_]+)": ([0-9]+\.[0-9]+)', data["tail"]
+                )
+            }
+            queries = {
+                k: v
+                for k, v in pairs.items()
+                if k
+                not in (
+                    "value",
+                    "baseline_subset_seconds",
+                    "total_seconds",
+                )
+            } or None
         if queries:
             rounds[int(m.group(1))] = queries
     return rounds
