@@ -1215,9 +1215,9 @@ ORACLE_SQL["order_backlog_timeline"] = """
       FROM placed p FULL OUTER JOIN completed c ON p.day = c.day
     )
     SELECT day, n_placed, n_completed,
-           sum(n_placed - n_completed) OVER (
+           CAST(sum(n_placed - n_completed) OVER (
              ORDER BY day ROWS UNBOUNDED PRECEDING
-           ) AS open_orders
+           ) AS BIGINT) AS open_orders
     FROM merged
 """
 

@@ -627,13 +627,18 @@ ORACLE_SQL["session_paths"] = f"""
     LIMIT {SESSION_PATH_TOP_K}
 """
 
+# DuckDB widens window sum(BIGINT) to HUGEINT (INT128); the driver hashes
+# TYPED values, so without the outer CASTs rows/schema pass and the hash
+# fails (the r6+r7 red; same class as the shard_pack fix).  Every window/agg
+# sum an oracle emits must be wrapped back to BIGINT.
 ORACLE_SQL["user_value_moving_avg"] = f"""
     SELECT event_id, user_id,
-           sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w
-             AS sum_cents_1h,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w
+                AS BIGINT) AS sum_cents_1h,
            count(*) OVER w AS n_1h,
-           (sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w)
-             * 10000 // (count(*) OVER w) AS avg_value_micros_1h
+           CAST(CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                     OVER w AS BIGINT)
+             * 10000 // (count(*) OVER w) AS BIGINT) AS avg_value_micros_1h
     FROM events
     WINDOW w AS (
       PARTITION BY user_id

@@ -516,7 +516,7 @@ def _bpe_oracle_chain(rounds: int) -> str:
     t{r} AS MATERIALIZED (SELECT x, y FROM p{r} ORDER BY total DESC, x, y LIMIT 1),
     m{r} AS (
       SELECT {r} AS step, p.x AS merge_left, p.y AS merge_right,
-             p.total AS pair_count
+             CAST(p.total AS BIGINT) AS pair_count
       FROM p{r} p JOIN t{r} t ON p.x = t.x AND p.y = t.y
     ),
     c{r} AS (
