@@ -570,11 +570,21 @@ def star_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
         )
         new_sig = _probe(edges)
         if new_sig == sig:
-            # The signature is probabilistic — confirm a fixed point by
-            # exact set equality (both localCheckpoint-materialized, so
-            # this is two cheap scans, paid once at convergence) so a
-            # collision can never smuggle out non-converged labels.
-            if prev.exceptAll(edges).isEmpty() and edges.exceptAll(prev).isEmpty():
+            # The signature is probabilistic — confirm a fixed point by an
+            # exact set-equality check so a collision can never smuggle out
+            # non-converged labels.  Both sides are distinct edge sets, so
+            # equality ⇔ the symmetric difference is empty: one union +
+            # one groupBy-sum over the two checkpointed sets (a single
+            # shuffle, paid once at convergence — the r7 version ran TWO
+            # exceptAll passes here, ~2× the scans for the same answer).
+            sym_diff = (
+                prev.withColumn("side", F.lit(1))
+                .unionByName(edges.withColumn("side", F.lit(-1)))
+                .groupBy("u", "v")
+                .agg(F.sum("side").alias("d"))
+                .where(F.col("d") != 0)
+            )
+            if sym_diff.isEmpty():
                 converged = True
                 break
         sig = new_sig
@@ -1027,7 +1037,7 @@ def dedup_components_oracle_sql(iters: int) -> str:
     form of each Spark iteration, so integer labels compare exactly.
     """
     sql = f"""WITH {_MINHASH_CTES},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT d1, d2 FROM mh UNION ALL SELECT d2 AS d1, d1 AS d2 FROM mh
     ),
     nodes AS (SELECT DISTINCT d1 AS doc_id FROM edges),
