@@ -978,6 +978,11 @@ def pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact agreement with a single-process numpy covariance + eigh.
     """
     cells = embedding_covariance(spark, sf_dir).collect()
+    if not cells or cells[0]["n"] == 0:
+        raise ValueError(
+            "pca_variance: embeddings table is empty — covariance (and its "
+            "eigen-spectrum) is undefined over zero vectors"
+        )
     n = cells[0]["n"]
     c = np.zeros((EMB_DIM, EMB_DIM))
     for r in cells:

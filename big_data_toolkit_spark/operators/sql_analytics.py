@@ -280,8 +280,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier → nation → region is a three-level broadcast chain (region is
     5 rows; the whole dim tree stays broadcast). Revenue is the exact
     integer convention; the share is a ratio-to-report window over the
-    |regions|·|years|·|nations| aggregate — tens of rows — with ONE
-    rounded double division (both engines divide the same exact BIGINTs).
+    |regions|·|years|·|nations| aggregate — tens of rows — emitted as
+    BIGINT parts-per-million via truncating integer division (the repo's
+    integer-output protocol: a round(,6) DOUBLE here is exactly the shape
+    that hashed driver-red in r6). The numerator goes through a
+    decimal(38,0) intermediate so ``revenue_cc * 1e6`` cannot wrap int64
+    at large scale factors (per-cell revenue_cc ~3e15 at sf100).
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
@@ -304,14 +308,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev).alias("revenue_cc"))
     )
     w = Window.partitionBy("r_name", "l_year")
-    return per.select(
+    return per.withColumn("total_cc", F.sum("revenue_cc").over(w)).select(
         "r_name",
         "l_year",
         "n_name",
         "revenue_cc",
-        F.round(
-            F.col("revenue_cc").cast("double") / F.sum("revenue_cc").over(w), 6
-        ).alias("share"),
+        F.expr(
+            "CAST((CAST(revenue_cc AS DECIMAL(38,0)) * 1000000)"
+            " DIV total_cc AS BIGINT)"
+        ).alias("share_ppm"),
     )
 
 
@@ -417,6 +422,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines) per the integer-output protocol. One partial-aggregated
     shuffle of ≤ |flags|·|statuses| groups; the date predicate pushes to
     the parquet scan.
+
+    int64 headroom: the charge term is ≤ ~1.2e11 per row (price ≤ ~1e5
+    → cents ≤ 1e7, ×(100−d) ≤ 1e9, ×(100+t) ≤ ~1.2e11), and Q1 groups
+    into only ~6 cells, so the per-group sum reaches int64's 9.2e18 at
+    ~7.5e7 rows PER CELL — ~1.3e7× TPC-H sf1's lineitem, i.e. roughly
+    sf1e7 ≫ any real deployment of this 4-cell rollup... but NOT beyond a
+    100 TB corpus (sf~1e5 ≈ 6e10 rows/6 cells ≈ 1e10 per cell, 2.6 OOM
+    of margin — fine; sf1e7 would not be). Escape hatch if the margin
+    ever thins: sum ``ch`` as ``decimal(38,0)`` (Spark and DuckDB both
+    keep 128-bit decimal sums exact) and emit the total as decimal(38,0)
+    on BOTH sides — the same swap embedding_covariance documents.
     """
     li = load_table(spark, sf_dir, "lineitem")
     qty_c = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
@@ -607,9 +623,9 @@ ORACLE_SQL["q8_market_share"] = """
       GROUP BY r_name, year(l_shipdate), n_name
     )
     SELECT r_name, l_year, n_name, revenue_cc,
-           round(CAST(revenue_cc AS DOUBLE) /
-                 sum(revenue_cc) OVER (PARTITION BY r_name, l_year),
-                 6) AS share
+           CAST((CAST(revenue_cc AS HUGEINT) * 1000000) //
+                sum(revenue_cc) OVER (PARTITION BY r_name, l_year)
+                AS BIGINT) AS share_ppm
     FROM per
 """
 

@@ -26,7 +26,19 @@ import re
 import sys
 
 
+def bench_registry_keys(repo_root: str) -> set[str]:
+    """Bench query names, read TEXTUALLY from bench.py's dict literals
+    (importing bench would pull the whole pyspark chain)."""
+    try:
+        with open(os.path.join(repo_root, "bench.py")) as fh:
+            src = fh.read()
+    except OSError:
+        return set()
+    return set(re.findall(r'^\s{4}"([a-z0-9_]+)":', src, re.M))
+
+
 def load_rounds(repo_root: str) -> dict[int, dict[str, float]]:
+    valid_keys = bench_registry_keys(repo_root)
     rounds: dict[int, dict[str, float]] = {}
     for path in sorted(glob.glob(os.path.join(repo_root, "BENCH_r*.json"))):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
@@ -40,17 +52,25 @@ def load_rounds(repo_root: str) -> dict[int, dict[str, float]]:
             # bench.py emits the per-query line FIRST and a compact summary
             # line LAST (so the governing numbers survive tail truncation);
             # if the driver parsed the summary line, recover per-query
-            # times from the captured tail text instead.
+            # times from the captured tail text instead.  The tail is
+            # FRONT-truncated, so the first match may be a chopped key
+            # ("rpus_shuffle" from "corpus_shuffle"): keep only keys in
+            # the live bench registry (plus historical ones no longer
+            # registered — those appear in some fully-parsed round).
             pairs = {
                 k: float(v)
                 for k, v in re.findall(
                     r'"([a-z0-9_]+)": ([0-9]+\.[0-9]+)', data["tail"]
                 )
             }
+            known = valid_keys | {
+                q for r in rounds.values() for q in r
+            }
             queries = {
                 k: v
                 for k, v in pairs.items()
-                if k
+                if k in known
+                and k
                 not in (
                     "value",
                     "baseline_subset_seconds",

@@ -70,18 +70,20 @@ def test_q7_two_role_nation_broadcasts(spark):
 
 
 def test_q8_shares_sum_to_one_per_cell(spark):
-    """Within every (region, year): shares sum to ~1 and the whole dim tree
-    stays broadcast (region-nation-supplier chain; no extra exchanges)."""
+    """Within every (region, year): ppm shares sum to ~1e6 (each of the
+    ≤|nations| cells truncates < 1 ppm) and the whole dim tree stays
+    broadcast (region-nation-supplier chain; no extra exchanges)."""
     df = sa.q8_market_share(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+    assert dict(df.dtypes)["share_ppm"] == "bigint"
     rows = df.collect()
     assert rows
     cells = {}
     for r in rows:
-        cells.setdefault((r["r_name"], r["l_year"]), []).append(r["share"])
+        cells.setdefault((r["r_name"], r["l_year"]), []).append(r["share_ppm"])
     for shares in cells.values():
-        assert abs(sum(shares) - 1.0) < 1e-4
+        assert 1_000_000 - len(shares) <= sum(shares) <= 1_000_000
 
 
 def test_q1_pricing_summary_pushes_date_and_reconciles(spark):
