@@ -212,6 +212,9 @@ _DEFERRED = [
     "priority_sample",
     "distinct_users_by_type",
     "skewed_join_enrich",
+    # -- r8 additions (never rowed): the r9 first-row queue --
+    "q3_shipping_priority",
+    "q14_promo_revenue",
 ]
 
 

@@ -180,6 +180,10 @@ HEADLINE = {
     "q1_pricing": sql_analytics.q1_pricing_summary,
     "q10": sql_analytics.q10_returned_items,
     "q19": sql_analytics.q19_discounted_revenue,
+    # Round-8 additions: the REAL TPC-H Q3 (date-disjoint fact-fact join +
+    # top-k) and Q14 (conditional aggregation over a fact⋈dim join).
+    "q3_real": sql_analytics.q3_shipping_priority,
+    "q14": sql_analytics.q14_promo_revenue,
     "customer_rfm": analytics_ext.customer_rfm,
     "order_backlog": analytics_ext.order_backlog_timeline,
     "audience_overlap": analytics_ext.audience_overlap,

@@ -541,6 +541,111 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1997-06-15 00:00:00"  # orders strictly before, shipments after
+Q3_TOP_K = 10
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_orderkey, o_orderdate, o_orderpriority, revenue_cc): the REAL
+    TPC-H Q3 shipping-priority shape — unshipped revenue of one market
+    segment's orders placed before the cutoff, top-``Q3_TOP_K`` by revenue.
+    (The reference's a6 Q3, ``a6/Q3.scala:49-99``, only approximates the
+    join chain with part/supplier lookups; this is the canonical
+    date-disjoint form. The synthetic schema has no ``o_shippriority``, so
+    ``o_orderpriority`` stands in as the carried order attribute.)
+
+    Plan shape at 100 TB: BOTH date predicates push to their parquet scans
+    BEFORE the fact-fact join (orders < cutoff keeps ~40%, lineitem >
+    cutoff keeps ~60% — each pruned at the row-group level), the segment
+    filter reduces customer to ~1/5 which then BROADCASTS into the orders
+    side, and the only shuffle is lineitem⋈orders on high-cardinality
+    ``l_orderkey`` (even partitioning, no skew). The top-k compiles to
+    TakeOrderedAndProject — per-partition heaps, never a global sort.
+    Revenue is the exact integer convention; tie-break (revenue desc,
+    orderdate, orderkey) is total because l_orderkey is the group key.
+    """
+    cutoff = F.lit(Q3_CUTOFF).cast("timestamp")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    pct = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long")
+    rev = cents * (F.lit(100) - pct)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("revenue_cc"))
+        .orderBy(F.desc("revenue_cc"), "o_orderdate", "l_orderkey")
+        .limit(Q3_TOP_K)
+    )
+
+
+Q14_MONTH_START = "1997-09-01 00:00:00"
+Q14_MONTH_END = "1997-10-01 00:00:00"
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(promo_revenue_cc, total_revenue_cc, promo_share_ppm): TPC-H Q14 —
+    the month's revenue share of PROMO-type parts, i.e. conditional
+    aggregation over a fact⋈dim join (the one agg shape the suite lacked:
+    a CASE inside the sum, not a post-agg filter).
+
+    The month predicate prunes the lineitem scan to ~1/80 of the fact
+    (row-group min/max on l_shipdate); part broadcasts (it is a true
+    dimension); both sums come out of ONE partial-aggregated pass —
+    Catalyst folds the two conditional sums into a single aggregate
+    operator, so the fact is read once. The share is BIGINT
+    parts-per-million by truncating integer division through a
+    decimal(38,0) intermediate (integer-output protocol; no int64 wrap
+    at any scale factor).
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit(Q14_MONTH_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q14_MONTH_END).cast("timestamp"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    pct = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long")
+    rev = cents * (F.lit(100) - pct)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("promo_revenue_cc"),
+            F.sum(rev).alias("total_revenue_cc"),
+        )
+        .select(
+            "promo_revenue_cc",
+            "total_revenue_cc",
+            F.expr(
+                "CAST((CAST(promo_revenue_cc AS DECIMAL(38,0)) * 1000000)"
+                " DIV total_revenue_cc AS BIGINT)"
+            ).alias("promo_share_ppm"),
+        )
+    )
+
+
 QUERIES = {
     "q1_count_shipped": q1_count_shipped,
     "q2_orders_shipped": q2_orders_shipped,
@@ -553,7 +658,48 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q10_returned_items": q10_returned_items,
     "q19_discounted_revenue": q19_discounted_revenue,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q14_promo_revenue": q14_promo_revenue,
 }
+
+_REV_CC = """CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)
+                    * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                                  AS BIGINT)))
+                AS BIGINT)"""
+
+ORACLE_SQL["q3_shipping_priority"] = f"""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           {_REV_CC} AS revenue_cc
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = '{Q3_SEGMENT}'
+      AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+      AND l_shipdate  > TIMESTAMP '{Q3_CUTOFF}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue_cc DESC, o_orderdate, l_orderkey
+    LIMIT {Q3_TOP_K}
+"""
+
+ORACLE_SQL["q14_promo_revenue"] = f"""
+    WITH j AS (
+      SELECT p_type,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '{Q14_MONTH_START}'
+        AND l_shipdate <  TIMESTAMP '{Q14_MONTH_END}'
+    )
+    SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0 END)
+                AS BIGINT) AS promo_revenue_cc,
+           CAST(sum(rev) AS BIGINT) AS total_revenue_cc,
+           CAST((CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0 END)
+                      AS HUGEINT) * 1000000)
+                // CAST(sum(rev) AS HUGEINT) AS BIGINT) AS promo_share_ppm
+    FROM j
+"""
 
 ORACLE_SQL["q19_discounted_revenue"] = f"""
     SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100

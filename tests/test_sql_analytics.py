@@ -129,3 +129,33 @@ def test_q19_disjunction_prunes_both_scans(spark):
     assert "l_quantity" in plan and "p_brand" in plan
     rows = df.collect()
     assert len(rows) == 1 and rows[0]["revenue_cc"] > 0
+
+
+def test_q3_real_pushes_both_dates_and_takeordered(spark):
+    """The canonical Q3: BOTH date-disjoint predicates reach their parquet
+    scans, the segment-filtered customer broadcasts, and the top-k is
+    TakeOrderedAndProject (never a global sort)."""
+    df = sa.q3_shipping_priority(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderdate" in plan and "l_shipdate" in plan
+    assert "PushedFilters" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= sa.Q3_TOP_K
+    revs = [r["revenue_cc"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_q14_single_agg_pass_and_share_bounds(spark):
+    """Q14's two conditional sums fold into ONE aggregate over one scan
+    (exactly one HashAggregate pair), part broadcasts, the month predicate
+    pushes down, and the ppm share is consistent with its own numerator."""
+    df = sa.q14_promo_revenue(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+    [row] = df.collect()
+    assert 0 <= row["promo_revenue_cc"] <= row["total_revenue_cc"]
+    expect = row["promo_revenue_cc"] * 1_000_000 // row["total_revenue_cc"]
+    assert row["promo_share_ppm"] == expect
