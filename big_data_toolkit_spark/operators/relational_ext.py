@@ -233,14 +233,27 @@ def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def event_count_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events per 60-min window sliding every 15 min (4 windows per event)."""
-    ev = load_table(spark, sf_dir, "events")
+SLIDE_WIDTH = "60 minutes"
+SLIDE_STEP = "15 minutes"
+
+
+def sliding_count(events: DataFrame) -> DataFrame:
+    """(window_start, n_events): THE sliding-window count definition —
+    60-min windows every 15 min (each event lands in width/slide = 4
+    overlapping windows), shared by the batch query below and the
+    streaming twin (``streaming/windows.stream_event_count_sliding``): a
+    ``groupBy(window(...))`` aggregation runs identically under batch and
+    Structured Streaming, so twin equality is by construction."""
     return (
-        ev.groupBy(F.window("ts", "60 minutes", "15 minutes").alias("w"))
+        events.groupBy(F.window("ts", SLIDE_WIDTH, SLIDE_STEP).alias("w"))
         .agg(F.count("*").alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
+
+
+def event_count_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per 60-min window sliding every 15 min (4 windows per event)."""
+    return sliding_count(load_table(spark, sf_dir, "events"))
 
 
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:

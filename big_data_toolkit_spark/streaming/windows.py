@@ -133,6 +133,25 @@ def stream_region_event_count(
     )
 
 
+def stream_event_count_sliding(
+    events_stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming sliding-window count (width ≠ slide — the one windowed
+    shape that had only a batch-gated form): 60-min windows every 15 min
+    over event time, sharing THE window definition with the oracle-green
+    batch query (``relational_ext.sliding_count``), so stream == batch by
+    construction and the replay test pins it.
+
+    State: each event updates width/slide = 4 open windows; the watermark
+    finalizes and evicts windows older than max(event time) − 2 h, so the
+    state store holds O(4 · active-window-span) aggregates per partition
+    regardless of stream length.
+    """
+    from big_data_toolkit_spark.operators.relational_ext import sliding_count
+
+    return sliding_count(events_stream.withWatermark("ts", watermark))
+
+
 def stream_user_sessions(
     events_stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 minute"
 ) -> DataFrame:

@@ -247,3 +247,42 @@ def test_tws_trending_matches_batch_full_sf001(spark, tmp_path):
         for r in windows.trending_events(spark, SF_ORACLE).collect()
     }
     assert got == expected
+
+
+def test_stream_sliding_window_matches_batch(spark, tmp_path):
+    """Sliding (width != slide) streaming twin == the oracle-green batch
+    query, replayed file-per-micro-batch — closes the last batch-gated-only
+    streaming shape (VERDICT r7 item 5)."""
+    from big_data_toolkit_spark.operators import relational_ext
+
+    src = str(tmp_path / "src")
+    dirs = _write_stream_files(spark, SF_SMOKE, src)
+    stream = (
+        spark.readStream.schema(load_table(spark, SF_SMOKE, "events").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "batch_*"))
+    )
+    q = (
+        windows.stream_event_count_sliding(stream)
+        .writeStream.format("memory")
+        .queryName("sliding_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["n_events"])
+        for r in spark.sql("select * from sliding_counts").collect()
+    }
+    expected = {
+        (r["window_start"], r["n_events"])
+        for r in relational_ext.event_count_sliding(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    # really a sliding window: more windows than the hourly tumbling form,
+    # and every event covered by 4 of them (sum of counts = 4x event count)
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    assert sum(n for _, n in got) == 4 * n_events
+    assert len(dirs) >= 2  # really was a multi-batch replay
