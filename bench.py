@@ -193,13 +193,19 @@ HEADLINE = {
     "heavy_hitters_cms": text_analytics.heavy_hitters_cms,
     "pca_variance": similarity.pca_variance,
     "embedding_outliers": similarity.embedding_outliers,
-    # Round-7 addition: the artifact-sharing pipeline — ONE pair-graph
-    # build + ONE centroid training feeding all five graph/embedding
-    # consumers. Compare its single time against the sum of the five
-    # in-plan forms (triangle_count + kcore_subgraph +
-    # cross_source_leakage + semantic_dedup + knn_ivf_trained) to read
-    # the recompute saved by materialization.
-    "materialized_suite": materialize.materialized_graph_suite,
+    # The artifact-sharing pipeline, reported as SEPARATE lines (r7 judge
+    # item 8 — the old single `materialized_suite` aggregate obscured
+    # per-consumer regressions; BASELINE.md maps old onto new): one
+    # artifact build (pair graph + centroids, timed fresh) + the five
+    # consumers reading the stored artifacts. Compare mat_* against the
+    # in-plan forms (triangle_count, kcore_subgraph, cross_source_leakage,
+    # semantic_dedup, knn_ivf_trained) to read the recompute saved.
+    "mat_artifact_build": materialize.bench_artifact_build,
+    "mat_triangle_count": materialize.bench_triangle_count,
+    "mat_kcore_subgraph": materialize.bench_kcore_subgraph,
+    "mat_cross_source_leakage": materialize.bench_cross_source_leakage,
+    "mat_semantic_dedup": materialize.bench_semantic_dedup,
+    "mat_knn_ivf_trained": materialize.bench_knn_ivf_trained,
 }
 
 

@@ -168,3 +168,65 @@ def materialized_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(counts, "consumer string, n_rows long").orderBy(
         "consumer"
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-stage bench surfaces (VERDICT r7 item 8): the single 15 s
+# ``materialized_suite`` aggregate obscured per-consumer regressions, so the
+# bench reports the artifact build and each consumer as SEPARATE lines.  The
+# build caches its workdir per (process, sf_dir); consumer wrappers reuse it
+# (building on miss so each is also runnable standalone).  BASELINE.md maps
+# the old aggregate line onto these six.
+# ---------------------------------------------------------------------------
+
+_BENCH_WORKDIRS: dict[str, str] = {}
+
+
+def _bench_workdir(spark: SparkSession, sf_dir: str) -> str:
+    workdir = _BENCH_WORKDIRS.get(sf_dir)
+    if workdir is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        workdir = tempfile.mkdtemp(prefix="bdts-artifacts-")
+        atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+        _BENCH_WORKDIRS[sf_dir] = workdir
+        build_artifacts(spark, sf_dir, workdir)
+    return workdir
+
+
+def bench_artifact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench line for the build alone: ONE pair-graph pass + ONE centroid
+    training, persisted. Returns the artifact row counts (forcing this tiny
+    summary re-reads only the written parquet, not the build)."""
+    _BENCH_WORKDIRS.pop(sf_dir, None)  # always time a FRESH build
+    workdir = _bench_workdir(spark, sf_dir)
+    pairs_n = read_neardup_pairs(spark, workdir).count()
+    cents_n = len(read_centroids(spark, workdir))
+    return spark.createDataFrame(
+        [(PAIRS_DIR, pairs_n), (CENTROIDS_DIR, cents_n)],
+        "artifact string, n_rows long",
+    )
+
+
+def bench_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_count_materialized(spark, sf_dir, _bench_workdir(spark, sf_dir))
+
+
+def bench_kcore_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kcore_subgraph_materialized(spark, sf_dir, _bench_workdir(spark, sf_dir))
+
+
+def bench_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cross_source_leakage_materialized(
+        spark, sf_dir, _bench_workdir(spark, sf_dir)
+    )
+
+
+def bench_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_dedup_materialized(spark, sf_dir, _bench_workdir(spark, sf_dir))
+
+
+def bench_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_ivf_trained_materialized(spark, sf_dir, _bench_workdir(spark, sf_dir))
