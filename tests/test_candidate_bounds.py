@@ -141,3 +141,25 @@ def test_emb_band_candidates_bounded(spark):
     cap = _sum_c2(bands, "band")
     n = dedup.emb_band_candidates(sigs).count()
     _check(n, cap, n_vecs, "emb")
+
+
+def test_ngram_candidates_bounded_at_sf01(spark):
+    """The measured-curve companion (SCALE.md r7/r8 note): the shingle-join
+    blocking bound must hold at sf0.1 too, where the synthetic corpus's
+    shared vocabulary puts df growth in the proportional regime (per-doc
+    fan-out 23 → ~226 for 10x docs). Asserts the structural identity, a
+    ceiling calibrated from the r7/r8 measurements (226 x ~1.5 drift
+    headroom), and strict sub-quadratic candidates — so any future
+    densification of the blocking layer fails HERE, at the scale where the
+    curve bends, not only at sf0.01."""
+    sf = "/root/testdata/sf0.1"
+    n_docs = load_table(spark, sf, "documents").count()
+    capped = dedup.capped_shingles(dedup._shingles(spark, sf))
+    cap = _sum_c2(capped, "shingle")
+    n = dedup.ngram_candidate_pairs(spark, sf).count()
+    assert n <= cap, "pair join leaked outside its blocking key at sf0.1"
+    assert n <= 350.0 * n_docs, (
+        f"ngram sf0.1 fan-out {n / n_docs:.1f}/doc exceeds the measured-"
+        f"curve ceiling (226 measured r8, x1.5 headroom)"
+    )
+    assert n < n_docs * (n_docs - 1) // 2
