@@ -215,6 +215,8 @@ _DEFERRED = [
     # -- r8 additions (never rowed): the r9 first-row queue --
     "q3_shipping_priority",
     "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q4_order_priority_checking",
 ]
 
 

@@ -184,6 +184,8 @@ HEADLINE = {
     # top-k) and Q14 (conditional aggregation over a fact⋈dim join).
     "q3_real": sql_analytics.q3_shipping_priority,
     "q14": sql_analytics.q14_promo_revenue,
+    "q18": sql_analytics.q18_large_volume_customers,
+    "q4_priority": sql_analytics.q4_order_priority_checking,
     "customer_rfm": analytics_ext.customer_rfm,
     "order_backlog": analytics_ext.order_backlog_timeline,
     "audience_overlap": analytics_ext.audience_overlap,

@@ -646,6 +646,93 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q18_MIN_QTY_C = 250 * 100  # sum(l_quantity) > 250, in exact hundredths
+Q18_TOP_K = 20
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice_c,
+    sum_qty_c): TPC-H Q18 — orders whose total line quantity exceeds the
+    threshold, with their customer, top-``Q18_TOP_K`` by order value.
+
+    The one join shape the suite lacked: an AGGREGATE-FILTERED semi-join —
+    the qualifying-order set is itself the result of a groupBy+HAVING over
+    the fact. Plan at 100 TB: the qualifier is one partial-aggregated
+    shuffle on ``l_orderkey`` producing a tiny key set (~0.1% of orders at
+    the calibrated threshold), which joins back to orders on the SAME key
+    (AQE turns it into a broadcast once it sees the size); customer
+    broadcasts; the top-k is TakeOrderedAndProject. Quantities stay exact
+    integer hundredths; order value becomes cents.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    qty_c = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_c).alias("sum_qty_c"))
+        .where(F.col("sum_qty_c") > Q18_MIN_QTY_C)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    price_c = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        qualifying.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            price_c.alias("o_totalprice_c"),
+            "sum_qty_c",
+        )
+        .orderBy(F.desc("o_totalprice_c"), "o_orderkey")
+        .limit(Q18_TOP_K)
+    )
+
+
+Q4_QTR_START = "1997-01-01 00:00:00"
+Q4_QTR_END = "1997-04-01 00:00:00"
+Q4_LATE_DAYS = 60
+
+
+def q4_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderpriority, order_count): TPC-H Q4 — per-priority count of the
+    quarter's orders having at least one LATE line item (the synthetic
+    schema carries no commit/receipt dates, so "late" = shipped more than
+    ``Q4_LATE_DAYS`` days after the order date — the same correlated-EXISTS
+    shape, a condition referencing BOTH sides).
+
+    Plan: LEFT SEMI join (EXISTS — each order emitted at most once however
+    many lines are late) with a compound condition: equi on ``o_orderkey``
+    + the correlated date inequality evaluated inside the join. The date
+    window prunes the orders scan; the semi-join shuffles on the equi key
+    only (the inequality is a post-probe filter, NOT a range-join blowup);
+    aggregation is ≤ |priorities| groups, partial-aggregated.
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit(Q4_QTR_START).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(Q4_QTR_END).cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (
+        F.col("l_orderkey") == F.col("o_orderkey")
+    ) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
 QUERIES = {
     "q1_count_shipped": q1_count_shipped,
     "q2_orders_shipped": q2_orders_shipped,
@@ -660,7 +747,41 @@ QUERIES = {
     "q19_discounted_revenue": q19_discounted_revenue,
     "q3_shipping_priority": q3_shipping_priority,
     "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q4_order_priority_checking": q4_order_priority_checking,
 }
+
+ORACLE_SQL["q18_large_volume_customers"] = f"""
+    WITH qualifying AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS sum_qty_c
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum_qty_c > {Q18_MIN_QTY_C}
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS o_totalprice_c,
+           sum_qty_c
+    FROM qualifying
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice_c DESC, o_orderkey
+    LIMIT {Q18_TOP_K}
+"""
+
+ORACLE_SQL["q4_order_priority_checking"] = f"""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '{Q4_QTR_START}'
+      AND o.o_orderdate <  TIMESTAMP '{Q4_QTR_END}'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAYS
+      )
+    GROUP BY o_orderpriority
+"""
 
 _REV_CC = """CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
                          AS BIGINT)

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Compute the NEXT round's gate head (50) from recorded evidence — the
+generalization of plan_r8.py, usable every round:
+
+priority order
+  1. red rows in the NEWEST CORRECTNESS file (fix + retry first),
+  2. never-rowed queries (registry order — i.e. current `_DEFERRED` tail
+     for mid-round additions),
+  3. staleness refreshes: everything else ordered by (newest-row round
+     ascending, registry order), so the queries whose evidence is oldest
+     re-enter first.
+
+Prints the head and the new staleness-ordered `_DEFERRED` to paste into
+`__spark_entry__.py`. Uses only CORRECTNESS_r*.json + the live registry,
+so late additions are picked up automatically.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry  # noqa: E402
+
+
+def gather(repo_root: str = "."):
+    q = list(entry.queries())
+    newest_round: dict[str, int] = {}
+    reds_newest: list[str] = []
+    files = sorted(
+        glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")),
+        key=lambda p: int(p.split("_r")[1].split(".")[0]),
+    )
+    for f in files:
+        rnd = int(f.split("_r")[1].split(".")[0])
+        rows = json.load(open(f))
+        for k, v in rows.items():
+            newest_round[k] = rnd
+        if f == files[-1]:
+            reds_newest = [
+                k
+                for k, v in rows.items()
+                if isinstance(v, dict)
+                and not all(
+                    v.get(x, True)
+                    for x in ("rows_match", "schema_match", "hash_match")
+                )
+            ]
+    return q, newest_round, reds_newest
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--head-size", type=int, default=50)
+    args = ap.parse_args()
+
+    q, newest_round, reds = gather()
+    never = [k for k in q if k not in newest_round]
+    rest = sorted(
+        (k for k in q if k in newest_round and k not in reds),
+        key=lambda k: (newest_round[k], q.index(k)),
+    )
+    head = list(dict.fromkeys(reds + never + rest))[: args.head_size]
+    deferred = [k for k in q if k not in head]
+    deferred.sort(key=lambda k: (newest_round.get(k, 99), q.index(k)))
+    print(
+        json.dumps(
+            {
+                "head_n": len(head),
+                "head": head,
+                "deferred_n": len(deferred),
+                "red_retries": reds,
+                "never_rowed_n": len(never),
+                "staleness_histogram": {
+                    str(r): sum(1 for v in newest_round.values() if v == r)
+                    for r in sorted(set(newest_round.values()))
+                },
+            },
+            indent=2,
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -159,3 +159,44 @@ def test_q14_single_agg_pass_and_share_bounds(spark):
     assert 0 <= row["promo_revenue_cc"] <= row["total_revenue_cc"]
     expect = row["promo_revenue_cc"] * 1_000_000 // row["total_revenue_cc"]
     assert row["promo_share_ppm"] == expect
+
+
+def test_q18_aggregate_filtered_semijoin(spark):
+    """Q18: the qualifier set is a groupBy+HAVING over the fact joined back
+    on the same key; customer broadcasts; top-k is TakeOrderedAndProject;
+    every emitted order really exceeds the threshold."""
+    df = sa.q18_large_volume_customers(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= sa.Q18_TOP_K
+    assert all(r["sum_qty_c"] > sa.Q18_MIN_QTY_C for r in rows)
+    prices = [r["o_totalprice_c"] for r in rows]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_q4_exists_semijoin_no_blowup(spark):
+    """Q4: the correlated EXISTS compiles to a LEFT SEMI join shuffling on
+    the equi key only (no cartesian/nested-loop from the date inequality);
+    the quarter predicate prunes the orders scan; counts bounded by the
+    quarter's order count."""
+    from big_data_toolkit_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    df = sa.q4_order_priority_checking(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+    rows = df.collect()
+    assert rows
+    quarter_orders = (
+        load_table(spark, SF_SMOKE, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit(sa.Q4_QTR_START).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(sa.Q4_QTR_END).cast("timestamp"))
+        )
+        .count()
+    )
+    assert sum(r["order_count"] for r in rows) <= quarter_orders

@@ -223,16 +223,17 @@ def test_tws_trending_matches_batch_full_sf001(spark, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .parquet(os.path.join(src, "batch_*"))
     )
-    q = (
-        trending.stream_trending_tws(stream)
-        .writeStream.format("memory")
-        .queryName("trend_tws")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with conftest.rocksdb_state_store(spark):
+        q = (
+            trending.stream_trending_tws(stream)
+            .writeStream.format("memory")
+            .queryName("trend_tws")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     final: dict = {}
     for r in spark.sql("select * from trend_tws").collect():
         k = (r["event_type"], r["window_start"])

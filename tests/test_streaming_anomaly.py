@@ -136,16 +136,20 @@ def test_anomaly_tws_matches_apply_in_pandas(spark, tmp_path):
             .option("maxFilesPerTrigger", "1")
             .parquet(os.path.join(src, "batch_*"))
         )
-        q = (
-            fn(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", str(tmp_path / ckpt))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        # RocksDB for BOTH runs (TWS requires it; applyInPandasWithState
+        # merely tolerates it) so the twins differ only in operator, not
+        # state-store provider.
+        with conftest.rocksdb_state_store(spark):
+            q = (
+                fn(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
         return {
             (r["user_id"], r["day"], r["n_events"], round(r["z"], 6))
             for r in spark.sql(f"select * from {name}").collect()
