@@ -40,6 +40,13 @@ def main() -> int:
         action="store_true",
         help="full-precision float comparison (replicates the driver hash)",
     )
+    ap.add_argument(
+        "--types-only",
+        action="store_true",
+        help="no-Spark sweep: run every oracle through DuckDB and the "
+        "driver-safe result-type guard only (catches HUGEINT/DECIMAL "
+        "widening — the r2/r6/r7 red class — in seconds)",
+    )
     args = ap.parse_args()
 
     queries = entry.queries()
@@ -54,6 +61,49 @@ def main() -> int:
         items = list(queries.items())[:50]
     else:
         items = list(queries.items())
+
+    if args.types_only:
+        from tests.oracle_utils import assert_driver_safe_types, run_oracle
+
+        # Columns where BOTH engines emit decimals with the SAME scale —
+        # driver-safe (digit strings match; lineitem_stats was driver-green
+        # r6) but this no-Spark mode can't see the Spark side to prove it;
+        # the full compare() / strict preflight validates the scale match.
+        matched_decimal_ok = {"lineitem_stats": {"sum_price"}}
+
+        failures = {}
+        t_start = time.perf_counter()
+        checked = 0
+        for name, _fn in items:
+            osql = oracles.get(name)
+            if osql is None:
+                continue
+            checked += 1
+            try:
+                cols, _rows, types = run_oracle(osql, args.sf_dir)
+                ok_cols = matched_decimal_ok.get(name, set())
+                keep = [i for i, c in enumerate(cols) if c not in ok_cols]
+                assert_driver_safe_types(
+                    [cols[i] for i in keep], [types[i] for i in keep]
+                )
+            except AssertionError as exc:
+                failures[name] = str(exc)[:300]
+                print(f"  {name}: UNSAFE {failures[name]}", flush=True)
+            except Exception as exc:  # noqa: BLE001
+                failures[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"  {name}: FAIL {failures[name]}", flush=True)
+        print(
+            json.dumps(
+                {
+                    "mode": "types-only",
+                    "checked": checked,
+                    "failures": failures,
+                    "seconds": round(time.perf_counter() - t_start, 1),
+                    "sf_dir": args.sf_dir,
+                }
+            )
+        )
+        return 1 if failures else 0
 
     spark = build_spark(app_name="preflight")
     spark.sparkContext.setLogLevel("ERROR")
