@@ -185,3 +185,35 @@ def test_skewed_join_enrich_equals_plain_join(spark):
         tuple(r) for r in scale.skewed_join_enrich(spark, SF_ORACLE).collect()
     )
     assert salted == plain
+
+
+def test_bucketized_join_skips_both_shuffles(spark, tmp_path):
+    """THE bucketing payoff at 100 TB: two tables written via
+    scale.bucketize on the same key/bucket count join WITHOUT either side
+    shuffling — the plan carries no ShuffleExchange, Spark reads the
+    pre-bucketed layout on both sides. Broadcast is disabled for the
+    assertion so the shuffle-free-ness comes from bucketing, not from the
+    small-table escape hatch; results equal the plain join."""
+    left = spark.range(5000).selectExpr("id AS k", "id * 2 AS lv")
+    right = spark.range(4000).selectExpr("id AS k", "id * 3 AS rv")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        scale.bucketize(left, str(tmp_path / "lt"), "bkt_left", "k", 8)
+        scale.bucketize(right, str(tmp_path / "rt"), "bkt_right", "k", 8)
+        lt = spark.table("bkt_left")
+        rt = spark.table("bkt_right")
+        joined = lt.join(rt, "k")
+        plan = scale.explain_str(joined)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan
+        got = {(r["k"], r["lv"], r["rv"]) for r in joined.collect()}
+        want = {
+            (r["k"], r["lv"], r["rv"])
+            for r in left.join(right, "k").collect()
+        }
+        assert got == want and len(got) == 4000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
