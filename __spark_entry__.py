@@ -217,6 +217,8 @@ _DEFERRED = [
     "q14_promo_revenue",
     "q18_large_volume_customers",
     "q4_order_priority_checking",
+    "audio_wav_features",
+    "image_png_features",
 ]
 
 

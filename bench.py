@@ -186,6 +186,10 @@ HEADLINE = {
     "q14": sql_analytics.q14_promo_revenue,
     "q18": sql_analytics.q18_large_volume_customers,
     "q4_priority": sql_analytics.q4_order_priority_checking,
+    # Round-8: REAL stdlib codec paths (WAV container + PNG bitstream,
+    # encode->decode->aggregate inside chained mapInPandas, no shuffle).
+    "audio_wav_features": multimodal.audio_wav_features,
+    "image_png_features": multimodal.image_png_features,
     "customer_rfm": analytics_ext.customer_rfm,
     "order_backlog": analytics_ext.order_backlog_timeline,
     "audience_overlap": analytics_ext.audience_overlap,

@@ -13,14 +13,21 @@ principle for 100 TB of images/audio/video interleaved with text:
   binary batches to Python zero-copy, the decode library runs per batch, and
   the result is a normal columnar DataFrame again. Partitioning is inherited
   from the scan, so the decode scales exactly like the scan does;
-* the actual codec calls are STUBBED here (image/audio libs are not in this
-  container): ``fake_decode_features`` derives deterministic per-byte
-  histogram "features", and real decoders drop into the same batch signature.
+* codecs: REAL where the stdlib allows it (r8) — ``audio_wav_features``
+  writes and parses genuine RIFF/WAVE PCM16 containers and
+  ``image_png_features`` a genuine PNG bitstream (CRC'd chunks, DEFLATE,
+  all five row filters), both via ``multimodal/codecs.py``, both with
+  exact closed-form DuckDB oracles over the deterministic encode
+  parameters. Formats whose codecs genuinely aren't in this container
+  (JPEG/MP3/H.264) keep the STUB path: ``fake_decode_features`` derives
+  deterministic per-byte histogram "features", and PIL/soundfile drop
+  into the same batch signatures.
 
 TESTDATA has no binary table, so ``assets`` derives one deterministically
 from ``documents`` (payload = UTF-8 bytes of text, media_type cycled by
-doc_id) — the plumbing (schemas, batch shapes, partition behavior) is real
-and tested; only the codec is fake.
+doc_id), and the codec paths synthesize real WAV/PNG payloads from
+doc_id — the plumbing (schemas, batch shapes, partition behavior) AND the
+WAV/PNG codecs are real and oracle-checked end to end.
 """
 
 from __future__ import annotations
@@ -161,12 +168,140 @@ def frame_sample_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio decode STUB — raises, documenting the missing-codec boundary."""
-    raise NotImplementedError(
-        "audio codecs not available in this environment; implement with "
-        "soundfile/librosa inside a mapInPandas with the same batch signature "
-        "as fake_decode_features"
+# ---------------------------------------------------------------------------
+# REAL codecs (r8): stdlib-only WAV and PNG paths — actual containers,
+# actual bitstreams, decoded back inside mapInPandas. The encode parameters
+# are deterministic functions of doc_id, so the decoded features have EXACT
+# integer DuckDB oracles: the whole encode→container-bytes→decode loop is
+# driver-hash-checkable. Formats needing external codecs (JPEG/MP3/H.264)
+# drop into the same batch signatures with PIL/soundfile swapped in.
+# ---------------------------------------------------------------------------
+
+WAV_BASE_SAMPLES = 256  # n_samples = WAV_BASE_SAMPLES + doc_id % WAV_MOD_SAMPLES
+WAV_MOD_SAMPLES = 512
+PNG_BASE_W, PNG_MOD_W = 4, 13  # width  = 4 + doc_id % 13
+PNG_BASE_H, PNG_MOD_H = 4, 11  # height = 4 + doc_id % 11
+
+
+def wav_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload): genuine RIFF/WAVE PCM16 containers for the audio
+    slice of the corpus (``doc_id % 3 == 1``, matching ``assets``'s cycle).
+
+    Sample i of doc d is ``((d*7919 + i*31) % 65536) - 32768`` (int16),
+    rate 16 kHz for even d / 8 kHz for odd, mono — every byte of the
+    payload is a deterministic function of doc_id, written through the
+    stdlib ``wave`` encoder (real fmt/data chunks, not synthetic bytes).
+    Map-only: partitioning inherited from the pruned documents scan.
+    """
+    from big_data_toolkit_spark.multimodal.codecs import encode_wav_pcm16
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 1)
+        .select("doc_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = WAV_BASE_SAMPLES + d % WAV_MOD_SAMPLES
+                i = np.arange(n, dtype=np.int64)
+                samples = ((d * 7919 + i * 31) % 65536 - 32768).astype(np.int16)
+                rate = 16000 if d % 2 == 0 else 8000
+                payloads.append(encode_wav_pcm16(samples, rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sample_rate, n_channels, n_samples, abs_sum): REAL WAV
+    decode — parses the RIFF container back through the stdlib ``wave``
+    reader and aggregates the PCM samples. ``abs_sum`` (Σ|sample|, BIGINT)
+    is addition-order-independent, so the result is exact and
+    oracle-checkable end to end: the driver row certifies encode, the
+    container bytes, AND decode agree with closed-form SQL.
+
+    Replaces the r7 ``decode_audio`` NotImplementedError stub — the codec
+    boundary is now real for PCM WAV; compressed formats still need
+    soundfile/librosa in the same batch signature.
+    """
+    from big_data_toolkit_spark.multimodal.codecs import decode_wav
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "sample_rate": [], "n_channels": [],
+                   "n_samples": [], "abs_sum": []}
+            for d, b in zip(pdf["doc_id"], pdf["payload"]):
+                rate, channels, samples = decode_wav(bytes(b))
+                out["doc_id"].append(d)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(channels)
+                out["n_samples"].append(len(samples))
+                out["abs_sum"].append(int(np.abs(samples.astype(np.int64)).sum()))
+            yield pd.DataFrame(out)
+
+    return wav_assets(spark, sf_dir).mapInPandas(
+        feats,
+        schema="doc_id long, sample_rate int, n_channels int, "
+        "n_samples long, abs_sum long",
+    )
+
+
+def png_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload): genuine PNG files (signature, CRC'd IHDR/IDAT/
+    IEND, DEFLATE scanlines, row filters cycling None/Sub/Up/Average/Paeth)
+    for the image slice (``doc_id % 3 == 0``). Pixel k (row-major flat
+    RGB index) of doc d is ``(d*31 + k) % 256``; width ``4 + d % 13``,
+    height ``4 + d % 11``."""
+    from big_data_toolkit_spark.multimodal.codecs import encode_png_rgb8
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = PNG_BASE_W + d % PNG_MOD_W
+                h = PNG_BASE_H + d % PNG_MOD_H
+                k = np.arange(h * w * 3, dtype=np.int64)
+                px = ((d * 31 + k) % 256).astype(np.uint8).reshape(h, w, 3)
+                payloads.append(encode_png_rgb8(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def image_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, width, height, channels, pixel_sum): REAL PNG decode — CRC
+    check, inflate, all-five-unfilter reconstruction — then exact integer
+    pixel aggregation. Oracle-checkable end to end like the WAV path."""
+    from big_data_toolkit_spark.multimodal.codecs import decode_png
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "channels": [],
+                   "pixel_sum": []}
+            for d, b in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_png(bytes(b))
+                out["doc_id"].append(d)
+                out["height"].append(px.shape[0])
+                out["width"].append(px.shape[1])
+                out["channels"].append(px.shape[2])
+                out["pixel_sum"].append(int(px.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return png_assets(spark, sf_dir).mapInPandas(
+        feats,
+        schema="doc_id long, width int, height int, channels int, "
+        "pixel_sum long",
     )
 
 
@@ -244,8 +379,46 @@ IMAGE_FEATURES_ARRAY_ORACLE = f"""
     FROM img
 """
 
+# Closed-form oracles for the REAL codec paths: every decoded feature is a
+# deterministic function of doc_id, so DuckDB recomputes it without ever
+# seeing the container bytes — a green row certifies the whole
+# encode→container→decode loop. Sums CAST back to BIGINT (DuckDB widens).
+ORACLE_SQL["audio_wav_features"] = f"""
+    WITH a AS (
+      SELECT doc_id, {WAV_BASE_SAMPLES} + doc_id % {WAV_MOD_SAMPLES} AS n
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM a)
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END AS INT)
+             AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(sum(abs((doc_id * 7919 + i * 31) % 65536 - 32768)) AS BIGINT)
+             AS abs_sum
+    FROM s GROUP BY doc_id, n
+"""
+
+ORACLE_SQL["image_png_features"] = f"""
+    WITH im AS (
+      SELECT doc_id,
+             {PNG_BASE_W} + doc_id % {PNG_MOD_W} AS w,
+             {PNG_BASE_H} + doc_id % {PNG_MOD_H} AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    px AS (SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS k FROM im)
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(sum((doc_id * 31 + k) % 256) AS BIGINT) AS pixel_sum
+    FROM px GROUP BY doc_id, w, h
+"""
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "image_features": image_features_checked,
     "video_frame_sample": frame_sample_checked,
+    "audio_wav_features": audio_wav_features,
+    "image_png_features": image_png_features,
 }
