@@ -296,3 +296,46 @@ def test_fixed_point_quantize_parity(spark, vecs):
     )
     con.close()
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_png_codec_roundtrip_property(h, w, seed):
+    """decode(encode(px)) == px for ALL shapes — heights ≥ 5 force every
+    row filter through the decoder; width 1 stresses the left-neighbour
+    edge cases in Sub/Average/Paeth."""
+    import numpy as np
+
+    from big_data_toolkit_spark.multimodal import codecs
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    back = codecs.decode_png(codecs.encode_png_rgb8(px))
+    assert back.shape == (h, w, 3)
+    assert (back == px).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=2000),
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    channels=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_wav_codec_roundtrip_property(n, rate, channels, seed):
+    import numpy as np
+
+    from big_data_toolkit_spark.multimodal import codecs
+
+    frames = n * channels
+    s = (
+        np.random.default_rng(seed).integers(0, 65536, frames) - 32768
+    ).astype(np.int16)
+    got_rate, got_ch, back = codecs.decode_wav(
+        codecs.encode_wav_pcm16(s, rate, n_channels=channels)
+    )
+    assert (got_rate, got_ch) == (rate, channels)
+    assert (back == s).all()
