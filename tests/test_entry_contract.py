@@ -60,3 +60,29 @@ def test_gate_window_has_oracle_coverage():
     missing = [k for k in head if k not in o and k not in rows_only_by_design]
     assert not missing, missing
     assert sum(1 for k in head if k in o) >= 45
+
+
+def test_plan_budgets_pin_map_only_families():
+    """PLAN_BUDGETS.json (the scripts/plan_audit.py regression gate) must
+    keep the map-only families at ZERO shuffle exchanges — these operators'
+    whole 100 TB story is that they scale exactly like the scan. File-only
+    check; the audit script re-derives the counts from live plans."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "PLAN_BUDGETS.json")
+    budgets = json.load(open(path))
+    map_only = [
+        "quality_score", "lang_id", "token_count", "fingerprint",
+        "repetition_score", "text_clean", "pii_redaction",
+        "multimodal_meta", "image_features", "video_frame_sample",
+        "audio_wav_features", "image_png_features",
+        "hash_sample", "chunk_documents",
+    ]
+    wrong = {k: budgets[k] for k in map_only if budgets[k]["shuffles"] != 0}
+    assert not wrong, f"map-only queries with shuffle budgets: {wrong}"
+    # and the audit covers the whole registry
+    import __spark_entry__ as entry
+
+    assert set(budgets) >= set(entry.queries()), "unbudgeted queries"
