@@ -330,6 +330,19 @@ def main() -> None:
             "NOT comparable to the pinned 45-query baseline"
         )
     print(json.dumps(out))
+    # Persist the full result next to the repo as well: the driver artifact
+    # keeps only a stdout tail that has truncated away most per-query times
+    # two rounds running (r6, r7) — the local file is the durable record
+    # bench_trend/adjudications can always read.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL_LAST.json"),
+            "w",
+        ) as fh:
+            json.dump(out, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout still carries everything
     # The driver artifact keeps only the stdout TAIL; the full per-query
     # line above can exceed what survives (the r6 artifact lost its meta
     # fields to front-truncation, VERDICT r6). Emit a compact summary
