@@ -217,3 +217,49 @@ def test_bucketized_join_skips_both_shuffles(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """THE AQE skew story the session builder enables: a join whose left
+    side concentrates ~all rows on one key gets its oversized shuffle
+    partition SPLIT at runtime (OptimizeSkewedJoin) instead of one reducer
+    dragging the stage. Thresholds are scoped down so the local fixture
+    trips the same machinery a 100 TB hot key would; the final adaptive
+    plan must mark the sort-merge join skew=true and row counts must be
+    unchanged."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200_000).selectExpr(
+            "CASE WHEN id % 100 < 99 THEN 0 ELSE id END AS k",
+            "id AS lv",
+        )
+        right = spark.range(64).selectExpr("id AS k", "id * 7 AS rv")
+        joined = left.join(right, "k")
+        # Execute THIS DataFrame's own queryExecution (count() would build
+        # a different plan and leave this one isFinalPlan=false).
+        n = len(joined.collect())
+        # left: 99 of every 100 ids map to k=0 (matches right's k=0 row);
+        # the rest keep k=id >= 99, all above right's 0..63 key range.
+        assert n == 200_000 // 100 * 99
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
