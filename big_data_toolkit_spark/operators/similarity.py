@@ -351,7 +351,12 @@ def _lloyd(
             f"kmeans seed mismatch: expected {len(CENTROID_IDS)} centroids "
             f"of dim {EMB_DIM}, got {len(cents)} (bad dims: {bad})"
         )
-    q = _quantize(emb)
+    # Materialize the quantized corpus ONCE: every Lloyd iteration is its
+    # own job, so without this each of the KMEANS_ITERS rounds re-scans the
+    # parquet and re-quantizes — at 100 TB that is ITERS extra corpus
+    # passes for identical bytes. localCheckpoint also keeps the loop's
+    # lineage flat (iteration plans stay O(1), not O(iteration)).
+    q = _quantize(emb).localCheckpoint()
     for _ in range(KMEANS_ITERS):
         assigned = _kmeans_assign(q, cents)
         rows = (
