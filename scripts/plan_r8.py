@@ -1,6 +1,14 @@
 #!/usr/bin/env python
-"""Compute the r8 gate rotation from recorded evidence (no arithmetic by
-hand): prints the r8 head (exactly 50) and the new `_DEFERRED` ordering.
+"""HISTORICAL (r7 artifact): computed the r8 gate rotation that was then
+executed in `__spark_entry__._HEAD`. For r9 onward use
+`scripts/plan_rotation.py`, the generalized evidence-driven planner
+(red retries + never-rowed + staleness refreshes); this script's
+SINGLE_R6 list and top-up logic are frozen to the r7 evidence and will
+NOT produce a correct head after CORRECTNESS_r08 lands.
+
+Original docstring: Compute the r8 gate rotation from recorded evidence
+(no arithmetic by hand): prints the r8 head (exactly 50) and the new
+`_DEFERRED` ordering.
 
 Plan recorded in BASELINE.md "Round-7 definitive final tally":
   r8 head = every never-rowed query (first driver rows) + refreshes
