@@ -219,6 +219,7 @@ _DEFERRED = [
     "q4_order_priority_checking",
     "audio_wav_features",
     "image_png_features",
+    "duplicate_ngram_spans",
 ]
 
 

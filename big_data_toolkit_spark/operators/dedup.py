@@ -1249,6 +1249,74 @@ ORACLE_SQL["span_dedup"] = f"""
     FROM ranked WHERE rn = 1 GROUP BY doc_id
 """
 
+DUP_NGRAM_W = 12  # duplicated-substring window, in pinned-tokenizer tokens
+
+
+def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, window_md5, n_occurrences): every position where a
+    ``DUP_NGRAM_W``-token window's exact text occurs MORE THAN ONCE in the
+    corpus — the detection core of exact-substring deduplication (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better"),
+    which strips memorization-prone repeated passages finer than
+    ``span_dedup``'s non-overlapping chunks: windows here OVERLAP (stride
+    1), so a duplicated passage is pinpointed at every token offset it
+    covers, and a downstream pass can cut maximal spans exactly.
+
+    Scale: window formation is in-row (``transform`` over a ``sequence``,
+    map-side — never a self-join on position); the only shuffle keys the
+    window hash for the occurrence count. Row count is Σ(len−W+1) ≈ corpus
+    token count — linear, not quadratic. At 100 TB the window TEXT stays
+    map-side; only ``md5`` (16 bytes) crosses the wire as the group key —
+    here it also IS the emitted value, keeping the oracle exact (the
+    suffix-array construction of the paper finds arbitrary-length repeats;
+    fixed-W windows are the standard scalable approximation — any repeat
+    ≥ W tokens is caught at every offset).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_win = F.greatest(F.size("t") - F.lit(DUP_NGRAM_W - 1), F.lit(0))
+    wins = (
+        docs.select("doc_id", tokenize("text").alias("t"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                # guard: sequence(1, 0) would generate DESCENDING [1, 0]
+                # for docs shorter than the window — emit no windows instead
+                F.when(
+                    n_win >= 1,
+                    F.transform(
+                        F.sequence(F.lit(1), n_win),
+                        lambda i: F.concat_ws(
+                            " ", F.slice("t", i, DUP_NGRAM_W)
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pos", "win"),
+        )
+        .select("doc_id", "pos", F.md5("win").alias("window_md5"))
+    )
+    w = Window.partitionBy("window_md5")
+    return wins.withColumn(
+        "n_occurrences", F.count("*").over(w)
+    ).where(F.col("n_occurrences") >= 2)
+
+
+ORACLE_SQL["duplicate_ngram_spans"] = f"""
+    WITH t AS (SELECT doc_id, {_T} AS toks FROM documents),
+    w AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             md5(array_to_string(
+               toks[i + 1 : i + {DUP_NGRAM_W}], ' ')) AS window_md5
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, greatest(len(toks) - {DUP_NGRAM_W - 1}, 0)))
+                     AS i
+            FROM t)
+    )
+    SELECT doc_id, pos, window_md5,
+           count(*) OVER (PARTITION BY window_md5) AS n_occurrences
+    FROM w QUALIFY n_occurrences >= 2
+"""
+
+
 def _semantic_dedup_oracle_sql() -> str:
     """SemDeDup oracle: the unrolled-Lloyd assignment CTEs (shared with the
     ``kmeans_clusters`` oracle) feeding a within-cluster pair filter."""
@@ -1361,6 +1429,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_incremental": dedup_incremental,
     "span_dedup": span_dedup,
+    "duplicate_ngram_spans": duplicate_ngram_spans,
     "semantic_dedup": semantic_dedup,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,

@@ -338,3 +338,41 @@ def test_cross_source_leakage_is_cross_source_only(spark):
     pairs = dedup.dedup_minhash_lsh(spark, SF_ORACLE).collect()
     expect = sum(1 for p in pairs if docs[p["d1"]] != docs[p["d2"]])
     assert sum(r["n_pairs"] for r in rows) == expect
+
+
+def test_duplicate_ngram_spans_overlap_semantics(spark):
+    """A passage duplicated across two docs must be flagged at EVERY token
+    offset it covers in both docs (stride-1 overlap — the property that
+    separates exact-substring detection from span_dedup's chunking); a doc
+    shorter than the window emits nothing; unique text is never flagged."""
+    from pyspark.sql import Row
+
+    W = dedup.DUP_NGRAM_W
+    # the pinned tokenizer splits on non-LETTER runs (digits vanish), so
+    # fixture tokens must be distinct alphabetic words
+    def words(prefix, n):
+        return " ".join(f"{prefix}{'abcdefghijklmnopqrstuvwxyz'[i]}" for i in range(n))
+
+    shared = words("tok", W + 3)  # W+3 distinct tokens
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"alpha beta {shared} gamma"),
+            Row(doc_id=2, text=f"{shared} delta epsilon"),
+            Row(doc_id=3, text="just a short one"),  # < W tokens
+            Row(doc_id=4, text=words("uniq", W + 5)),
+        ]
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = dedup.duplicate_ngram_spans(spark, d).collect()
+    by_doc: dict[int, set[int]] = {}
+    for r in out:
+        assert r["n_occurrences"] >= 2
+        by_doc.setdefault(r["doc_id"], set()).add(r["pos"])
+    # doc1: shared starts at token 2; shared has W+3 tokens -> 4 full
+    # windows inside it, at offsets 2..5. doc2: offsets 0..3.
+    assert by_doc.get(1) == {2, 3, 4, 5}
+    assert by_doc.get(2) == {0, 1, 2, 3}
+    assert 3 not in by_doc and 4 not in by_doc
