@@ -220,6 +220,7 @@ _DEFERRED = [
     "audio_wav_features",
     "image_png_features",
     "duplicate_ngram_spans",
+    "remove_duplicate_spans",
 ]
 
 

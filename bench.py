@@ -192,6 +192,7 @@ HEADLINE = {
     "image_png_features": multimodal.image_png_features,
     # Round-8: exact-substring duplicate-window detection (Lee et al.)
     "duplicate_ngram_spans": dedup.duplicate_ngram_spans,
+    "remove_duplicate_spans": dedup.remove_duplicate_spans,
     "customer_rfm": analytics_ext.customer_rfm,
     "order_backlog": analytics_ext.order_backlog_timeline,
     "audience_overlap": analytics_ext.audience_overlap,

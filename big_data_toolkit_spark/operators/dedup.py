@@ -1317,6 +1317,111 @@ ORACLE_SQL["duplicate_ngram_spans"] = f"""
 """
 
 
+def remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens_kept, clean_text): the REMOVAL half of exact-
+    substring dedup — every corpus-duplicated ``DUP_NGRAM_W``-token window
+    survives only at its first occurrence (minimum (doc_id, pos)); each
+    LATER occurrence has its W token positions cut, and documents are
+    reassembled from the surviving tokens in order. Overlapping duplicate
+    windows union their cuts, so a repeated passage of any length ≥ W is
+    excised exactly once corpus-wide (Lee et al. 2022 semantics over
+    fixed-W windows).
+
+    Scale: three shuffles, all linear — the window-hash occurrence rank,
+    the (doc_id, token_idx) anti-join of cut marks against token
+    positions, and the per-doc reassembly. Cut marks number ≤ W × later-
+    occurrence windows; token rows ≈ corpus token count. No pairwise doc
+    comparison anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize("text").alias("t"))
+    n_win = F.greatest(F.size("t") - F.lit(DUP_NGRAM_W - 1), F.lit(0))
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                n_win >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n_win),
+                    lambda i: F.concat_ws(" ", F.slice("t", i, DUP_NGRAM_W)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "win"),
+    ).select("doc_id", "pos", F.md5("win").alias("h"))
+    per_h = Window.partitionBy("h")
+    later = (
+        wins.withColumn("n", F.count("*").over(per_h))
+        .withColumn("first", F.min(F.struct("doc_id", "pos")).over(per_h))
+        .where(
+            (F.col("n") >= 2)
+            & ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+    )
+    cuts = later.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(DUP_NGRAM_W - 1))
+        ).alias("ti"),
+    ).distinct()
+    positions = toks.select(
+        "doc_id", F.posexplode("t").alias("ti", "tok")
+    )
+    kept = positions.join(cuts, ["doc_id", "ti"], "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("ti", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("clean_text"),
+        )
+        .select("doc_id", "n_tokens_kept", "clean_text")
+    )
+
+
+ORACLE_SQL["remove_duplicate_spans"] = f"""
+    WITH t AS (SELECT doc_id, {_T} AS toks FROM documents),
+    w AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             md5(array_to_string(
+               toks[i + 1 : i + {DUP_NGRAM_W}], ' ')) AS h
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, greatest(len(toks) - {DUP_NGRAM_W - 1}, 0)))
+                     AS i
+            FROM t)
+    ),
+    r AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY h) AS n
+      FROM w
+    ),
+    cuts AS (
+      SELECT DISTINCT doc_id, CAST(ti AS INT) AS ti
+      FROM (SELECT doc_id, unnest(range(pos, pos + {DUP_NGRAM_W})) AS ti
+            FROM r WHERE n >= 2 AND rn > 1)
+    ),
+    tok AS (
+      SELECT doc_id, toks[i + 1] AS tok, CAST(i AS INT) AS ti
+      FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM t)
+    )
+    SELECT doc_id, count(*) AS n_tokens_kept,
+           string_agg(tok, ' ' ORDER BY ti) AS clean_text
+    FROM tok
+    WHERE NOT EXISTS (
+      SELECT 1 FROM cuts c WHERE c.doc_id = tok.doc_id AND c.ti = tok.ti
+    )
+    GROUP BY doc_id
+"""
+
+
 def _semantic_dedup_oracle_sql() -> str:
     """SemDeDup oracle: the unrolled-Lloyd assignment CTEs (shared with the
     ``kmeans_clusters`` oracle) feeding a within-cluster pair filter."""
@@ -1430,6 +1535,7 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "span_dedup": span_dedup,
     "duplicate_ngram_spans": duplicate_ngram_spans,
+    "remove_duplicate_spans": remove_duplicate_spans,
     "semantic_dedup": semantic_dedup,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,

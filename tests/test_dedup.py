@@ -376,3 +376,39 @@ def test_duplicate_ngram_spans_overlap_semantics(spark):
     assert by_doc.get(1) == {2, 3, 4, 5}
     assert by_doc.get(2) == {0, 1, 2, 3}
     assert 3 not in by_doc and 4 not in by_doc
+
+
+def test_remove_duplicate_spans_cuts_later_occurrence_only(spark):
+    """First occurrence (minimum doc_id, pos) survives untouched; the later
+    doc loses exactly the duplicated passage (union of its overlapping
+    flagged windows); unique and short docs pass through whole."""
+    from pyspark.sql import Row
+
+    W = dedup.DUP_NGRAM_W
+
+    def words(prefix, n):
+        return " ".join(
+            f"{prefix}{'abcdefghijklmnopqrstuvwxyz'[i]}" for i in range(n)
+        )
+
+    shared = words("tok", W + 3)
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"alpha beta {shared} gamma"),
+            Row(doc_id=2, text=f"{shared} delta epsilon"),
+            Row(doc_id=3, text="just a short one"),
+            Row(doc_id=4, text=words("uniq", W + 5)),
+        ]
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r for r in
+               dedup.remove_duplicate_spans(spark, d).collect()}
+    assert out[1]["n_tokens_kept"] == (W + 3) + 3  # untouched (first occ.)
+    assert out[1]["clean_text"] == f"alpha beta {shared} gamma"
+    assert out[2]["n_tokens_kept"] == 2
+    assert out[2]["clean_text"] == "delta epsilon"
+    assert out[3]["n_tokens_kept"] == 4
+    assert out[4]["n_tokens_kept"] == W + 5
