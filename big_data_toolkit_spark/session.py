@@ -29,12 +29,27 @@ from pyspark.sql import SparkSession
 _LOCAL_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
 
 
+def _ensure_workers_can_import_engine() -> None:
+    """Python workers inherit $PYTHONPATH, NOT the driver's sys.path: a
+    driver launched from any cwd other than the repo root can plan queries
+    fine and then die in the first cloudpickled UDF with
+    ``ModuleNotFoundError: big_data_toolkit_spark`` on the worker.  Put the
+    repo root on PYTHONPATH before the JVM (and thus any worker) starts."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + pp if pp else "")
+        )
+
+
 def build_spark(
     app_name: str = "big-data-toolkit-spark",
     master: str | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Create (or reuse) a SparkSession with engine defaults applied."""
+    _ensure_workers_can_import_engine()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.appName(app_name)
