@@ -28,7 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entry  # noqa: E402
 
 
-def gather(repo_root: str = "."):
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def gather(repo_root: str = _REPO_ROOT):
     q = list(entry.queries())
     newest_round: dict[str, int] = {}
     reds_newest: list[str] = []
