@@ -144,3 +144,35 @@ def test_wav_payloads_are_real_riff(spark):
     for r in rows:
         b = bytes(r["payload"])
         assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+
+
+def test_png_decoder_grayscale_and_rgba():
+    """The decoder claims 8-bit gray (color 0) and RGBA (color 6) support;
+    the encoder only emits RGB, so build those files chunk-by-chunk (filter
+    0 rows) and decode."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from big_data_toolkit_spark.multimodal import codecs
+
+    def build(px, color_type):
+        h, w = px.shape[:2]
+        ch = 1 if px.ndim == 2 else px.shape[2]
+        flat = px.reshape(h, w * ch)
+        lines = b"".join(b"\x00" + flat[y].astype(np.uint8).tobytes()
+                         for y in range(h))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + codecs._chunk(b"IHDR", ihdr)
+                + codecs._chunk(b"IDAT", zlib.compress(lines))
+                + codecs._chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(17)
+    gray = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+    out = codecs.decode_png(build(gray, 0))
+    assert out.shape == (5, 7, 1) and (out[:, :, 0] == gray).all()
+
+    rgba = rng.integers(0, 256, (4, 3, 4), dtype=np.uint8)
+    out = codecs.decode_png(build(rgba, 6))
+    assert out.shape == (4, 3, 4) and (out == rgba).all()
