@@ -334,7 +334,11 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.select(
         "doc_id",
         "n_tokens",
-        F.round(fold / F.col("n_tokens"), 6).alias("dsir_score"),
+        # + 0.0 normalizes IEEE negative zero: a mean log-ratio that rounds
+        # to -0.0 on one engine and +0.0 on the other serializes as '-0' vs
+        # '0' and hash-fails despite equal values (caught by the r8 sf0.1
+        # sweep; all other values are bit-unchanged by adding +0.0).
+        (F.round(fold / F.col("n_tokens"), 6) + F.lit(0.0)).alias("dsir_score"),
     )
 
 
@@ -688,7 +692,7 @@ ORACLE_SQL: dict[str, str] = {
           FROM lw GROUP BY doc_id
         )
         SELECT doc_id, n_tokens,
-               round(list_sum(ws) / n_tokens, 6) AS dsir_score
+               round(list_sum(ws) / n_tokens, 6) + 0.0 AS dsir_score
         FROM per
     """,
     "unigram_logprob": f"""

@@ -167,13 +167,19 @@ def pmi_pairs(
             "a",
             "b",
             "pair_cnt",
-            F.round(
-                F.log10(
-                    F.col("pair_cnt")
-                    * F.col("n_lines")
-                    / (F.col("cnt_a") * F.col("cnt_b"))
-                ),
-                6,
+            # + 0.0: PMI crosses zero, so a cell rounding to -0.0 on one
+            # engine would serialize '-0' vs '0' (the dsir_weights class,
+            # caught at sf0.1); +0.0 canonicalizes negative zero only.
+            (
+                F.round(
+                    F.log10(
+                        F.col("pair_cnt")
+                        * F.col("n_lines")
+                        / (F.col("cnt_a") * F.col("cnt_b"))
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("pmi"),
         )
     )
@@ -309,7 +315,7 @@ ORACLE_SQL: dict[str, str] = {
         n AS (SELECT count(*) AS n_lines FROM words)
         SELECT p.a, p.b, p.pair_cnt,
                round(log10(p.pair_cnt * n.n_lines /
-                           (wa.w_cnt * wb.w_cnt)), 6) AS pmi
+                           (wa.w_cnt * wb.w_cnt)), 6) + 0.0 AS pmi
         FROM pair_counts p
         JOIN word_counts wa ON p.a = wa.w
         JOIN word_counts wb ON p.b = wb.w
