@@ -16,9 +16,12 @@ echo "== 3/4 pytest =="
 python -m pytest tests/ -x -q
 
 if [ "$1" = "--full" ]; then
-  echo "== 4/4 full-registry strict driver-replica sweep =="
+  echo "== 4/5 full-registry strict driver-replica sweep (sf0.01) =="
   python scripts/preflight.py --strict
+  echo "== 5/5 cross-SF sweep (sf0.1 — catches scale-dependent divergence:"
+  echo "   the r8 negative-zero find came from exactly this) =="
+  python scripts/preflight.py --sf-dir /root/testdata/sf0.1
 else
-  echo "== 4/4 skipped (pass --full for the strict driver-replica sweep) =="
+  echo "== 4-5/5 skipped (pass --full for the strict + cross-SF sweeps) =="
 fi
 echo "CI OK"
