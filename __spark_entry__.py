@@ -221,6 +221,11 @@ _DEFERRED = [
     "image_png_features",
     "duplicate_ngram_spans",
     "remove_duplicate_spans",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q15_top_supplier",
+    "q11_important_parts",
+    "q16_supplier_part_variety",
 ]
 
 

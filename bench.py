@@ -215,6 +215,15 @@ HEADLINE = {
     "mat_cross_source_leakage": materialize.bench_cross_source_leakage,
     "mat_semantic_dedup": materialize.bench_semantic_dedup,
     "mat_knn_ivf_trained": materialize.bench_knn_ivf_trained,
+    # Round-8 (session 2): the five remaining classic TPC-H shapes the
+    # synthetic schema supports — outer-join histogram (Q13), correlated
+    # scalar-avg subquery (Q17), max-over-view (Q15), HAVING-vs-global-
+    # scalar (Q11 shape), grouped count-distinct + NOT IN (Q16 shape).
+    "q13": sql_analytics.q13_customer_distribution,
+    "q17": sql_analytics.q17_small_quantity_revenue,
+    "q15": sql_analytics.q15_top_supplier,
+    "q11": sql_analytics.q11_important_parts,
+    "q16": sql_analytics.q16_supplier_part_variety,
 }
 
 

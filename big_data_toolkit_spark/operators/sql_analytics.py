@@ -733,6 +733,250 @@ def q4_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q13_EXCLUDED_PRIORITY = "1-URGENT"
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_count, custdist): TPC-H Q13 — the distribution of customers by
+    how many (non-excluded) orders they placed, INCLUDING the zero bucket.
+    The synthetic schema has no ``o_comment``, so the classic
+    ``NOT LIKE '%special%requests%'`` exclusion becomes a priority
+    exclusion — same shape: a filtered LEFT OUTER relationship where the
+    left side must survive with count 0.
+
+    Plan (the one outer-join shape the suite lacked): orders are
+    pre-aggregated to ``(o_custkey, cnt)`` BEFORE the outer join — at
+    100 TB orders ≫ customer, so joining the raw fact into customer and
+    counting after (the naive Q13 plan) shuffles the whole fact, while
+    pre-aggregation shuffles one partial-aggregated row per customer.
+    The LEFT join then only fills the zero bucket via ``coalesce``.
+    Both groupBys partial-aggregate; the second one has ≤ max-orders-
+    per-customer groups (tiny). No skew: custkeys are high-cardinality
+    and near-uniform.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != Q13_EXCLUDED_PRIORITY)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        cust.join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q17_BRAND = "Brand#23"
+
+
+def _q17_brand_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The brand's line items (broadcast LEFT SEMI against filtered part) —
+    the pre-checkpoint frame, exposed so plan tests can assert the
+    semi-join/broadcast shape that the checkpoint hides."""
+    brand_parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == Q17_BRAND)
+        .select("p_partkey")
+    )
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(brand_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(small_qty_revenue_cc, avg_yearly_cc): TPC-H Q17 — revenue from
+    line items of one brand whose quantity is below 20% of that part's
+    average order quantity. The reference suite had no correlated scalar
+    subquery; this is the canonical one (inner ``avg(l_quantity)`` over
+    the same fact, correlated on ``l_partkey``), decorrelated into a
+    per-key aggregate + join-back.
+
+    Plan: the brand filter keeps ~1/25 of parts, and that small part set
+    BROADCASTS into lineitem FIRST (semi-join), so the per-part aggregate
+    runs over only the brand's line items — the correlated subquery's
+    "over all lineitem of that part" semantics survive because the
+    correlation key is ``l_partkey`` and the filter is on part attributes
+    alone. The agg and the join-back share the ``l_partkey`` key (one
+    shuffle, AQE broadcasts the tiny agg side). The brand slice feeds
+    BOTH the per-part aggregate and the join-back and exchange reuse does
+    not deduplicate the subtrees under AQE, so the slice (1/|brands| of
+    the fact, 3 narrow columns) is ``localCheckpoint``ed once instead of
+    scanning the full fact twice. The 20%-of-average test
+    is exact integer arithmetic: ``qty_c * 5 * n < sum_qty_c`` avoids the
+    double-rounded ``0.2 * avg`` entirely (no float divergence between
+    engines at any scale).
+    """
+    li = _q17_brand_slice(spark, sf_dir).localCheckpoint()
+    qty_c = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty_c).alias("sum_qty_c"), F.count("*").alias("n")
+    )
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        li.join(per_part, F.col("l_partkey") == F.col("pk"))
+        .where(qty_c * 5 * F.col("n") < F.col("sum_qty_c"))
+        .agg(F.sum(cents).alias("small_qty_revenue_cc"))
+        .select(
+            "small_qty_revenue_cc",
+            F.expr("small_qty_revenue_cc DIV 7").alias("avg_yearly_cc"),
+        )
+    )
+
+
+Q15_QTR_START = "1997-01-01 00:00:00"
+Q15_QTR_END = "1997-04-01 00:00:00"
+
+
+def _q15_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier quarter revenue (the Q15 "view") — the pre-checkpoint
+    frame, exposed so plan tests can assert the date pushdown and the
+    single partial-aggregated shuffle that the checkpoint hides."""
+    cutoff_lo = F.lit(Q15_QTR_START).cast("timestamp")
+    cutoff_hi = F.lit(Q15_QTR_END).cast("timestamp")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where((F.col("l_shipdate") >= cutoff_lo) & (F.col("l_shipdate") < cutoff_hi))
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    pct = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long")
+    return li.groupBy("l_suppkey").agg(
+        F.sum(cents * (F.lit(100) - pct)).alias("total_revenue_cc")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s_suppkey, s_name, total_revenue_cc): TPC-H Q15 — the supplier(s)
+    whose quarter revenue equals the maximum over all suppliers (the
+    classic "view + scalar max subquery" shape the suite lacked).
+
+    Plan: the date window prunes the fact scan to one quarter; per-
+    supplier revenue is ONE partial-aggregated shuffle on ``l_suppkey``;
+    the global max is a 1-ROW aggregate broadcast back over the same
+    per-supplier frame (broadcast nested-loop over one row — no second
+    shuffle, no window-function total sort); supplier names broadcast.
+    The per-supplier frame feeds BOTH the max and the filter, and
+    exchange reuse does not deduplicate the two subtrees under AQE
+    (measured: the fact was scanned twice), so it is ``localCheckpoint``ed
+    — |suppliers| rows materialized once vs a second full fact
+    scan+shuffle (the repo's pair-graph pattern).
+    Integer cents make the max-equality exact — the float form of this
+    query is famously nondeterministic across engines. Ties (possible in
+    principle) all survive and ``s_suppkey`` ordering makes the output
+    total-ordered.
+    """
+    rev = _q15_supplier_revenue(spark, sf_dir).localCheckpoint()
+    top = rev.agg(F.max("total_revenue_cc").alias("max_rev"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .where(F.col("total_revenue_cc") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_cc")
+        .orderBy("s_suppkey")
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_partkey, revenue_cc): TPC-H Q11's shape — groups kept only if
+    their aggregate exceeds a threshold derived from a SCALAR SUBQUERY
+    over the same aggregation (the synthetic schema has no partsupp, so
+    "important stock value" becomes "part revenue above 1.5× the mean
+    part revenue" — same plan: agg, global scalar, HAVING vs scalar).
+
+    The global-fraction form (``> x ppm of total``) is NOT scale-stable —
+    every part's share shrinks as the catalog grows — so the threshold is
+    relative to the MEAN part revenue, which is invariant under uniform
+    scale-up (verified: 29 rows at sf0.01, 252 at sf0.1 — proportional).
+    Plan: one partial-aggregated shuffle on ``l_partkey``; the global
+    (sum, count) is a 1-row aggregate broadcast back over the per-part
+    frame; the 1.5× test is exact integer cross-multiplication
+    (``v * 2 * n_parts > 3 * total``), no division anywhere. The per-part
+    frame feeds both the global and the filter, and exchange reuse does
+    not deduplicate the subtrees under AQE, so it is ``localCheckpoint``ed
+    — |parts| aggregate rows materialized once vs scanning and shuffling
+    the whole fact a second time.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(cents).alias("revenue_cc"))
+        .localCheckpoint()
+    )
+    totals = per_part.agg(
+        F.sum("revenue_cc").alias("total_cc"), F.count("*").alias("n_parts")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(totals))
+        .where(
+            F.col("revenue_cc") * 2 * F.col("n_parts") > 3 * F.col("total_cc")
+        )
+        .select("l_partkey", "revenue_cc")
+        .orderBy(F.desc("revenue_cc"), "l_partkey")
+    )
+
+
+Q16_EXCLUDED_BRAND = "Brand#45"
+Q16_SIZES = [1, 9, 14, 19, 23, 36, 45, 49]
+
+
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p_brand, p_type, p_size, supplier_cnt): TPC-H Q16's shape — how
+    many DISTINCT suppliers ship each qualifying (brand, type, size)
+    combination, excluding a brand and a supplier blocklist (no partsupp
+    in the synthetic schema, so the part-supplier relation comes from
+    lineitem; the classic ``NOT IN (complaint suppliers)`` becomes
+    ``NOT IN (negative-balance suppliers)`` — same anti-join shape).
+
+    Plan: the supplier blocklist is a handful of keys — it broadcasts as
+    a LEFT ANTI join (never a shuffle); the part predicate (brand +
+    size-IN-list) broadcasts the surviving parts into the fact;
+    ``countDistinct`` compiles to Spark's two-phase distinct aggregate
+    (partial distinct per partition, then merge) — the only shuffle,
+    keyed by (brand, type, size). At 100 TB the distinct state per group
+    is bounded by |suppliers|, not by fact rows.
+    """
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != Q16_EXCLUDED_BRAND)
+            & F.col("p_size").isin(Q16_SIZES)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
 QUERIES = {
     "q1_count_shipped": q1_count_shipped,
     "q2_orders_shipped": q2_orders_shipped,
@@ -749,6 +993,11 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q4_order_priority_checking": q4_order_priority_checking,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q11_important_parts": q11_important_parts,
+    "q16_supplier_part_variety": q16_supplier_part_variety,
 }
 
 ORACLE_SQL["q18_large_volume_customers"] = f"""
@@ -912,4 +1161,89 @@ ORACLE_SQL["q7_volume_shipping"] = """
     JOIN nation cn ON c_nationkey = cn.n_nationkey
     WHERE s_nationkey <> c_nationkey
     GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+"""
+
+ORACLE_SQL["q13_customer_distribution"] = f"""
+    WITH per_cust AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+      FROM orders WHERE o_orderpriority <> '{Q13_EXCLUDED_PRIORITY}'
+      GROUP BY o_custkey
+    )
+    SELECT CAST(coalesce(cnt, 0) AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+    GROUP BY coalesce(cnt, 0)
+"""
+
+ORACLE_SQL["q17_small_quantity_revenue"] = f"""
+    WITH brand_li AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_brand = '{Q17_BRAND}')
+    ),
+    per_part AS (
+      SELECT l_partkey AS pk,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS sum_qty_c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM brand_li GROUP BY l_partkey
+    ),
+    small AS (
+      SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS small_qty_revenue_cc
+      FROM brand_li l JOIN per_part ON l.l_partkey = pk
+      WHERE CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+            * 5 * n < sum_qty_c
+    )
+    SELECT small_qty_revenue_cc,
+           CAST(small_qty_revenue_cc // 7 AS BIGINT) AS avg_yearly_cc
+    FROM small
+"""
+
+ORACLE_SQL["q15_top_supplier"] = f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)
+                      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                                    AS BIGINT)))
+                  AS BIGINT) AS total_revenue_cc
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{Q15_QTR_START}'
+        AND l_shipdate <  TIMESTAMP '{Q15_QTR_END}'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue_cc
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue_cc = (SELECT max(total_revenue_cc) FROM rev)
+"""
+
+ORACLE_SQL["q11_important_parts"] = """
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS revenue_cc
+      FROM lineitem GROUP BY l_partkey
+    ),
+    totals AS (
+      SELECT CAST(sum(revenue_cc) AS BIGINT) AS total_cc,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM per_part
+    )
+    SELECT l_partkey, revenue_cc
+    FROM per_part, totals
+    WHERE revenue_cc * 2 * n_parts > 3 * total_cc
+"""
+
+ORACLE_SQL["q16_supplier_part_variety"] = f"""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> '{Q16_EXCLUDED_BRAND}'
+      AND p_size IN ({', '.join(str(s) for s in Q16_SIZES)})
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
 """

@@ -200,3 +200,135 @@ def test_q4_exists_semijoin_no_blowup(spark):
         .count()
     )
     assert sum(r["order_count"] for r in rows) <= quarter_orders
+
+
+def test_q13_preaggregates_before_outer_join_and_keeps_zero_bucket(spark):
+    """Q13: orders pre-aggregate to (custkey, cnt) BEFORE the LEFT OUTER
+    join (the plan's outer join consumes an aggregated right side, never
+    the raw fact), the priority exclusion pushes down, and the zero
+    bucket exists with the histogram accounting for every customer."""
+    from big_data_toolkit_spark.catalog import load_table
+
+    df = sa.q13_customer_distribution(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftOuter" in plan
+    assert "PushedFilters" in plan and "o_orderpriority" in plan
+    # the aggregate node must sit BELOW the outer join in the plan text
+    # (executedPlan prints top-down: join line precedes its child agg)
+    join_at = plan.index("LeftOuter")
+    assert "HashAggregate" in plan[join_at:]
+    rows = df.collect()
+    n_cust = load_table(spark, SF_SMOKE, "customer").count()
+    assert sum(r["custdist"] for r in rows) == n_cust
+    counts = {r["c_count"]: r["custdist"] for r in rows}
+    # zero-bucket semantics: customers with no qualifying orders survive
+    # the outer join (at SF_SMOKE every customer may have orders, so
+    # recompute the expected zero population rather than assert presence)
+    from pyspark.sql import functions as F
+
+    ordered = (
+        load_table(spark, SF_SMOKE, "orders")
+        .where(F.col("o_orderpriority") != sa.Q13_EXCLUDED_PRIORITY)
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert counts.get(0, 0) == n_cust - ordered
+
+
+def test_q17_brand_semijoin_broadcasts_and_integer_avg_test(spark):
+    """Q17: the brand part set broadcasts as a LEFT SEMI into the fact
+    before any aggregation (the correlated avg runs over the brand's
+    line items only), and the derived yearly average is the exact
+    truncating division of the emitted revenue."""
+    slice_plan = (
+        sa._q17_brand_slice(spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in slice_plan
+    assert "BroadcastHashJoin" in slice_plan
+    df = sa.q17_small_quantity_revenue(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the slice is checkpointed: the fact parquet appears ZERO times in
+    # the consuming plan (it would appear twice without the checkpoint)
+    assert "lineitem.parquet" not in plan
+    assert "Cartesian" not in plan
+    [row] = df.collect()
+    assert row["small_qty_revenue_cc"] >= 0
+    assert row["avg_yearly_cc"] == row["small_qty_revenue_cc"] // 7
+
+
+def test_q15_max_is_broadcast_not_window(spark):
+    """Q15: the scalar max comes back as a broadcast 1-row aggregate, NOT
+    a window function over a totally-sorted frame; the date window pushes
+    down; every emitted supplier's revenue equals the true maximum."""
+    rev_plan = (
+        sa._q15_supplier_revenue(spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in rev_plan and "l_shipdate" in rev_plan
+    assert rev_plan.count("Exchange hashpartitioning") == 1
+    df = sa.q15_top_supplier(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # the revenue view is checkpointed: ONE fact scan total (the consuming
+    # plan re-reads the materialized view, never the parquet)
+    assert "lineitem.parquet" not in plan
+    rows = df.collect()
+    assert rows
+    revs = {r["total_revenue_cc"] for r in rows}
+    assert len(revs) == 1  # all argmax rows share the max value
+    keys = [r["s_suppkey"] for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_q11_scalar_threshold_recomputes(spark):
+    """Q11 shape: every emitted part really exceeds 1.5x the mean part
+    revenue (recomputed independently), output is revenue-desc, and the
+    scalar join is a broadcast of ONE row (no shuffle for the global)."""
+    from big_data_toolkit_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    df = sa.q11_important_parts(spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows
+    per_part = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("v")
+        )
+        .collect()
+    )
+    total = sum(r["v"] for r in per_part)
+    n = len(per_part)
+    expect = {r["l_partkey"]: r["v"] for r in per_part if r["v"] * 2 * n > 3 * total}
+    assert {r["l_partkey"]: r["revenue_cc"] for r in rows} == expect
+    revs = [r["revenue_cc"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_q16_antijoin_broadcasts_and_bounded_distinct(spark):
+    """Q16 shape: the supplier blocklist applies as a broadcast LEFT ANTI
+    (never a shuffle), the part predicates push down, and every distinct-
+    supplier count is bounded by the non-excluded supplier population."""
+    from big_data_toolkit_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    df = sa.q16_supplier_part_variety(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "p_brand" in plan and "p_size" in plan
+    rows = df.collect()
+    assert rows
+    good_supp = (
+        load_table(spark, SF_SMOKE, "supplier")
+        .where(F.col("s_acctbal") >= 0)
+        .count()
+    )
+    assert all(0 < r["supplier_cnt"] <= good_supp for r in rows)
+    cnts = [r["supplier_cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
