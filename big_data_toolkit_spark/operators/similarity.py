@@ -401,10 +401,13 @@ def knn_ivf_trained(
         q, cents = _lloyd(spark, sf_dir)
     else:
         q = _quantize(load_table(spark, sf_dir, "embeddings"))
-    qv = [
-        float(x)
-        for x in q.where(F.col("vec_id") == query_vec_id).first()["qv"]
-    ]
+    qrow = q.where(F.col("vec_id") == query_vec_id).first()
+    if qrow is None:
+        raise ValueError(
+            f"knn_ivf_trained: query_vec_id {query_vec_id} not present in "
+            "the embeddings table (empty table or unknown id)"
+        )
+    qv = [float(x) for x in qrow["qv"]]
 
     def d2(m: list[float]) -> float:
         acc = 0.0

@@ -86,6 +86,11 @@ def read_centroids(spark: SparkSession, workdir: str) -> dict[int, list[float]]:
     assignment expressions are parameterized with (O(K·dim) driver bytes —
     the same budget as the in-plan training fetch)."""
     rows = spark.read.parquet(os.path.join(workdir, CENTROIDS_DIR)).collect()
+    if not rows:
+        raise ValueError(
+            f"read_centroids: no centroid rows under {workdir}/{CENTROIDS_DIR}"
+            " — artifact build did not run or wrote an empty table"
+        )
     return {int(r["cluster"]): [float(x) for x in r["centroid"]] for r in rows}
 
 

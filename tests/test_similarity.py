@@ -335,3 +335,10 @@ def test_embedding_outliers_are_the_global_worst_fits(spark):
     want = sorted(dist, key=lambda v: (-round(dist[v], 6), v))[: sim.OUTLIER_K]
     got = [r["vec_id"] for r in sim.embedding_outliers(spark, SF_SMOKE).collect()]
     assert got == want
+
+
+def test_knn_ivf_trained_unknown_query_id_fails_loud(spark):
+    """A query_vec_id absent from the embeddings table must raise an
+    explicit ValueError, not an opaque TypeError from first()[...]."""
+    with pytest.raises(ValueError, match="query_vec_id"):
+        sim.knn_ivf_trained(spark, SF_ORACLE, query_vec_id=10**12)
