@@ -85,7 +85,15 @@ def _collect_index_vectors(emb: DataFrame, ids: tuple[int, ...]) -> dict[int, li
     vectorized UDF closure.
     """
     rows = emb.where(F.col("vec_id").isin(list(ids))).select("vec_id", "embedding").collect()
-    return {r["vec_id"]: list(r["embedding"]) for r in rows}
+    found = {r["vec_id"]: list(r["embedding"]) for r in rows}
+    if len(found) != len(ids):
+        missing = sorted(set(ids) - set(found))
+        raise ValueError(
+            f"index vectors not found in embeddings table: {missing} "
+            "(empty table or misconfigured index ids) — refusing to build "
+            "a degenerate index"
+        )
+    return found
 
 
 def _bucket_udf(planes: dict[int, list]):

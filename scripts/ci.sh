@@ -16,12 +16,14 @@ echo "== 3/4 pytest =="
 python -m pytest tests/ -x -q
 
 if [ "$1" = "--full" ]; then
-  echo "== 4/5 full-registry strict driver-replica sweep (sf0.01) =="
+  echo "== 4/6 full-registry strict driver-replica sweep (sf0.01) =="
   python scripts/preflight.py --strict
-  echo "== 5/5 cross-SF sweep (sf0.1 — catches scale-dependent divergence:"
+  echo "== 5/6 cross-SF sweep (sf0.1 — catches scale-dependent divergence:"
   echo "   the r8 negative-zero find came from exactly this) =="
   python scripts/preflight.py --sf-dir /root/testdata/sf0.1
+  echo "== 6/6 empty-input robustness sweep (~60 s) =="
+  python scripts/empty_sweep.py
 else
-  echo "== 4-5/5 skipped (pass --full for the strict + cross-SF sweeps) =="
+  echo "== 4-6/6 skipped (pass --full for strict + cross-SF + empty sweeps) =="
 fi
 echo "CI OK"

@@ -342,3 +342,13 @@ def test_knn_ivf_trained_unknown_query_id_fails_loud(spark):
     explicit ValueError, not an opaque TypeError from first()[...]."""
     with pytest.raises(ValueError, match="query_vec_id"):
         sim.knn_ivf_trained(spark, SF_ORACLE, query_vec_id=10**12)
+
+
+def test_index_vector_collection_refuses_degenerate_index(spark):
+    """Missing designated index ids (empty table / misconfiguration) must
+    raise an explicit ValueError from the shared fetch — a silent partial
+    dict would build an LSH/IVF index with too few planes/centroids and
+    degrade quality without any error."""
+    emb = sim.load_table(spark, SF_ORACLE, "embeddings")
+    with pytest.raises(ValueError, match="index vectors not found"):
+        sim._collect_index_vectors(emb, (10**12, 10**12 + 1))
