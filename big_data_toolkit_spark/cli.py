@@ -10,6 +10,8 @@ operator behind one CLI:
         --sf-dir /root/testdata/sf0.01 --show 20
     python -m big_data_toolkit_spark.cli sql "SELECT count(*) FROM lineitem" \
         --sf-dir /root/testdata/sf0.01
+    python -m big_data_toolkit_spark.cli explain q15_top_supplier \
+        --mode formatted
 
 ``sql`` registers the TESTDATA tables as views and hands the statement to
 ``spark.sql`` — the full Catalyst path the reference never had.
@@ -78,6 +80,18 @@ def main(argv: list[str] | None = None) -> int:
     sql.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     sql.add_argument("--show", type=int, default=20)
 
+    explain = sub.add_parser(
+        "explain", help="print a registered query's physical plan"
+    )
+    explain.add_argument("query")
+    explain.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    explain.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "codegen", "cost", "formatted"],
+        help="df.explain() mode",
+    )
+
     args = parser.parse_args(argv)
     registry = _registry()
 
@@ -91,11 +105,14 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    if args.cmd == "run":
+    if args.cmd in ("run", "explain"):
         if args.query not in registry:
             print(f"unknown query {args.query!r}; try 'list'", file=sys.stderr)
             return 2
         df = registry[args.query](spark, args.sf_dir)
+        if args.cmd == "explain":
+            df.explain(args.mode)
+            return 0
     else:
         register_tables(spark, args.sf_dir)
         df = spark.sql(args.statement)
