@@ -1325,7 +1325,9 @@ def remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassembled from the surviving tokens in order. Overlapping duplicate
     windows union their cuts, so a repeated passage of any length ≥ W is
     excised exactly once corpus-wide (Lee et al. 2022 semantics over
-    fixed-W windows).
+    fixed-W windows). A doc whose every token is cut (it is entirely a
+    later occurrence) emits NO row — absence, not an empty-text row —
+    on both engines.
 
     Scale: three shuffles, all linear — the window-hash occurrence rank,
     the (doc_id, token_idx) anti-join of cut marks against token

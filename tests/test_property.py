@@ -339,3 +339,59 @@ def test_wav_codec_roundtrip_property(n, rate, channels, seed):
     )
     assert (got_rate, got_ch) == (rate, channels)
     assert (back == s).all()
+
+
+@_SETTINGS
+@given(
+    passage_len=st.integers(min_value=0, max_value=8),  # + W below
+    pad1=st.integers(min_value=0, max_value=6),
+    pad2=st.integers(min_value=0, max_value=6),
+    tail1=st.integers(min_value=0, max_value=6),
+)
+def test_remove_duplicate_spans_excises_exactly_the_passage(
+    spark, passage_len, pad1, pad2, tail1
+):
+    """Exact-substring removal property (Lee et al. semantics): for a
+    corpus of globally-unique tokens plus ONE shared passage of length
+    L >= W appearing in two docs, the first occurrence's doc is untouched
+    and the later doc loses EXACTLY the L passage tokens — the stride-1
+    windows fully inside the passage union to cover it, and no window
+    crossing the boundary is duplicated (its flanks are unique)."""
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from big_data_toolkit_spark.operators import dedup
+
+    W = dedup.DUP_NGRAM_W
+    L = W + passage_len
+
+    def words(prefix, n):
+        return [f"{prefix}x{'abcdefghijklmnopqrstuvwxyz'[i % 26]}{i // 26}".replace(
+            "0", "zero").replace("1", "one").replace("2", "two")
+            for i in range(n)]
+
+    shared = words("sh", L)
+    d1 = words("pa", pad1) + shared + words("ta", tail1)
+    d2 = words("pb", pad2) + shared
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(d1)),
+            Row(doc_id=2, text=" ".join(d2)),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = {
+            r["doc_id"]: r
+            for r in dedup.remove_duplicate_spans(spark, d).collect()
+        }
+    assert out[1]["n_tokens_kept"] == len(d1)
+    assert out[1]["clean_text"] == " ".join(d1)
+    if len(d2) == L:
+        # a doc that IS entirely a later-occurrence passage keeps zero
+        # tokens and emits no row at all (documented operator edge)
+        assert 2 not in out
+    else:
+        assert out[2]["n_tokens_kept"] == len(d2) - L
+        assert out[2]["clean_text"] == " ".join(words("pb", pad2))
