@@ -545,26 +545,44 @@ def star_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
             F.least(F.min("v"), F.first("u")).alias("m")
         )
         with_m = edges.join(m, "u")
-        edges = (
+        # Large-star output carries NO intermediate distinct: duplicate
+        # directed edges are harmless downstream (small-star's min-agg is
+        # dedup-insensitive, its join output is deduped at round end), so
+        # the round pays ONE distinct shuffle instead of the three the r7
+        # form paid (large-star dedup + small-star dedup + symmetry
+        # restore) — measured 4.19 → 3.58 s median at sf0.1, identical
+        # outputs at both SFs.
+        ls = (
             with_m.where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(m.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
         # small-star on the now larger→smaller directed edges: rewire each
         # node's smaller neighbours (and itself) to the neighbourhood min.
-        m2 = edges.groupBy("u").agg(F.min("v").alias("m"))
-        edges = (
-            edges.join(m2, "u")
+        m2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        directed = (
+            ls.join(m2, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(m2.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
-        # restore the symmetric invariant for the next large-star
+        # restore the symmetric invariant IN-ROW (explode both
+        # orientations) so the single round-end distinct also closes the
+        # symmetry — no second reference to a non-checkpointed frame, no
+        # extra shuffle.
         edges = (
-            edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            directed.select(
+                F.explode(
+                    F.array(
+                        F.struct("u", "v"),
+                        F.struct(
+                            F.col("v").alias("u"), F.col("u").alias("v")
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
             .distinct()
             .localCheckpoint()
         )
