@@ -1347,11 +1347,17 @@ def remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     later occurrence) emits NO row — absence, not an empty-text row —
     on both engines.
 
-    Scale: three shuffles, all linear — the window-hash occurrence rank,
-    the (doc_id, token_idx) anti-join of cut marks against token
-    positions, and the per-doc reassembly. Cut marks number ≤ W × later-
-    occurrence windows; token rows ≈ corpus token count. No pairwise doc
-    comparison anywhere.
+    Scale: two shuffles, both linear and NEITHER carrying token rows —
+    the window-hash occurrence rank (16-byte md5 keys), and the per-doc
+    aggregation of cut START positions (one integer per later-occurrence
+    window; the W-token expansion happens in-row AFTER the aggregate).
+    Excision + reassembly are in-row array ops over the doc's own token
+    array after a doc-level join — the earlier form anti-joined every
+    token position and re-collected them per doc, shuffling the whole
+    token stream twice for the same answer. Membership of a token index
+    in the cut set is a map lookup (O(1) per token), not an array scan,
+    so a pathological fully-duplicated long doc stays linear. No
+    pairwise doc comparison anywhere.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize("text").alias("t"))
@@ -1380,29 +1386,45 @@ def remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    cuts = later.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + F.lit(DUP_NGRAM_W - 1))
-        ).alias("ti"),
-    ).distinct()
-    positions = toks.select(
-        "doc_id", F.posexplode("t").alias("ti", "tok")
-    )
-    kept = positions.join(cuts, ["doc_id", "ti"], "left_anti")
-    return (
-        kept.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens_kept"),
-            F.concat_ws(
-                " ",
+    cut_sets = later.groupBy("doc_id").agg(
+        F.array_distinct(
+            F.flatten(
                 F.transform(
-                    F.sort_array(F.collect_list(F.struct("ti", "tok"))),
-                    lambda s: s["tok"],
-                ),
-            ).alias("clean_text"),
+                    F.collect_list("pos"),
+                    lambda p: F.sequence(p, p + F.lit(DUP_NGRAM_W - 1)),
+                )
+            )
+        ).alias("cut")
+    )
+    joined = toks.join(cut_sets, "doc_id", "left").select(
+        "doc_id",
+        "t",
+        # index → true lookup map; docs with no duplicate windows get an
+        # empty map (left join null)
+        F.map_from_entries(
+            F.transform(
+                F.coalesce("cut", F.array().cast("array<int>")),
+                lambda c: F.struct(c.alias("ti"), F.lit(True).alias("x")),
+            )
+        ).alias("cutmap"),
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("t"), lambda x, i: F.struct(x.alias("tok"), i.alias("ti"))
+        ),
+        lambda s: ~F.map_contains_key(F.col("cutmap"), s["ti"]),
+    )
+    return (
+        joined.select(
+            "doc_id",
+            F.size(kept).cast("long").alias("n_tokens_kept"),
+            F.concat_ws(" ", F.transform(kept, lambda s: s["tok"])).alias(
+                "clean_text"
+            ),
         )
-        .select("doc_id", "n_tokens_kept", "clean_text")
+        # a fully-cut doc emits NO row (absence, matching the grouped form
+        # and the oracle's NOT EXISTS aggregation)
+        .where(F.col("n_tokens_kept") > 0)
     )
 
 
