@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from big_data_toolkit_spark.catalog import load_table
+from big_data_toolkit_spark.catalog import load_table, local_table
 
 SAMPLE_BP = 1000  # basis points of 10000 → 10% deterministic sample
 STRATUM_K = 10  # docs kept per source in the stratified sample
@@ -110,8 +110,8 @@ def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     then filters within the surviving rows.
     """
     docs = load_table(spark, sf_dir, "documents")
-    weights = spark.createDataFrame(
-        [(s, w) for s, w in MIX_WEIGHTS.items()], "source string, w long"
+    weights = local_table(
+        spark, [(s, w) for s, w in MIX_WEIGHTS.items()], "source string, w long"
     )
     counts = docs.groupBy("source").agg(F.count("*").alias("cnt"))
     u_row = (
@@ -123,8 +123,8 @@ def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = int(u_row["u"] or 0)
     quotas = {s: w * u for s, w in MIX_WEIGHTS.items()}
     max_quota = max(quotas.values()) if u else 0
-    quota = spark.createDataFrame(
-        [(s, q) for s, q in quotas.items()], "source string, quota long"
+    quota = local_table(
+        spark, [(s, q) for s, q in quotas.items()], "source string, quota long"
     )
     w_rank = Window.partitionBy("source").orderBy("h", "doc_id")
     return (
@@ -215,8 +215,8 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget = sum(c for _, c in counts) // TEMPERATURE_BUDGET_DIV
     quotas = {s: int(math.floor(budget * math.sqrt(c) / wsum)) for s, c in counts}
     max_quota = max(quotas.values(), default=0)
-    quota = spark.createDataFrame(
-        [(s, q) for s, q in quotas.items()], "source string, quota long"
+    quota = local_table(
+        spark, [(s, q) for s, q in quotas.items()], "source string, quota long"
     )
     w_rank = Window.partitionBy("source").orderBy("h", "doc_id")
     return (

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from big_data_toolkit_spark.catalog import load_table
+from big_data_toolkit_spark.catalog import load_table, local_table
 
 ALPHA = 0.15  # a4/RunPersonalizedPageRankBasic.java:415
 DEFAULT_SOURCES = (0, 1, 2)
@@ -109,8 +109,8 @@ def personalized_pagerank(
         .select(F.col("node").alias("src"))
         .crossJoin(
             F.broadcast(
-                edges.sparkSession.createDataFrame(
-                    [(int(s),) for s in sources], "dst long"
+                local_table(
+                    edges.sparkSession, [(int(s),) for s in sources], "dst long"
                 )
             )
         )

@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from big_data_toolkit_spark.catalog import load_table
+from big_data_toolkit_spark.catalog import load_table, local_table
 
 QUERY_VEC_ID = 0
 TOP_K = 10
@@ -1012,8 +1012,8 @@ def pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(k), float(v), float(v / total) if total > 0 else 0.0)
         for k, v in enumerate(lam)
     ]
-    return spark.createDataFrame(
-        rows, "component long, eigenvalue double, var_ratio double"
+    return local_table(
+        spark, rows, "component long, eigenvalue double, var_ratio double"
     )
 
 

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from big_data_toolkit_spark.catalog import load_table
+from big_data_toolkit_spark.catalog import load_table, local_table
 from big_data_toolkit_spark.functions.text import (
     DUCKDB_TOKENS,
     adjacent_pairs,
@@ -419,8 +419,10 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, asserted equal by the gate.
     """
     _, merges = _bpe_train(spark, sf_dir)
-    return spark.createDataFrame(
-        merges, "step long, merge_left string, merge_right string, pair_count long"
+    return local_table(
+        spark,
+        merges,
+        "step long, merge_left string, merge_right string, pair_count long",
     )
 
 

@@ -34,6 +34,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from big_data_toolkit_spark.catalog import local_table
 from big_data_toolkit_spark.sources.writers import write_sorted_bucketed
 
 PAIRS_DIR = "neardup_pairs"
@@ -181,7 +182,7 @@ def materialized_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
     # summary rows are driver-local after the eager counts — safe to drop
     # the scratch dir before returning the DataFrame.
-    return spark.createDataFrame(counts, "consumer string, n_rows long").orderBy(
+    return local_table(spark, counts, "consumer string, n_rows long").orderBy(
         "consumer"
     )
 
@@ -220,7 +221,8 @@ def bench_artifact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     workdir = _bench_workdir(spark, sf_dir)
     pairs_n = read_neardup_pairs(spark, workdir).count()
     cents_n = len(read_centroids(spark, workdir))
-    return spark.createDataFrame(
+    return local_table(
+        spark,
         [(PAIRS_DIR, pairs_n), (CENTROIDS_DIR, cents_n)],
         "artifact string, n_rows long",
     )
