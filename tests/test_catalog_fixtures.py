@@ -130,3 +130,44 @@ def test_loader_fails_loud_on_non_utc_session(spark, dual_fixture_dirs):
     # and under the pinned-UTC session the load works and is value-exact
     rows = load_table(spark, micros_dir, "events").orderBy("event_id").collect()
     assert [r["ts"] for r in rows] == INSTANTS
+
+
+def test_local_table_plans_jvm_local_scan(spark):
+    """local_table must plan a LocalTableScan (JVM-resident rows), never a
+    Python-RDD scan — the whole point of the helper is that a broadcast
+    side built from driver rows costs no Python-worker round-trip at each
+    plan execution (measured ~0.4 s per scan on local[32] for the plain
+    createDataFrame path)."""
+    from big_data_toolkit_spark.catalog import local_table
+
+    df = local_table(
+        spark,
+        [("web", 3), ("books", 1)],
+        "source string, quota long",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan, plan
+    assert "ExistingRDD" not in plan, plan
+    rows = {r["source"]: r["quota"] for r in df.collect()}
+    assert rows == {"web": 3, "books": 1}
+    assert df.schema.simpleString() == "struct<source:string,quota:bigint>"
+
+
+def test_local_table_empty_rows(spark):
+    from big_data_toolkit_spark.catalog import local_table
+
+    df = local_table(spark, [], "a string, b long")
+    assert df.count() == 0
+    assert df.schema.simpleString() == "struct<a:string,b:bigint>"
+
+
+def test_local_table_array_column(spark):
+    from big_data_toolkit_spark.catalog import local_table
+
+    df = local_table(
+        spark,
+        [(1, [1.5, -2.0]), (2, [0.0])],
+        "cluster long, centroid array<double>",
+    )
+    got = {r["cluster"]: r["centroid"] for r in df.orderBy("cluster").collect()}
+    assert got == {1: [1.5, -2.0], 2: [0.0]}
