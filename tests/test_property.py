@@ -395,3 +395,52 @@ def test_remove_duplicate_spans_excises_exactly_the_passage(
     else:
         assert out[2]["n_tokens_kept"] == len(d2) - L
         assert out[2]["clean_text"] == " ".join(words("pb", pad2))
+
+
+@_SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_star_components_union_find_parity(spark, edges):
+    """Alternating-star on arbitrary generated pair sets == a pure-Python
+    union-find. The fixed-corpus equivalence tests cover realistic graph
+    shapes; this fuzzes the rewiring steps on adversarial ones (self
+    loops, parallel edges, chains, stars nested in cycles) against the
+    textbook algorithm that cannot be wrong the same way."""
+    from big_data_toolkit_spark.operators.dedup import star_components
+
+    pairs = [(d1, d2) for d1, d2 in edges if d1 != d2]
+    if not pairs:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    # component labels must be each component's MINIMUM member: re-root
+    comp_min: dict[int, int] = {}
+    for n, r in want.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[find(n)] for n in parent}
+
+    df = spark.createDataFrame(pairs, "d1 long, d2 long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in star_components(spark, df).collect()
+    }
+    assert got == want
