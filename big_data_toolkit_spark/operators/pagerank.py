@@ -533,6 +533,19 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("*").alias("n_ab"))
         .where(F.col("n_ab") >= LPA_MIN_PAIRS)
     )
+    return lpa_labels(spark, pairs).select(
+        F.col("node").alias("part"), "community"
+    )
+
+
+def lpa_labels(
+    spark: SparkSession, pairs: DataFrame, rounds: int = LPA_ROUNDS
+) -> DataFrame:
+    """(node, community) after ``rounds`` synchronous self-vote LPA rounds
+    over an undirected distinct pair set (a, b) — the core loop of
+    ``label_propagation_communities``, factored out so property tests can
+    drive it over arbitrary generated graphs against a pure-Python
+    replica."""
     sym = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
@@ -545,7 +558,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     w = Window.partitionBy("node").orderBy(
         F.desc("votes"), F.asc("community")
     )
-    for _ in range(LPA_ROUNDS):
+    for _ in range(rounds):
         labels = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy(edges["src"].alias("node"), "community")
@@ -555,7 +568,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
             .select("node", "community")
             .localCheckpoint()
         )
-    return labels.select(F.col("node").alias("part"), "community")
+    return labels
 
 
 def _lpa_oracle_sql(rounds: int = LPA_ROUNDS) -> str:

@@ -444,3 +444,97 @@ def test_star_components_union_find_parity(spark, edges):
         for r in star_components(spark, df).collect()
     }
     assert got == want
+
+
+@_SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=25),
+            st.integers(min_value=0, max_value=25),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    rounds=st.integers(min_value=1, max_value=4),
+)
+def test_lpa_matches_python_replica(spark, edges, rounds):
+    """Synchronous self-vote LPA over generated graphs == a pure-Python
+    replica of the same fixed-round recurrence (most-frequent label among
+    closed neighbourhood, ties to the smallest label). Catches any drift
+    in the join/argmax formulation independent of the lineitem-derived
+    fixture graph."""
+    from big_data_toolkit_spark.operators.pagerank import lpa_labels
+
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if not pairs:
+        return
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    label = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n in adj:
+            votes: dict[int, int] = {}
+            for m in adj[n] | {n}:
+                votes[label[m]] = votes.get(label[m], 0) + 1
+            nxt[n] = min(
+                votes, key=lambda lbl: (-votes[lbl], lbl)
+            )
+        label = nxt
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        r["node"]: r["community"]
+        for r in lpa_labels(spark, df, rounds=rounds).collect()
+    }
+    assert got == label
+
+
+@_SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=25),
+            st.integers(min_value=0, max_value=25),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_kcore_matches_python_replica(spark, edges):
+    """k-core peeling over generated graphs == the textbook Python
+    fixpoint: repeatedly delete nodes of degree < k, report surviving
+    nodes with their core degree."""
+    from big_data_toolkit_spark.operators.pagerank import (
+        KCORE_K,
+        kcore_subgraph,
+    )
+
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if not pairs:
+        return
+    es = set(pairs)
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= KCORE_K}
+        nxt = {(a, b) for a, b in es if a in keep and b in keep}
+        if nxt == es:
+            break
+        es = nxt
+    want: dict[int, int] = {}
+    for a, b in es:
+        want[a] = want.get(a, 0) + 1
+        want[b] = want.get(b, 0) + 1
+
+    df = spark.createDataFrame(pairs, "d1 long, d2 long")
+    got = {
+        r["doc_id"]: r["core_deg"]
+        for r in kcore_subgraph(spark, "", pairs=df).collect()
+    }
+    assert got == want
