@@ -74,6 +74,18 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("query")
     run.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     run.add_argument("--show", type=int, default=20, help="rows to print")
+    run.add_argument(
+        "--output",
+        help="write the full result to this directory instead of printing "
+        "(the reference drivers' output-dir contract; overwrites like "
+        "S14)",
+    )
+    run.add_argument(
+        "--format",
+        default="parquet",
+        choices=["parquet", "csv", "json"],
+        help="sink format for --output",
+    )
 
     sql = sub.add_parser("sql", help="run ad-hoc SQL over the TESTDATA views")
     sql.add_argument("statement")
@@ -112,6 +124,13 @@ def main(argv: list[str] | None = None) -> int:
         df = registry[args.query](spark, args.sf_dir)
         if args.cmd == "explain":
             df.explain(args.mode)
+            return 0
+        if args.cmd == "run" and args.output:
+            writer = df.write.mode("overwrite")
+            if args.format == "csv":
+                writer = writer.option("header", "true")
+            getattr(writer, args.format)(args.output)
+            print(f"wrote {args.output} ({args.format})")
             return 0
     else:
         register_tables(spark, args.sf_dir)

@@ -47,3 +47,44 @@ def test_explain_prints_physical_plan(spark, capsys):
 def test_explain_unknown_query_exits_2(spark, capsys):
     assert cli.main(["explain", "no_such_query"]) == 2
     assert "unknown query" in capsys.readouterr().err
+
+
+def test_run_output_writes_parquet(spark, capsys, tmp_path):
+    out_dir = str(tmp_path / "wc")
+    assert (
+        cli.main(
+            [
+                "run", "word_count",
+                "--sf-dir", SF_SMOKE,
+                "--output", out_dir,
+            ]
+        )
+        == 0
+    )
+    assert "wrote" in capsys.readouterr().out
+    n_first = spark.read.parquet(out_dir).count()
+    assert n_first > 0
+    assert set(spark.read.parquet(out_dir).columns) == {"word", "cnt"}
+    # S14 semantics: a second run overwrites, not appends (fresh read —
+    # a pre-overwrite DataFrame would hold the stale file listing)
+    assert cli.main(
+        ["run", "word_count", "--sf-dir", SF_SMOKE, "--output", out_dir]
+    ) == 0
+    assert spark.read.parquet(out_dir).count() == n_first
+
+
+def test_run_output_csv_has_header(spark, capsys, tmp_path):
+    out_dir = str(tmp_path / "wc_csv")
+    assert (
+        cli.main(
+            [
+                "run", "word_count",
+                "--sf-dir", SF_SMOKE,
+                "--output", out_dir,
+                "--format", "csv",
+            ]
+        )
+        == 0
+    )
+    got = spark.read.option("header", "true").csv(out_dir)
+    assert set(got.columns) == {"word", "cnt"}
