@@ -538,3 +538,52 @@ def test_kcore_matches_python_replica(spark, edges):
         for r in kcore_subgraph(spark, "", pairs=df).collect()
     }
     assert got == want
+
+
+@_SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_triangle_count_matches_python_replica(spark, edges):
+    """Degree-oriented wedge counting over generated graphs == brute-force
+    triangle/wedge enumeration. Fuzzes the orientation tie-breaks
+    ((degree, id) ordering) that the fixed corpus can't stress."""
+    from itertools import combinations
+
+    from big_data_toolkit_spark.operators.pagerank import triangle_count
+
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if not pairs:
+        return
+    es = set(pairs)
+    adj: dict[int, set[int]] = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # wedges under (degree, id) orientation: pairs of out-neighbours
+    deg = {n: len(adj[n]) for n in adj}
+
+    def rank(n):
+        return (deg[n], n)
+
+    out = {n: [m for m in adj[n] if rank(m) > rank(n)] for n in adj}
+    n_wedges = sum(
+        len(v) * (len(v) - 1) // 2 for v in out.values()
+    )
+    n_triangles = sum(
+        1
+        for n, vs in out.items()
+        for x, y in combinations(sorted(vs), 2)
+        if (min(x, y), max(x, y)) in es
+    )
+
+    df = spark.createDataFrame(pairs, "d1 long, d2 long")
+    row = triangle_count(spark, "", pairs=df).collect()[0]
+    assert (row["n_wedges"], row["n_triangles"]) == (n_wedges, n_triangles)
