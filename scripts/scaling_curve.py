@@ -46,6 +46,9 @@ HEADLINE = [
     "quality_score",         # map-only feature pass
     "knn_brute_force",       # O(n) scan vs one query vector
     "pagerank_top20",        # 10 iterative shuffles
+    "dedup_star_components", # alternating-star rounds (post single-distinct)
+    "semantic_dedup",        # Lloyd + cluster-blocked pair join
+    "remove_duplicate_spans",  # window rank + in-row excision
 ]
 
 
