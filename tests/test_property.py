@@ -587,3 +587,50 @@ def test_triangle_count_matches_python_replica(spark, edges):
     df = spark.createDataFrame(pairs, "d1 long, d2 long")
     row = triangle_count(spark, "", pairs=df).collect()[0]
     assert (row["n_wedges"], row["n_triangles"]) == (n_wedges, n_triangles)
+
+
+@_SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    iters=st.integers(min_value=1, max_value=4),
+    data=st.data(),
+)
+def test_ppr_matches_numpy_on_generated_graphs(spark, edges, iters, data):
+    """Personalized PageRank over generated digraphs == the NumPy replica
+    (sources drawn from the graph's own nodes). The corpus parity test
+    pins one realistic graph; this fuzzes dangling-node layouts, multi
+    edges collapsing under distinct, and source sets of varying size."""
+    from tests.test_pagerank import _numpy_ppr
+
+    from big_data_toolkit_spark.operators.pagerank import (
+        ALPHA,
+        personalized_pagerank,
+    )
+
+    pairs = sorted({(s, d) for s, d in edges if s != d})
+    if not pairs:
+        return
+    nodes = sorted({s for s, _ in pairs} | {d for _, d in pairs})
+    n_src = data.draw(
+        st.integers(min_value=1, max_value=min(3, len(nodes)))
+    )
+    sources = tuple(nodes[:n_src])
+
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(
+            spark, df, sources=sources, iters=iters
+        ).collect()
+    }
+    want = _numpy_ppr(pairs, sources, ALPHA, iters)
+    assert got.keys() == want.keys()
+    for node, val in want.items():
+        assert abs(got[node] - val) < 1e-9, (node, got[node], val)
