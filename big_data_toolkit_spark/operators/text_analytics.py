@@ -445,6 +445,15 @@ def _bpe_train(
         )
         .localCheckpoint()
     )
+    return _bpe_train_words(words, rounds)
+
+
+def _bpe_train_words(
+    words: DataFrame, rounds: int
+) -> tuple[DataFrame, list[tuple[int, str, str, int]]]:
+    """The merge-round loop over a (word, cnt, syms) frequency table —
+    factored out of ``_bpe_train`` so property tests can drive it over
+    arbitrary generated vocabularies against a pure-Python BPE replica."""
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, rounds + 1):
         top = (

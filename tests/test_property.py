@@ -634,3 +634,73 @@ def test_ppr_matches_numpy_on_generated_graphs(spark, edges, iters, data):
     assert got.keys() == want.keys()
     for node, val in want.items():
         assert abs(got[node] - val) < 1e-9, (node, got[node], val)
+
+
+@_SETTINGS
+@given(
+    words=st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    rounds=st.integers(min_value=1, max_value=4),
+)
+def test_bpe_rounds_match_python_replica(spark, words, rounds):
+    """Distributed BPE merge rounds over generated word-frequency tables
+    == the classic Python algorithm (overlapping pair counts, argmax by
+    count then lexical pair, greedy left-to-right merge application).
+    Tiny alphabets force the adversarial cases: runs like 'aaaa', merges
+    whose output re-participates next round, count ties."""
+    from pyspark.sql import functions as F
+
+    from big_data_toolkit_spark.operators.text_analytics import (
+        _bpe_train_words,
+    )
+
+    # python replica
+    vocab = {w: [ch for ch in w] for w, _ in words}
+    counts = dict(words)
+    want_merges = []
+    for step in range(1, rounds + 1):
+        pc: dict[tuple[str, str], int] = {}
+        for w, c in counts.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] = (
+                    pc.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not pc:
+            break
+        (x, y), total = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want_merges.append((step, x, y, total))
+        for w in vocab:
+            syms, out, i = vocab[w], [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+
+    wdf = spark.createDataFrame(
+        [(w, c) for w, c in words], "word string, cnt long"
+    ).withColumn(
+        "syms",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ),
+    )
+    got_words, got_merges = _bpe_train_words(wdf, rounds)
+    assert [
+        (s, x, y, int(t)) for s, x, y, t in got_merges
+    ] == want_merges
+    got_vocab = {
+        r["word"]: list(r["syms"]) for r in got_words.collect()
+    }
+    assert got_vocab == vocab
