@@ -287,3 +287,65 @@ def test_stream_sliding_window_matches_batch(spark, tmp_path):
     n_events = load_table(spark, SF_SMOKE, "events").count()
     assert sum(n for _, n in got) == 4 * n_events
     assert len(dirs) >= 2  # really was a multi-batch replay
+
+
+def _write_stream_files_at_cuts(spark, sf_dir, out_dir, fracs):
+    """Split the time-ordered events at explicit fractional cut points —
+    the boundary-variation twin of ``_write_stream_files``."""
+    events = load_table(spark, sf_dir, "events").orderBy("ts")
+    rows = events.collect()
+    bounds = [0] + [int(f * len(rows)) for f in fracs] + [len(rows)]
+    for i in range(len(bounds) - 1):
+        part = rows[bounds[i] : bounds[i + 1]]
+        if part:
+            spark.createDataFrame(part, events.schema).coalesce(1).write.parquet(
+                os.path.join(out_dir, f"batch_{i:04d}")
+            )
+    return sorted(glob.glob(os.path.join(out_dir, "batch_*")))
+
+
+@pytest.mark.parametrize(
+    "fracs",
+    [
+        (),  # everything in ONE micro-batch
+        (0.9,),  # one giant batch + a small tail
+        (0.07, 0.11, 0.5, 0.53, 0.9, 0.97),  # 7 uneven batches
+    ],
+    ids=["one-batch", "tail-heavy", "seven-uneven"],
+)
+def test_sliding_stream_invariant_to_batch_boundaries(spark, tmp_path, fracs):
+    """The sliding-window twin must produce the SAME result no matter how
+    the replay is cut into micro-batches — batch-boundary invariance is
+    the core streaming correctness property (state bugs surface exactly
+    when a window straddles a trigger boundary). The fixed 4-way split is
+    covered by test_stream_sliding_window_matches_batch; this varies the
+    cuts."""
+    from big_data_toolkit_spark.operators import relational_ext
+
+    src = str(tmp_path / "src")
+    _write_stream_files_at_cuts(spark, SF_SMOKE, src, fracs)
+    stream = (
+        spark.readStream.schema(load_table(spark, SF_SMOKE, "events").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "batch_*"))
+    )
+    qname = f"sliding_inv_{len(fracs)}"
+    q = (
+        windows.stream_event_count_sliding(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["n_events"])
+        for r in spark.sql(f"select * from {qname}").collect()
+    }
+    expected = {
+        (r["window_start"], r["n_events"])
+        for r in relational_ext.event_count_sliding(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
