@@ -349,3 +349,53 @@ def test_sliding_stream_invariant_to_batch_boundaries(spark, tmp_path, fracs):
         for r in relational_ext.event_count_sliding(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+@pytest.mark.parametrize(
+    "fracs",
+    [
+        (0.9,),  # one giant batch + a small tail
+        (0.07, 0.11, 0.5, 0.53, 0.9, 0.97),  # 7 uneven batches
+    ],
+    ids=["tail-heavy", "seven-uneven"],
+)
+def test_stateful_trending_invariant_to_batch_boundaries(
+    spark, tmp_path, fracs
+):
+    """The applyInPandasWithState trending operator must converge to the
+    same final per-window state for ANY micro-batch layout — the stateful
+    analogue of the sliding-window invariance test (prev-window handoff is
+    the piece that breaks when a window boundary lands mid-batch vs
+    between batches)."""
+    src = str(tmp_path / "src")
+    _write_stream_files_at_cuts(spark, SF_SMOKE, src, fracs)
+    stream = (
+        spark.readStream.schema(load_table(spark, SF_SMOKE, "events").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "batch_*"))
+    )
+    qname = f"trend_inv_{len(fracs)}"
+    q = (
+        trending.stream_trending(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    final: dict = {}
+    for r in spark.sql(f"select * from {qname}").collect():
+        k = (r["event_type"], r["window_start"])
+        if k not in final or r["cnt"] > final[k]["cnt"]:
+            final[k] = r
+    got = {
+        (k[0], k[1], v["cnt"], v["prev_cnt"], v["trending"])
+        for k, v in final.items()
+    }
+    expected = {
+        (r["event_type"], r["window_start"], r["cnt"], r["prev_cnt"], r["trending"])
+        for r in windows.trending_events(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
