@@ -1355,17 +1355,21 @@ def remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     later occurrence) emits NO row — absence, not an empty-text row —
     on both engines.
 
-    Scale: two shuffles, both linear and NEITHER carrying token rows —
-    the window-hash occurrence rank (16-byte md5 keys), and the per-doc
-    aggregation of cut START positions (one integer per later-occurrence
-    window; the W-token expansion happens in-row AFTER the aggregate).
-    Excision + reassembly are in-row array ops over the doc's own token
-    array after a doc-level join — the earlier form anti-joined every
-    token position and re-collected them per doc, shuffling the whole
-    token stream twice for the same answer. Membership of a token index
-    in the cut set is a map lookup (O(1) per token), not an array scan,
-    so a pathological fully-duplicated long doc stays linear. No
+    Scale: three shuffles, all linear — the window-hash occurrence rank
+    (16-byte md5 keys), the (doc_id, token_idx) anti-join of cut marks
+    against token positions, and the per-doc reassembly. Cut marks number
+    ≤ W × later-occurrence windows; token rows ≈ corpus token count. No
     pairwise doc comparison anywhere.
+
+    MEASURED adjudication (r8 scale probe, 32× amplified sf0.1): an
+    in-row rewrite that aggregated cut positions per doc and excised via
+    array ops after a doc-level join — saving one token-level shuffle —
+    was a wash at sf0.1 (1.48 vs 1.53 s) and 2.3× SLOWER at ×32 (134 vs
+    58 s, invariant to shuffle-partition count): the nested
+    higher-order-function array materializations per doc cost more than
+    the row-wise shuffle they replaced. Row-at-a-time codegen over
+    exploded tokens is the scaling form; do not re-attempt the in-row
+    variant without re-running `scripts/scale_probe.py 32`.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize("text").alias("t"))
@@ -1394,45 +1398,29 @@ def remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    cut_sets = later.groupBy("doc_id").agg(
-        F.array_distinct(
-            F.flatten(
-                F.transform(
-                    F.collect_list("pos"),
-                    lambda p: F.sequence(p, p + F.lit(DUP_NGRAM_W - 1)),
-                )
-            )
-        ).alias("cut")
-    )
-    joined = toks.join(cut_sets, "doc_id", "left").select(
+    cuts = later.select(
         "doc_id",
-        "t",
-        # index → true lookup map; docs with no duplicate windows get an
-        # empty map (left join null)
-        F.map_from_entries(
-            F.transform(
-                F.coalesce("cut", F.array().cast("array<int>")),
-                lambda c: F.struct(c.alias("ti"), F.lit(True).alias("x")),
-            )
-        ).alias("cutmap"),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(DUP_NGRAM_W - 1))
+        ).alias("ti"),
+    ).distinct()
+    positions = toks.select(
+        "doc_id", F.posexplode("t").alias("ti", "tok")
     )
-    kept = F.filter(
-        F.transform(
-            F.col("t"), lambda x, i: F.struct(x.alias("tok"), i.alias("ti"))
-        ),
-        lambda s: ~F.map_contains_key(F.col("cutmap"), s["ti"]),
-    )
+    kept = positions.join(cuts, ["doc_id", "ti"], "left_anti")
     return (
-        joined.select(
-            "doc_id",
-            F.size(kept).cast("long").alias("n_tokens_kept"),
-            F.concat_ws(" ", F.transform(kept, lambda s: s["tok"])).alias(
-                "clean_text"
-            ),
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("ti", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("clean_text"),
         )
-        # a fully-cut doc emits NO row (absence, matching the grouped form
-        # and the oracle's NOT EXISTS aggregation)
-        .where(F.col("n_tokens_kept") > 0)
+        .select("doc_id", "n_tokens_kept", "clean_text")
     )
 
 
