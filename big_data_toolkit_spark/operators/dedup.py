@@ -435,6 +435,23 @@ COSINE_DUP_THRESHOLD = 0.45
 CC_ITERS = 6  # min-label propagation rounds (≥ near-dup cluster diameter)
 
 
+def _symmetrize(pairs: DataFrame) -> DataFrame:
+    """Both orientations of an undirected (d1, d2) pair set, generated
+    IN-ROW with a single reference to the input plan (a self-union of a
+    heavy un-checkpointed upstream evaluates it twice — exchange reuse
+    does not reliably merge the differently-projected branches)."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("d1"), F.col("d2")),
+                F.struct(
+                    F.col("d2").alias("d1"), F.col("d1").alias("d2")
+                ),
+            )
+        ).alias("e")
+    ).select("e.d1", "e.d2")
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, component): connected components over MinHash near-dup pairs.
 
@@ -451,9 +468,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star/small-star; the per-round plan shape is unchanged.
     """
     pairs = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
-    edges = pairs.union(
-        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    ).localCheckpoint()
+    # Symmetrize IN-ROW (explode both orientations) — a
+    # pairs.union(pairs.reversed) references the whole un-checkpointed
+    # MinHash chain twice, and exchange reuse does NOT reliably dedupe the
+    # differently-projected branches: at the 32x probe scale the doubled
+    # (and internally 4x-referenced) chain turned a ~35 s materialization
+    # into a multi-minute stall. One reference, then checkpoint.
+    edges = _symmetrize(pairs).localCheckpoint()
     labels = (
         edges.select(F.col("d1").alias("doc_id"))
         .distinct()
@@ -517,21 +538,32 @@ def star_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     a component labeled with the component's minimum doc_id; isolated
     nodes (present in ``pairs`` only via self-reference) keep themselves.
     """
+    # In-row symmetrization: single reference to the (possibly heavy,
+    # un-checkpointed) upstream pair plan — see dedup_components note.
     edges = (
-        pairs.select(F.col("d1").alias("u"), F.col("d2").alias("v"))
-        .union(
-            pairs.select(F.col("d2").alias("u"), F.col("d1").alias("v"))
-        )
+        _symmetrize(pairs)
+        .select(F.col("d1").alias("u"), F.col("d2").alias("v"))
         .distinct()
         .localCheckpoint()
     )
     nodes = edges.select(F.col("u").alias("doc_id")).distinct().localCheckpoint()
 
+    # Signature terms are reduced mod a Mersenne prime BEFORE summing:
+    # the raw product u*v overflows int64 once doc_ids reach ~3e9-scale
+    # (caught by the 32x amplified scale probe under ANSI mode — remapped
+    # ids at +k*1e7 strides blew the old sum(u*v) checksum), and a
+    # modular checksum is exactly as good for a probabilistic signature
+    # that the exact set-equality confirm backstops. Per-row values stay
+    # < P^2 < int64 max; the sum of %P terms stays < rows * 2^31.
+    _SIG_P = (1 << 31) - 1
+
     def _probe(e: DataFrame) -> tuple:
         row = e.agg(
             F.count("*").alias("n"),
-            F.sum(F.col("u") + F.col("v")).alias("s"),
-            F.sum(F.col("u") * F.col("v")).alias("p"),
+            F.sum((F.col("u") + F.col("v")) % _SIG_P).alias("s"),
+            F.sum(
+                ((F.col("u") % _SIG_P) * (F.col("v") % _SIG_P)) % _SIG_P
+            ).alias("p"),
         ).first()
         return (row["n"], row["s"], row["p"])
 
