@@ -93,6 +93,24 @@ def amplify(spark, factor: int, out_dir: str) -> None:
             c = c.withColumn(
                 col, F.col(col) + F.col("__k").cast("long") * KEY_STRIDE
             )
+        if name == "embeddings":
+            # Roll each copy's vector by k positions: inner products WITHIN
+            # a copy are permutation-invariant (per-copy ANN/near-dup
+            # structure is exactly the original), while cross-copy cosines
+            # decorrelate — byte-identical copies would hand every vector
+            # 31 perfect duplicates and fabricate a quadratic output that
+            # says nothing about the engine. Copy 0 stays byte-identical.
+            dim = "size(embedding)"
+            c = c.withColumn(
+                "embedding",
+                F.when(F.col("__k") == 0, F.col("embedding")).otherwise(
+                    F.expr(
+                        f"concat(slice(embedding, __k % {dim} + 1, "
+                        f"{dim} - __k % {dim}), "
+                        f"slice(embedding, 1, __k % {dim}))"
+                    )
+                ),
+            )
         if name == "documents":
             # disjoint per-copy vocabulary; within-copy structure
             # isomorphic to the original; copy 0 byte-identical. The
