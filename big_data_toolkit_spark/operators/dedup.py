@@ -713,6 +713,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d1, d2, cos). Exact all-pairs — the correctness baseline, O(n²): right
     for one-shot audits and for verifying blocked variants; at 100 TB the
     scale path is ``dedup_embedding_lsh`` (bucket-blocked below).
+
+    Output-cardinality note (measured, SCALE.md "pair-listing trio"): at
+    θ = 0.45 in d = 64 the ≥θ pair count is itself Θ(N²) on this data
+    distribution (pair rate ~1e-4 at every SF — the random-direction floor
+    P[cos ≥ 3.6σ]), so EVERY pair-listing variant has quadratic output
+    regardless of blocking; at production scale one clusters
+    (components / SemDeDup) rather than lists.
     """
     from big_data_toolkit_spark.operators.similarity import _cosine
 
@@ -774,7 +781,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup (cos ≳ 0.85, per-bit agreement ≳ 0.9 → 12-bit band hit ≈ 0.3–0.8).
     At this pipeline's moderate threshold (0.45) per-bit agreement is ~0.65
     and recall is near zero by construction — use ``dedup_embedding_ivf``
-    there, which keeps recall without giving back the scale bound.
+    there, which keeps recall without giving back the scale bound. In the
+    high-θ regime where this block applies, true pairs ARE sparse; band
+    space grows with log N to keep buckets pinned (SCALE.md
+    "pair-listing trio" for the measured moderate-θ adjudication).
     """
     from big_data_toolkit_spark.operators.similarity import (
         _bucket_udf,
@@ -837,6 +847,11 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     any fixed 2^bits hyperplane grid degrades toward N²/2^bits. Assignment
     is the same map-only Arrow GEMM as ``knn_ivf``'s index build; multi-assign
     (nprobe=2) recovers pairs straddling a centroid boundary.
+
+    The K ∝ N coupling is load-bearing: with K pinned, bucket size ∝ N/K
+    makes candidates quadratic again — and at θ = 0.45/d = 64 the TRUE
+    output is quadratic anyway (SCALE.md "pair-listing trio" adjudication),
+    so the scalable consumer of this operator is clustering, not listing.
     """
     from big_data_toolkit_spark.operators.similarity import (
         CENTROID_IDS,
