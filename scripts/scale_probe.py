@@ -149,8 +149,10 @@ def timed(fn, spark, sf_dir, trials=2):
 
 
 def main() -> int:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    names = sys.argv[2:] or HEADLINE
+    argv = [a for a in sys.argv[1:] if a != "--keep"]
+    keep = "--keep" in sys.argv  # reuse the amplified dir across batches
+    factor = int(argv[0]) if argv else 8
+    names = argv[1:] or HEADLINE
     out_dir = f"/tmp/bdts-scale-x{factor}"
     # The suite's sf0.1 workloads fit the 1g local default heap; a 32x
     # corpus does not — size the (not-yet-launched) JVM for the probe.
@@ -181,11 +183,11 @@ def main() -> int:
               f"({l / s:.2f}x on {factor}x data)", file=sys.stderr)
     print(json.dumps({"factor": factor, "queries": out}))
     flagged = {n: v for n, v in out.items() if v["ratio"] > factor}
+    if not keep:
+        shutil.rmtree(out_dir, ignore_errors=True)
     if flagged:
         print(f"SUPER-LINEAR: {sorted(flagged)}", file=sys.stderr)
-        shutil.rmtree(out_dir, ignore_errors=True)
         return 1
-    shutil.rmtree(out_dir, ignore_errors=True)
     return 0
 
 
