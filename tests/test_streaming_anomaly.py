@@ -10,7 +10,10 @@ from big_data_toolkit_spark.catalog import load_table
 from big_data_toolkit_spark.streaming import anomaly
 from tests.conftest import SF_ORACLE, SF_SMOKE
 from tests.oracle_utils import compare
-from tests.test_streaming import _write_stream_files
+from tests.test_streaming import (
+    _write_stream_files,
+    _write_stream_files_at_cuts,
+)
 
 
 def test_online_anomaly_oracle(spark):
@@ -87,6 +90,60 @@ def test_stream_anomalies_match_batch_on_closed_days(spark, tmp_path):
     }
     assert got == expected
     assert expected  # the corpus actually produces closed-day anomalies
+
+
+import pytest  # noqa: E402  (kept with its parametrized users below)
+
+
+@pytest.mark.parametrize(
+    "fracs",
+    [
+        (0.9,),  # one giant batch + a small tail
+        (0.07, 0.11, 0.5, 0.53, 0.9, 0.97),  # 7 uneven batches
+    ],
+    ids=["tail-heavy", "seven-uneven"],
+)
+def test_anomaly_invariant_to_batch_boundaries(spark, tmp_path, fracs):
+    """The closed-day verdicts must be identical for ANY time-ordered
+    micro-batch layout — a cut landing mid-day exercises the open-day
+    (cur_day/cur_cnt) state handoff, a cut between days exercises the
+    close-and-fold path, and both must reach the batch cumulative window's
+    answer on every closed day."""
+    src = str(tmp_path / "src")
+    _write_stream_files_at_cuts(spark, SF_ORACLE, src, fracs)
+    stream = (
+        spark.readStream.schema(load_table(spark, SF_ORACLE, "events").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "batch_*"))
+    )
+    qname = f"anom_inv_{len(fracs)}"
+    q = (
+        anomaly.stream_user_anomalies(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["day"], r["n_events"], round(r["z"], 6))
+        for r in spark.sql(f"select * from {qname}").collect()
+    }
+    last_day = {
+        r["user_id"]: r["last_day"]
+        for r in load_table(spark, SF_ORACLE, "events")
+        .groupBy("user_id")
+        .agg(F.max(F.to_date("ts")).alias("last_day"))
+        .collect()
+    }
+    expected = {
+        (r["user_id"], r["day"], r["n_events"], r["z"])
+        for r in anomaly.online_user_anomalies(spark, SF_ORACLE).collect()
+        if r["day"] < last_day[r["user_id"]]
+    }
+    assert got == expected and expected
 
 
 def test_fold_raises_on_out_of_order_days():
