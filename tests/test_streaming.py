@@ -399,3 +399,74 @@ def test_stateful_trending_invariant_to_batch_boundaries(
         for r in windows.trending_events(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """An event arriving AFTER the watermark has passed its window must be
+    excluded from the finalized count — the late-data semantic the
+    reference's manual-clock windows cannot express at all (SURVEY §2.9).
+
+    Spark's watermark guarantee is ONE-SIDED: data less delayed than the
+    watermark is never dropped, data more delayed is dropped only once the
+    window's state has been evicted — a straggler arriving while its
+    window still sits in the state store is merged (verified empirically:
+    wm propagation lags one batch, eviction happens at batch commit). So
+    the drop is staged to be observable: batch 1 puts three on-time
+    events in window W0; batch 2's event 4 h later advances the watermark
+    past W0's end; batch 3 (any later data) is where that watermark takes
+    effect and W0 is finalized, emitted, and EVICTED; batch 4 replays a
+    W0-timestamped straggler against the evicted window. It must neither
+    update the emitted row nor surface as a spurious second W0 row (which
+    is what would happen if the engine re-created state instead of
+    filtering the late row). The same W0 rows through the batch query
+    count 4 — proving this test detects late-inclusion."""
+    import datetime as dt
+
+    t0 = dt.datetime(2021, 6, 1, 12, 0, 0)
+    on_time = [
+        (t0,),
+        (t0 + dt.timedelta(minutes=20),),
+        (t0 + dt.timedelta(minutes=40),),
+    ]
+    driver = [(t0 + dt.timedelta(hours=4),)]  # watermark driver
+    evictor = [(t0 + dt.timedelta(hours=4, minutes=10),)]  # wm takes effect
+    late = [(t0 + dt.timedelta(minutes=10),)]  # W0 straggler
+    src = str(tmp_path / "src")
+    for i, batch in enumerate((on_time, driver, evictor, late)):
+        spark.createDataFrame(batch, "ts timestamp").coalesce(1).write.parquet(
+            os.path.join(src, f"batch_{i:04d}")
+        )
+    stream = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "batch_*"))
+    )
+    q = (
+        windows.stream_event_count_hourly(stream)
+        .writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["cnt"])
+        for r in spark.sql("select * from late_drop").collect()
+    }
+    # only windows the watermark finalized are emitted; W0 counts 3, the
+    # straggler is dropped (4 would mean late inclusion, a second W0 row
+    # would mean state was recreated after eviction)
+    assert got == {(t0, 3)}
+    # contrast: batch semantics over the same rows count the straggler
+    all_rows = spark.createDataFrame(
+        on_time + driver + evictor + late, "ts timestamp"
+    )
+    batch_w0 = (
+        all_rows.groupBy(F.window("ts", "60 minutes").alias("w"))
+        .count()
+        .where(F.col("w.start") == t0)
+        .collect()[0]["count"]
+    )
+    assert batch_w0 == 4
