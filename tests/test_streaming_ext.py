@@ -184,3 +184,108 @@ def test_stream_incremental_dedup_matches_batch(spark, tmp_path):
         for r in dedup.dedup_incremental(spark, SF_ORACLE).collect()
     }
     assert got == expected
+
+
+def _cut(rows, cuts):
+    """Split a time-ordered row list at explicit indices -> batch lists."""
+    bounds = [0] + list(cuts) + [len(rows)]
+    return [
+        rows[bounds[i] : bounds[i + 1]]
+        for i in range(len(bounds) - 1)
+        if rows[bounds[i] : bounds[i + 1]]
+    ]
+
+
+import pytest  # noqa: E402  (kept with its parametrized users below)
+
+
+@pytest.mark.parametrize(
+    "cuts", [(), (1,), (1, 2, 3, 4)], ids=["one-batch", "head-split", "per-event"]
+)
+def test_stream_sessions_invariant_to_batch_boundaries(spark, tmp_path, cuts):
+    """The session-window state-store merge must reach the same final
+    sessions for ANY time-ordered cut layout — a gap-bridging event in the
+    same batch as its neighbors exercises in-batch session assembly; in
+    its own batch, the provisional-session merge path."""
+    rows = [
+        (1, _m(0), 1, "click"),
+        (3, _m(5), 2, "click"),
+        (2, _m(10), 1, "view"),
+        (4, _m(25), 1, "view"),
+        (5, _m(50), 1, "click"),
+    ]
+    batches = _cut(rows, cuts) + [[(99, _m(60 * 24), 9, "click")]]
+    stream = _write_batches(spark, str(tmp_path / "src"), batches)
+    qname = f"sess_inv_{len(cuts)}"
+    _run_to_memory(windows.stream_user_sessions(stream), qname, tmp_path)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        if r["user_id"] != 9
+    }
+    # gaps 10/15/25 min all < 30 -> ONE user-1 session spanning everything
+    assert got == {
+        (1, _m(0), _m(50 + 30), 4),
+        (2, _m(5), _m(5 + 30), 1),
+    }
+
+
+@pytest.mark.parametrize(
+    "cuts", [(), (2,), (1, 2, 3)], ids=["one-batch", "dup-next-batch", "per-event"]
+)
+def test_stream_dedup_invariant_to_batch_boundaries(spark, tmp_path, cuts):
+    """dropDuplicates must keep exactly the first arrival whether the
+    duplicate lands in the same micro-batch (in-batch dedup path) or a
+    later one (state-store path)."""
+    rows = [
+        (1, _m(0), 1, "click"),
+        (2, _m(1), 1, "view"),
+        (1, _m(0), 1, "click"),  # replay of event 1
+        (3, _m(2), 2, "click"),
+    ]
+    batches = _cut(rows, cuts)
+    stream = _write_batches(spark, str(tmp_path / "src"), batches)
+    qname = f"dedup_inv_{len(cuts)}"
+    _run_to_memory(windows.stream_dedup_events(stream), qname, tmp_path)
+    ids = sorted(
+        r["event_id"] for r in spark.sql(f"SELECT * FROM {qname}").collect()
+    )
+    assert ids == [1, 2, 3]
+
+
+@pytest.mark.parametrize(
+    "cuts", [(), (1,), (1, 2)], ids=["one-batch", "head-split", "per-event"]
+)
+def test_stream_stream_join_invariant_to_batch_boundaries(
+    spark, tmp_path, cuts
+):
+    """The interval join must emit the same matches no matter how the
+    purchase side is cut — a purchase buffered across triggers before its
+    click's window closes exercises the state-store probe path."""
+    clicks = _write_batches(
+        spark,
+        str(tmp_path / "clicks"),
+        [
+            [(10, _m(0), 1, "click"), (11, _m(0), 2, "click")],
+            [(98, _m(60 * 24), 8, "click")],  # sentinel
+        ],
+    )
+    prows = [
+        (20, _m(30), 1, "purchase"),  # in window for click 10
+        (21, _m(90), 1, "purchase"),  # beyond 60 min -> no match
+        (22, _m(30), 3, "purchase"),  # wrong user -> no match
+    ]
+    purchases = _write_batches(
+        spark,
+        str(tmp_path / "purch"),
+        _cut(prows, cuts) + [[(99, _m(60 * 24), 9, "purchase")]],
+    )
+    joined = windows.stream_click_purchase_join(clicks, purchases)
+    qname = f"cpj_inv_{len(cuts)}"
+    _run_to_memory(joined, qname, tmp_path)
+    rows = [
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        if r["user_id"] < 8
+    ]
+    assert rows == [(1, 10, 20)]
