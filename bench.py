@@ -224,6 +224,16 @@ HEADLINE = {
     "q15": sql_analytics.q15_top_supplier,
     "q11": sql_analytics.q11_important_parts,
     "q16": sql_analytics.q16_supplier_part_variety,
+    # Round-8 (session 7): the last five TPC-H shapes — with these every
+    # one of Q1-Q22 has an engine adaptation (Q22 = dormant_rich_customers).
+    # Multi-dim profit rollup (Q9), late-shipment conditional counts (Q12),
+    # derived-catalog correlated min (Q2), dominance semi-join (Q20),
+    # EXISTS/NOT-EXISTS waiting-supplier count (Q21).
+    "q9": sql_analytics.q9_product_type_profit,
+    "q12": sql_analytics.q12_late_priority_lines,
+    "q20": sql_analytics.q20_potential_promotion,
+    "q21": sql_analytics.q21_waiting_suppliers,
+    "q2_min_cost": sql_analytics.q2_min_cost_supplier,
 }
 
 

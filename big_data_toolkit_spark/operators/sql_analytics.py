@@ -977,6 +977,367 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q9_PART_WORD = "red"  # p_name adjective filter (~13% of parts)
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(nation, o_year, profit_cc): TPC-H Q9 product-type profit — per
+    supplier-nation per order-year profit on pattern-matched parts. The
+    synthetic schema has no partsupp/ps_supplycost, so unit cost is
+    ``p_retailprice`` (the part's list price — a per-part constant, the
+    same role ps_supplycost plays): profit = revenue − retailprice·qty.
+
+    Plan shape at 100 TB: the p_name filter keeps ~13% of part, which
+    BROADCASTS (with its retail cents) into the fact and prunes lineitem
+    to the same fraction before anything shuffles; supplier⋈nation
+    pre-joins dim-side (100 rows) and broadcasts; the only shuffle is
+    lineitem⋈orders on high-cardinality ``l_orderkey`` (needed for the
+    order YEAR — even partitioning, no skew), then a partial-aggregated
+    rollup into ≤ |nations|·|years| cells. Exact integer protocol:
+    revenue accumulates as hundredths-of-a-cent (cents × (100−pct)),
+    cost as retail-cents × qty-hundredths — the same cc unit — so the
+    difference is exact BIGINT.
+
+    int64 headroom: |rev−cost| ≤ ~1e9 per row; at a 100 TB corpus
+    (~6e10 rows) over ≥175 (nation, year) cells ≈ 3.4e8 rows/cell
+    → ~3.4e17 per-cell sum, 27× inside int64. Escape hatch if margins
+    thin: sum as decimal(38,0) on both engines (the
+    embedding_covariance note's swap).
+    """
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").contains(Q9_PART_WORD))
+        .select(
+            "p_partkey",
+            (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("retail_cents"),
+        )
+    )
+    supp_nat = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    pct = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long")
+    qty_c = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+    profit = cents * (F.lit(100) - pct) - F.col("retail_cents") * qty_c
+    return (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(F.sum(profit).alias("profit_cc"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q12_YEAR_START = "1997-01-01 00:00:00"
+Q12_YEAR_END = "1998-01-01 00:00:00"
+Q12_LATE_DAYS = 90
+Q12_HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def q12_late_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_returnflag, high_line_count, low_line_count): TPC-H Q12 shipping
+    modes — conditional priority counts over LATE lineitems in a 1-year
+    window. The synthetic schema has no l_shipmode/commitdate/receiptdate,
+    so the grouped attribute is ``l_returnflag`` and "late" is the q4
+    convention (shipped > ``Q12_LATE_DAYS`` days after the order date).
+    The Q12 signature survives intact: a fact⋈fact join whose predicate
+    references both sides, then TWO conditional counts folded into one
+    partial-aggregated pass (CASE inside sum — Catalyst evaluates both
+    branches in a single aggregate operator, one scan).
+
+    Plan: the shipdate year window prunes the lineitem scan to ~1/7 at
+    the row-group level BEFORE the join; the only shuffle is the
+    ``l_orderkey`` equi-join (the late inequality is a post-probe filter,
+    not a range-join blowup); final rollup is ≤ |returnflags| cells.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit(Q12_YEAR_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q12_YEAR_END).cast("timestamp"))
+        )
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin(*Q12_HIGH_PRIORITIES)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q12_LATE_DAYS} DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q20_YEAR_START = "1997-01-01 00:00:00"
+Q20_YEAR_END = "1998-01-01 00:00:00"
+Q20_PART_WORD = "red"
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s_name, n_name): TPC-H Q20 potential part promotion — suppliers
+    who DOMINATED the year's shipments of some pattern-matched part. The
+    synthetic schema has no partsupp.ps_availqty, so Q20's correlated
+    half-of-shipped-quantity threshold becomes: supplier s qualifies if
+    for some part p, s shipped MORE THAN HALF of p's total shipped
+    quantity that year (``2·shipped > Σ shipped over p``) — the same
+    correlated-aggregate-then-semi-join shape, compared in exact integer
+    quantity-hundredths. (TPC-H also pins one nation; kept unfiltered
+    here so the result exercises the full dim chain — the nation filter
+    would be a trivial broadcast predicate on top.)
+
+    Plan: the part-name filter broadcasts into the year-pruned fact;
+    shuffle 1 aggregates (part, supplier) shipped totals (partial-agg);
+    shuffle 2 is the window re-key by part for the per-part total —
+    bounded by |parts|·|suppliers| rows, NOT fact rows, so at 100 TB the
+    window input is catalog-sized. The dominance filter then semi-joins
+    (distinct suppliers) and the dim chain broadcasts.
+    """
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").contains(Q20_PART_WORD))
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit(Q20_YEAR_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q20_YEAR_END).cast("timestamp"))
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_quantity").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("qty_c"),
+        )
+    )
+    shipped = (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qty_c").alias("shipped_c"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        shipped.withColumn("part_total_c", F.sum("shipped_c").over(w))
+        .where(F.col("shipped_c") * 2 > F.col("part_total_c"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp_nat = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        dominant.join(
+            F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+Q21_LATE_DAYS = 180
+Q21_TOP_K = 20
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s_name, numwait): TPC-H Q21 suppliers-who-kept-orders-waiting —
+    for finalized ('F') multi-supplier orders, count each supplier's late
+    lineitems on orders where it was the ONLY late supplier (late = the
+    q4 convention, > ``Q21_LATE_DAYS`` days after order date; the
+    synthetic schema has no receipt/commit dates). Top ``Q21_TOP_K`` by
+    count. This is the EXISTS + NOT-EXISTS double-correlation of the
+    original, re-expressed as ONE per-order aggregate: distinct-supplier
+    count (the EXISTS: another supplier shipped in the order), the
+    distinct set of LATE suppliers (the NOT EXISTS: exactly this one
+    late), and the late-line count (Q21 counts l1 ROWS, not orders — a
+    supplier twice-late on one order counts twice).
+
+    Plan: ONE fact⋈fact shuffle on ``l_orderkey`` (status filter prunes
+    orders to ~1/3 first), whose output partitioning the per-order
+    groupBy REUSES (no second exchange — the groupBy key IS the join
+    key); per-order state is bounded by suppliers-per-order (~4), so
+    collect_list here is order-arity-bounded, never corpus-bounded; the
+    culprit re-key is a ≤|orders|-row shuffle into ≤|suppliers| cells;
+    the name join broadcasts; top-k compiles to TakeOrderedAndProject.
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+    ).alias("is_late")
+    per_order = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", late)
+        .groupBy("l_orderkey")
+        .agg(
+            # NOT countDistinct: that compiles to a second two-phase
+            # expand-exchange on (orderkey, suppkey). Order arity is
+            # bounded (~4 suppliers/order), so the distinct folds into
+            # the collect_list aggregate already being computed — one
+            # exchange total, reusing the join's partitioning at scale.
+            F.size(F.array_distinct(F.collect_list("l_suppkey"))).alias(
+                "n_supp"
+            ),
+            F.array_distinct(
+                F.collect_list(F.when(F.col("is_late"), F.col("l_suppkey")))
+            ).alias("late_supps"),
+            F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias(
+                "n_late_lines"
+            ),
+        )
+    )
+    culprits = per_order.where(
+        (F.size("late_supps") == 1) & (F.col("n_supp") > 1)
+    ).select(
+        F.element_at("late_supps", 1).alias("culprit"), "n_late_lines"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        culprits.groupBy("culprit")
+        .agg(F.sum("n_late_lines").alias("numwait"))
+        .join(F.broadcast(supp), F.col("culprit") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(Q21_TOP_K)
+    )
+
+
+Q2_TYPE = "STANDARD"
+Q2_MAX_SIZE = 15
+Q2_REGION = "ASIA"
+Q2_TOP_K = 100
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s_acctbal_c, s_name, n_name, p_partkey, p_name, supply_cost_cc):
+    the REAL TPC-H Q2 minimum-cost-supplier shape (``q2_orders_shipped``
+    is the reference a6 approximation; this is the canonical
+    correlated-min form). The synthetic schema has no partsupp, so the
+    part-supplier catalog is DERIVED from observed shipments: supplier
+    s's cost for part p = the MINIMUM unit price (extendedprice/quantity,
+    truncating integer division to hundredths-of-a-cent — exact and
+    engine-identical on positive values) s ever shipped p at. Within one
+    region, for small parts of one type, emit the suppliers achieving
+    each part's regional minimum cost — Q2's correlated min — ordered by
+    account balance (cents) like the original, top ``Q2_TOP_K``.
+
+    Plan: shuffle 1 builds the derived catalog (groupBy (part, supplier),
+    partial-agg min); everything after operates on catalog-sized data
+    (≤ |part|·|supplier| rows, NOT fact rows — at 100 TB the catalog is
+    bounded the same way partsupp itself would be). Dim filters broadcast
+    (region→nation→supplier chain collapses to ~1/5 of suppliers; the
+    part predicate to ~5% of parts); shuffle 2 re-keys by part for the
+    window min — the correlated subquery as a single window pass, no
+    self-join. Top-k compiles to TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("qty_c"),
+    )
+    ps = (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr("(cents * 10000) DIV qty_c").alias("unit_cc"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_cc").alias("supply_cost_cc"))
+    )
+    region_nations = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").where(
+                    F.col("r_name") == Q2_REGION
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(region_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            (F.col("s_acctbal").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("s_acctbal_c"),
+        )
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_type") == Q2_TYPE) & (F.col("p_size") <= Q2_MAX_SIZE)
+        )
+        .select("p_partkey", "p_name")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        ps.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("min_cost_cc", F.min("supply_cost_cc").over(w))
+        .where(F.col("supply_cost_cc") == F.col("min_cost_cc"))
+        .select(
+            "s_acctbal_c",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "supply_cost_cc",
+        )
+        .orderBy(F.desc("s_acctbal_c"), "n_name", "s_name", "p_partkey")
+        .limit(Q2_TOP_K)
+    )
+
+
 QUERIES = {
     "q1_count_shipped": q1_count_shipped,
     "q2_orders_shipped": q2_orders_shipped,
@@ -998,6 +1359,11 @@ QUERIES = {
     "q15_top_supplier": q15_top_supplier,
     "q11_important_parts": q11_important_parts,
     "q16_supplier_part_variety": q16_supplier_part_variety,
+    "q9_product_type_profit": q9_product_type_profit,
+    "q12_late_priority_lines": q12_late_priority_lines,
+    "q20_potential_promotion": q20_potential_promotion,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
 }
 
 ORACLE_SQL["q18_large_volume_customers"] = f"""
@@ -1246,4 +1612,118 @@ ORACLE_SQL["q16_supplier_part_variety"] = f"""
       AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
                             WHERE s_acctbal < 0)
     GROUP BY p_brand, p_type, p_size
+"""
+
+ORACLE_SQL["q9_product_type_profit"] = f"""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                             AS BIGINT))
+             - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+           ) AS BIGINT) AS profit_cc
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%{Q9_PART_WORD}%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year DESC
+"""
+
+ORACLE_SQL["q12_late_priority_lines"] = f"""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN
+                    ({', '.join(repr(p) for p in Q12_HIGH_PRIORITIES)})
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN
+                    ({', '.join(repr(p) for p in Q12_HIGH_PRIORITIES)})
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '{Q12_YEAR_START}'
+      AND l_shipdate <  TIMESTAMP '{Q12_YEAR_END}'
+      AND l_shipdate > o_orderdate + INTERVAL {Q12_LATE_DAYS} DAYS
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+ORACLE_SQL["q20_potential_promotion"] = f"""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS shipped_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{Q20_YEAR_START}'
+        AND l_shipdate <  TIMESTAMP '{Q20_YEAR_END}'
+        AND l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE '%{Q20_PART_WORD}%')
+      GROUP BY l_partkey, l_suppkey
+    ), dom AS (
+      SELECT DISTINCT l_suppkey
+      FROM (SELECT l_suppkey, shipped_c,
+                   sum(shipped_c) OVER (PARTITION BY l_partkey) AS total_c
+            FROM shipped)
+      WHERE shipped_c * 2 > total_c
+    )
+    SELECT DISTINCT s_name, n_name
+    FROM dom
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    ORDER BY s_name
+"""
+
+ORACLE_SQL["q21_waiting_suppliers"] = f"""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders   ON l1.l_orderkey = o_orderkey
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAYS
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate >
+                            o_orderdate + INTERVAL {Q21_LATE_DAYS} DAYS)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT {Q21_TOP_K}
+"""
+
+ORACLE_SQL["q2_min_cost_supplier"] = f"""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min((CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) * 10000)
+                 // CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS supply_cost_cc
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    ), regional AS (
+      SELECT ps.l_partkey, ps.supply_cost_cc,
+             s_name, n_name,
+             CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS s_acctbal_c
+      FROM ps
+      JOIN supplier ON ps.l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = '{Q2_REGION}'
+    )
+    SELECT s_acctbal_c, s_name, n_name,
+           p_partkey, p_name, CAST(supply_cost_cc AS BIGINT) AS supply_cost_cc
+    FROM regional
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_type = '{Q2_TYPE}' AND p_size <= {Q2_MAX_SIZE}
+      AND supply_cost_cc = (SELECT min(r2.supply_cost_cc)
+                            FROM regional r2
+                            WHERE r2.l_partkey = regional.l_partkey)
+    ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey
+    LIMIT {Q2_TOP_K}
 """

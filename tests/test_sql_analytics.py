@@ -332,3 +332,135 @@ def test_q16_antijoin_broadcasts_and_bounded_distinct(spark):
     assert all(0 < r["supplier_cnt"] <= good_supp for r in rows)
     cnts = [r["supplier_cnt"] for r in rows]
     assert cnts == sorted(cnts, reverse=True)
+
+
+def test_q9_broadcasts_dims_single_agg_pass(spark):
+    """Q9 shape: part (name-filtered, with retail cents) and
+    supplier⋈nation broadcast into the fact; the profit rollup is
+    partial-aggregated (map-side combine before the one agg shuffle);
+    no cartesian anywhere."""
+    df = sa.q9_product_type_profit(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_q12_year_window_pushdown_and_conditional_counts(spark):
+    """Q12 shape: the shipdate year window reaches the parquet scan; both
+    priority counts come out of ONE aggregate (no second scan); the late
+    inequality is a join filter, not a range-join blowup."""
+    df = sa.q12_late_priority_lines(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    rows = df.collect()
+    assert rows
+    flags = [r["l_returnflag"] for r in rows]
+    assert flags == sorted(flags)
+    assert all(
+        r["high_line_count"] >= 0 and r["low_line_count"] >= 0 for r in rows
+    )
+
+
+def test_q20_window_over_catalog_not_fact(spark):
+    """Q20 shape: the dominance window runs over the AGGREGATED
+    (part, supplier) catalog — its input is a HashAggregate, never raw
+    fact rows — and the year predicate pushes to the lineitem scan."""
+    df = sa.q20_potential_promotion(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    assert "Window" in plan
+    window_pos = plan.index("Window")
+    assert "HashAggregate" in plan[window_pos:], (
+        "window must consume the grouped catalog, not fact rows"
+    )
+
+
+def test_q21_no_expand_and_topk(spark):
+    """Q21 shape: the per-order aggregate computes distinct-supplier
+    count WITHOUT countDistinct's two-phase Expand exchange (order arity
+    is bounded, the distinct folds into collect_list), and the final
+    top-k compiles to TakeOrderedAndProject, never a global sort."""
+    df = sa.q21_waiting_suppliers(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Expand" not in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_q21_culprit_semantics(spark):
+    """Value-level pin of the EXISTS/NOT-EXISTS translation: every
+    reported supplier must, on at least one finalized multi-supplier
+    order, be the ONLY late supplier — and numwait counts LINES (a
+    supplier twice-late on one order counts twice), matching TPC-H's
+    row-per-l1 semantics."""
+    from big_data_toolkit_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    rows = sa.q21_waiting_suppliers(spark, SF_ORACLE).collect()
+    assert rows
+    # independently recompute one reported supplier's numwait
+    name = rows[0]["s_name"]
+    supp = {
+        r["s_name"]: r["s_suppkey"]
+        for r in load_table(spark, SF_ORACLE, "supplier").collect()
+    }
+    skey = supp[name]
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    orders = load_table(spark, SF_ORACLE, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {sa.Q21_LATE_DAYS} DAYS"),
+    )
+    per_order = (
+        j.groupBy("l_orderkey")
+        .agg(
+            F.collect_set("l_suppkey").alias("supps"),
+            F.collect_set(
+                F.when(F.col("is_late"), F.col("l_suppkey"))
+            ).alias("late"),
+            F.sum(
+                F.when(
+                    F.col("is_late") & (F.col("l_suppkey") == skey), 1
+                ).otherwise(0)
+            ).alias("my_late_lines"),
+        )
+        .collect()
+    )
+    expect = sum(
+        r["my_late_lines"]
+        for r in per_order
+        if len(r["supps"]) > 1 and [x for x in r["late"]] == [skey]
+    )
+    assert rows[0]["numwait"] == expect
+
+
+def test_q2_correlated_min_as_window(spark):
+    """Q2 shape: the correlated per-part minimum is ONE window pass over
+    the derived catalog (no self-join of ps against itself), dims
+    broadcast, and the top-k compiles to TakeOrderedAndProject."""
+    df = sa.q2_min_cost_supplier(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_q2_min_cost_winners_only(spark):
+    """Every emitted (part, supplier) pair achieves exactly its part's
+    regional minimum derived cost, and ordering follows acctbal desc."""
+    rows = sa.q2_min_cost_supplier(spark, SF_ORACLE).collect()
+    assert rows
+    best: dict = {}
+    for r in rows:
+        best.setdefault(r["p_partkey"], set()).add(r["supply_cost_cc"])
+    assert all(len(v) == 1 for v in best.values()), (
+        "two different costs reported as the same part's minimum"
+    )
+    bals = [r["s_acctbal_c"] for r in rows]
+    assert bals == sorted(bals, reverse=True)
