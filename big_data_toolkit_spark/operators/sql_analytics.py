@@ -1277,7 +1277,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("qty_c"),
     )
     ps = (
-        li.select(
+        # validity guard (P10 convention): a zero/negative quantity would
+        # make the two engines diverge (Spark DIV yields null, DuckDB //
+        # raises) — excluded identically on both sides.
+        li.where(F.col("qty_c") > 0)
+        .select(
             "l_partkey",
             "l_suppkey",
             F.expr("(cents * 10000) DIV qty_c").alias("unit_cc"),
@@ -1704,6 +1708,7 @@ ORACLE_SQL["q2_min_cost_supplier"] = f"""
                  // CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
                AS supply_cost_cc
       FROM lineitem
+      WHERE l_quantity > 0
       GROUP BY l_partkey, l_suppkey
     ), regional AS (
       SELECT ps.l_partkey, ps.supply_cost_cc,
