@@ -236,6 +236,14 @@ _DEFERRED = [
     "priority_sample",
     "distinct_users_by_type",
     "skewed_join_enrich",
+    # Round-8 session-7 additions (the TPC-H Q1-Q22 completion) — never
+    # driver-rowed yet; plan_rotation prioritizes them into the r9 head
+    # from CORRECTNESS evidence regardless of their order here.
+    "q9_product_type_profit",
+    "q12_late_priority_lines",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
 ]
 
 
