@@ -1257,14 +1257,19 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     each part's regional minimum cost — Q2's correlated min — ordered by
     account balance (cents) like the original, top ``Q2_TOP_K``.
 
-    Plan: shuffle 1 builds the derived catalog (groupBy (part, supplier),
-    partial-agg min); everything after operates on catalog-sized data
-    (≤ |part|·|supplier| rows, NOT fact rows — at 100 TB the catalog is
-    bounded the same way partsupp itself would be). Dim filters broadcast
-    (region→nation→supplier chain collapses to ~1/5 of suppliers; the
-    part predicate to ~5% of parts); shuffle 2 re-keys by part for the
-    window min — the correlated subquery as a single window pass, no
-    self-join. Top-k compiles to TakeOrderedAndProject.
+    Plan: both dim filters commute with the catalog aggregate (partkey
+    and suppkey are its GROUP KEYS — filtering a group key before or
+    after grouping is identical), so the filtered part keys (~5% of
+    parts) and region-chain suppliers (~1/5) BROADCAST into lineitem
+    BEFORE the groupBy — the catalog shuffle aggregates ~1% of the fact,
+    not all of it, and everything after operates on catalog-sized data
+    (≤ |part|·|supplier| rows, bounded the same way partsupp itself
+    would be). Shuffle 2 re-keys by part for the window min — the
+    correlated subquery as a single window pass, no self-join. Top-k
+    compiles to TakeOrderedAndProject. (The DuckDB oracle states the
+    unfiltered-catalog form; its optimizer performs the same semijoin
+    pushdown, and equality of the two forms IS the commutation
+    argument, checked at both scale factors.)
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
@@ -1275,19 +1280,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_quantity").cast("decimal(18,2)") * 100)
         .cast("long")
         .alias("qty_c"),
-    )
-    ps = (
-        # validity guard (P10 convention): a zero/negative quantity would
-        # make the two engines diverge (Spark DIV yields null, DuckDB //
-        # raises) — excluded identically on both sides.
-        li.where(F.col("qty_c") > 0)
-        .select(
-            "l_partkey",
-            "l_suppkey",
-            F.expr("(cents * 10000) DIV qty_c").alias("unit_cc"),
-        )
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.min("unit_cc").alias("supply_cost_cc"))
     )
     region_nations = (
         load_table(spark, sf_dir, "nation")
@@ -1323,11 +1315,39 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_name")
     )
+    ps = (
+        # validity guard (P10 convention): a zero/negative quantity would
+        # make the two engines diverge (Spark DIV yields null, DuckDB //
+        # raises) — excluded identically on both sides.
+        li.where(F.col("qty_c") > 0)
+        # dim filters pushed BELOW the catalog aggregate (they commute:
+        # both are filters on the group keys) — the groupBy sees ~1% of
+        # the fact instead of all of it.
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr("(cents * 10000) DIV qty_c").alias("unit_cc"),
+            "s_name",
+            "n_name",
+            "s_acctbal_c",
+            "p_name",
+        )
+        .groupBy(
+            "l_partkey",
+            "l_suppkey",
+            "s_name",
+            "n_name",
+            "s_acctbal_c",
+            "p_name",
+        )
+        .agg(F.min("unit_cc").alias("supply_cost_cc"))
+        .withColumnRenamed("l_partkey", "p_partkey")
+    )
     w = Window.partitionBy("p_partkey")
     return (
-        ps.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
-        .withColumn("min_cost_cc", F.min("supply_cost_cc").over(w))
+        ps.withColumn("min_cost_cc", F.min("supply_cost_cc").over(w))
         .where(F.col("supply_cost_cc") == F.col("min_cost_cc"))
         .select(
             "s_acctbal_c",
