@@ -26,4 +26,9 @@ if [ "$1" = "--full" ]; then
 else
   echo "== 4-6/6 skipped (pass --full for strict + cross-SF + empty sweeps) =="
 fi
+
+if [ "$1" = "--fuzz" ] || [ "$2" = "--fuzz" ]; then
+  echo "== fuzz: full-registry sweep on a GENERATED adversarial dir =="
+  python scripts/fuzz_sweep.py 0
+fi
 echo "CI OK"
