@@ -258,3 +258,67 @@ def test_docs_fuzz_plants_are_detected(spark, tmp_path):
     assert len(exact) <= n_docs - 6
     leak = entry.queries()["cross_source_leakage"](spark, sf).collect()
     assert leak, "planted cross-source duplicate not flagged"
+
+
+SKEW_FUZZ = [
+    "skewed_join_enrich",      # the salted hot-key join itself
+    "distinct_users_by_type",  # two-phase distinct under key skew
+    "user_value_moving_avg",   # one giant user partition's RANGE frames
+    "user_sessions",           # one user's session chain dominates
+    "dau_wau_stickiness",      # rolling distincts with a dominant user
+    "event_count_hourly",      # hot hours
+]
+
+
+def _write_skew_fuzz(tmpdir: str, seed: int) -> str:
+    """Adversarially SKEWED events: one user emits ~80% of all events,
+    one event_type covers ~70%, and half of everything lands inside a
+    single hot hour — the layouts where salted joins, two-phase
+    distincts, and per-key window state either hold or break."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(4000 + seed)
+    out = os.path.join(tmpdir, f"skewfuzz{seed}")
+    os.makedirs(out, exist_ok=True)
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings",
+    ):
+        shutil.copy(
+            f"/root/testdata/sf0.001/{t}.parquet", f"{out}/{t}.parquet"
+        )
+
+    n_ev = 500
+    users = np.where(
+        rng.uniform(size=n_ev) < 0.8, 7, rng.integers(1, 13, n_ev)
+    ).astype("int64")
+    types = np.where(
+        rng.uniform(size=n_ev) < 0.7,
+        "click",
+        rng.choice(["signup", "view", "purchase", "error"], n_ev),
+    )
+    # half the corpus inside ONE hot hour, the rest across 2 days
+    hot = rng.uniform(size=n_ev) < 0.5
+    secs = np.where(
+        hot,
+        3600 * 5 + rng.integers(0, 3600, n_ev),
+        rng.integers(0, 2 * 86400, n_ev),
+    )
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(secs, unit="s")
+    pd.DataFrame({
+        "event_id": np.arange(n_ev, dtype="int64"),
+        "ts": ts.astype("datetime64[us]"),
+        "user_id": users,
+        "event_type": types,
+        "value": np.round(rng.uniform(0, 300, n_ev), 2),
+        "props": [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, n_ev)],
+    }).to_parquet(f"{out}/events.parquet")
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("name", SKEW_FUZZ)
+def test_skewed_events_fuzz_vs_oracle(spark, tmp_path, name, seed):
+    sf = _write_skew_fuzz(str(tmp_path), seed)
+    compare(entry.queries()[name](spark, sf), entry.oracle_sql()[name], sf)
