@@ -51,93 +51,28 @@ _MODULES = [
 # The driver's correctness gate records rows for the FIRST 50 queries in
 # dict-insertion order (observed: CORRECTNESS keys == queries()[:50] every
 # round).  Coverage rotates so no query's newest driver row goes stale.
-# Round-8 rotation (amended late-r8 via `scripts/plan_rotation.py`, which
-# generalizes the recorded `scripts/plan_r8.py` plan to the 150-query
-# registry): `user_value_moving_avg` — hash-red in r6 AND r7, root-caused by
-# the r7 judge to DuckDB HUGEINT widening in the ORACLE's window sums, now
-# CAST back to BIGINT — retries first, then ALL 48 never-rowed queries (the
-# 35 r6-batch-4/r7 additions the original plan listed PLUS the 13 mid-r8
-# additions: classic TPC-H shapes and the span/codec queries) get their
-# FIRST driver rows.  The planner's 50th pick (staleness: `sgd_train`,
-# rows-only by design, rowed r01+r02) is overridden by
-# `dedup_star_components` — its code changed this round (single-distinct
-# rounds + modular signature checksum) and the r7 judge flagged its bench
-# line weak, so a fresh post-change driver row carries more evidence than a
-# rows-only refresh.  1 + 48 + 1 = 50; this zeroes the never-rowed backlog
-# COMPLETELY (every one of the 150 registered queries has a driver row after
-# r8 lands).  The single-r6-row queries the original plan would have
-# refreshed stay at 2-rounds-old evidence — inside the documented period-3
-# rotation tolerance — and head the r9 refresh queue in _DEFERRED.
+# Round-9 rotation (emitted by `scripts/plan_rotation.py` after fixing its
+# no_oracle-as-red bug: rows-only-by-design queries record null matches with
+# err == "no_oracle" — a clean row, not a retry).  Priority per the recorded
+# evidence: (1) no red rows exist to retry (r8 was 50/50 clean); (2) the 5
+# never-rowed post-r8-gate TPC-H completions (q9/q12/q20/q21/q2) get their
+# FIRST driver rows — never-rowed beats refresh; (3) staleness refreshes,
+# oldest newest-row first: the three rows-only queries whose newest rows are
+# r02/r04 (`sgd_train`, `sgd_score`, `event_reach_approx` — the oldest
+# evidence on the board, VERDICT r8 task 6), then 42 of the 48 queries whose
+# newest row is r6.  The remaining 6 r6-rowed queries defer to the r10 head
+# at age 3 — the maximum the CI staleness gate (scripts/check_staleness.py)
+# allows, and unavoidable at 155 registered queries x 50 rows/round
+# (period ceil(155/50) = 4 rows every 4 rounds, so age peaks at 3).
 _HEAD = [
-    # -- the r6+r7 red, oracle fixed (CAST sums AS BIGINT): green-row retry --
-    "user_value_moving_avg",
-    # -- 48 never-rowed: first driver rows (registry order) --
-    "nearest_centroid_confusion",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q1_pricing_summary",
-    "q10_returned_items",
-    "q19_discounted_revenue",
-    "customer_rfm",
-    "order_backlog_timeline",
-    "audience_overlap",
-    "dormant_rich_customers",
-    "audience_overlap_approx",  # no_oracle by design: HLL sketches
-    "bpe_merges",
-    "bpe_vocab",
-    "heavy_hitters_cms",
-    "embedding_covariance",
-    "pca_variance",  # no_oracle by design: eigendecomposition
-    "embedding_outliers",
-    "corpus_shuffle",
-    "part_affinity",
-    "integrity_audit",
-    "fuzzy_name_matches",
-    "snapshot_diff",
-    "q5_local_supplier_volume",
-    "batch_gd_train",
-    "batch_gd_score",
-    "dau_wau_stickiness",
-    "customer_cohort_ltv",
-    "order_fulfillment_percentiles_approx",  # no_oracle by design: sketch
-    "index_merge_incremental",
-    "weekly_reach_from_sketches",  # no_oracle by design: mergeable sketches
-    "label_propagation_communities",
-    "boolean_and_not",
-    "phrase_search",
-    "q6_forecast_revenue",
-    "priority_revenue_share",
-    "q3_shipping_priority",
-    "q14_promo_revenue",
-    "q18_large_volume_customers",
-    "q4_order_priority_checking",
-    "audio_wav_features",
-    "image_png_features",
-    "duplicate_ngram_spans",
-    "remove_duplicate_spans",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q15_top_supplier",
-    "q11_important_parts",
-    "q16_supplier_part_variety",
-    # -- changed-code refresh (session-4 rewrite + r7 perf-weak flag) --
-    "dedup_star_components",
-]
-
-# Deferred queries, ordered by staleness (newest driver row, oldest first) —
-# the r9 top-up priority order.  Every deferred query remains registered and
-# pytest-oracle-covered (tests/oracle_utils.compare replicates the driver's
-# comparison, now including its typed-value hash sensitivity via the
-# no-HUGEINT/DECIMAL-mismatch guard).  Queries added mid-round and absent
-# from both lists fall to the very tail (the r9 never-rowed queue).
-_DEFERRED = [
-    # rows-only by design, rowed r01+r02 / r04
+    "q9_product_type_profit",
+    "q12_late_priority_lines",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
     "sgd_train",
     "sgd_score",
     "event_reach_approx",
-    # newest row r6 (not refreshed this round) — these 13 were the original
-    # plan_r8 refresh slots, ceded to the 13 mid-r8 never-rowed additions;
-    # they head the r9 refresh queue
     "kmeans_clusters",
     "cluster_balanced_sample",
     "text_clean",
@@ -180,13 +115,22 @@ _DEFERRED = [
     "lineitem_stats",
     "event_count_sliding",
     "user_sessions",
+]
+
+# Deferred queries, ordered by staleness (newest driver row round ascending,
+# registry order) — the r10 refresh priority order.  Every deferred query
+# remains registered and pytest-oracle-covered (tests/oracle_utils.compare
+# replicates the driver's comparison, including its typed-value hash
+# sensitivity via the no-HUGEINT/DECIMAL-mismatch guard).  Queries added
+# mid-round and absent from both lists fall to the very tail (the r10
+# never-rowed queue, which plan_rotation prioritizes ahead of refreshes).
+_DEFERRED = [
     "curated_corpus",
     "customers_without_orders",
     "daily_activity_full",
     "never_ordered_parts",
     "image_features",
     "shard_pack",
-    # newest row r7
     "keyword_extraction",
     "ranked_retrieval_tfidf",
     "kcore_subgraph",
@@ -236,14 +180,56 @@ _DEFERRED = [
     "priority_sample",
     "distinct_users_by_type",
     "skewed_join_enrich",
-    # Round-8 session-7 additions (the TPC-H Q1-Q22 completion) — never
-    # driver-rowed yet; plan_rotation prioritizes them into the r9 head
-    # from CORRECTNESS evidence regardless of their order here.
-    "q9_product_type_profit",
-    "q12_late_priority_lines",
-    "q20_potential_promotion",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
+    "user_value_moving_avg",
+    "nearest_centroid_confusion",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q1_pricing_summary",
+    "q10_returned_items",
+    "q19_discounted_revenue",
+    "customer_rfm",
+    "order_backlog_timeline",
+    "audience_overlap",
+    "dormant_rich_customers",
+    "audience_overlap_approx",
+    "bpe_merges",
+    "bpe_vocab",
+    "heavy_hitters_cms",
+    "embedding_covariance",
+    "pca_variance",
+    "embedding_outliers",
+    "corpus_shuffle",
+    "part_affinity",
+    "integrity_audit",
+    "fuzzy_name_matches",
+    "snapshot_diff",
+    "q5_local_supplier_volume",
+    "batch_gd_train",
+    "batch_gd_score",
+    "dau_wau_stickiness",
+    "customer_cohort_ltv",
+    "order_fulfillment_percentiles_approx",
+    "index_merge_incremental",
+    "weekly_reach_from_sketches",
+    "label_propagation_communities",
+    "boolean_and_not",
+    "phrase_search",
+    "q6_forecast_revenue",
+    "priority_revenue_share",
+    "q3_shipping_priority",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q4_order_priority_checking",
+    "audio_wav_features",
+    "image_png_features",
+    "duplicate_ngram_spans",
+    "remove_duplicate_spans",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q15_top_supplier",
+    "q11_important_parts",
+    "q16_supplier_part_variety",
+    "dedup_star_components",
 ]
 
 

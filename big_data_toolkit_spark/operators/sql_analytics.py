@@ -1160,6 +1160,10 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey")
         )
         .select("s_name", "n_name")
+        # distinct on the OUTPUT key, matching the oracle's SELECT
+        # DISTINCT: two dominant suppkeys mapping to the same
+        # (s_name, n_name) must collapse to one row on both sides.
+        .distinct()
         .orderBy("s_name")
     )
 
@@ -1229,10 +1233,13 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        culprits.groupBy("culprit")
+        # Aggregate on s_name AFTER the broadcast name join — the same
+        # grouping key the canonical Q21 (and the oracle) uses, so two
+        # suppliers sharing an s_name merge identically on both sides.
+        # The culprit rows are ≤|orders|, so the s_name shuffle is tiny.
+        culprits.join(F.broadcast(supp), F.col("culprit") == F.col("s_suppkey"))
+        .groupBy("s_name")
         .agg(F.sum("n_late_lines").alias("numwait"))
-        .join(F.broadcast(supp), F.col("culprit") == F.col("s_suppkey"))
-        .select("s_name", "numwait")
         .orderBy(F.desc("numwait"), "s_name")
         .limit(Q21_TOP_K)
     )
@@ -1316,9 +1323,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_name")
     )
     ps = (
-        # validity guard (P10 convention): a zero/negative quantity would
-        # make the two engines diverge (Spark DIV yields null, DuckDB //
-        # raises) — excluded identically on both sides.
+        # validity guard (P10 convention): a zero divisor yields NULL in
+        # both engines (Spark DIV and DuckDB //), but the guard must be
+        # in the SAME unit on both sides — qty_c (hundredths) here, so
+        # the oracle filters on the identical CAST(qty*100 AS BIGINT)>0,
+        # not on raw l_quantity (which differs for 0 < qty < 0.005).
         li.where(F.col("qty_c") > 0)
         # dim filters pushed BELOW the catalog aggregate (they commute:
         # both are filters on the group keys) — the groupBy sees ~1% of
@@ -1728,7 +1737,7 @@ ORACLE_SQL["q2_min_cost_supplier"] = f"""
                  // CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
                AS supply_cost_cc
       FROM lineitem
-      WHERE l_quantity > 0
+      WHERE CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) > 0
       GROUP BY l_partkey, l_suppkey
     ), regional AS (
       SELECT ps.l_partkey, ps.supply_cost_cc,

@@ -49,6 +49,9 @@ def gather(repo_root: str = _REPO_ROOT):
                 k
                 for k, v in rows.items()
                 if isinstance(v, dict)
+                # rows-only-by-design queries record null matches with
+                # err == "no_oracle" — that is a clean row, not a red.
+                and v.get("err") != "no_oracle"
                 and not all(
                     v.get(x, True)
                     for x in ("rows_match", "schema_match", "hash_match")
@@ -77,6 +80,7 @@ def main() -> int:
                 "head_n": len(head),
                 "head": head,
                 "deferred_n": len(deferred),
+                "deferred": deferred,
                 "red_retries": reds,
                 "never_rowed_n": len(never),
                 "staleness_histogram": {
