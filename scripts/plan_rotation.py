@@ -60,10 +60,64 @@ def gather(repo_root: str = _REPO_ROOT):
     return q, newest_round, reds_newest
 
 
+MAX_ROW_AGE = 3  # rounds; feasible at 155 queries x 50 rows/round
+
+
+def staleness_violations(
+    queries: list[str],
+    newest_round: dict[str, int],
+    head: list[str],
+    next_round: int,
+    max_age: int = MAX_ROW_AGE,
+) -> dict[str, int | None]:
+    """Queries whose newest driver row would be MORE than ``max_age``
+    rounds old after the emitted ``head`` runs at ``next_round``.
+
+    A query in the head gets a fresh row (age 0). A never-rowed query
+    outside the head is always a violation (age None): plan_rotation
+    puts never-rowed first, so this only fires if >head_size queries
+    are simultaneously unrowed — a real planning failure, not noise.
+    """
+    head_set = set(head)
+    out: dict[str, int | None] = {}
+    for q in queries:
+        if q in head_set:
+            continue
+        if q not in newest_round:
+            out[q] = None
+        elif next_round - newest_round[q] > max_age:
+            out[q] = next_round - newest_round[q]
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--head-size", type=int, default=50)
+    ap.add_argument(
+        "--check",
+        action="store_true",
+        help="CI gate: verify the CURRENT __spark_entry__._HEAD keeps "
+        f"every registered query within {MAX_ROW_AGE} rounds of a "
+        "driver row at the next round; exit 1 on violations",
+    )
     args = ap.parse_args()
+
+    if args.check:
+        q, newest_round, _ = gather()
+        next_round = max(newest_round.values(), default=0) + 1
+        bad = staleness_violations(q, newest_round, entry._HEAD, next_round)
+        head_missing = [k for k in entry._HEAD if k not in q]
+        print(
+            json.dumps(
+                {
+                    "next_round": next_round,
+                    "head_n": len(entry._HEAD),
+                    "violations": bad,
+                    "head_not_registered": head_missing,
+                }
+            )
+        )
+        return 1 if bad or head_missing or len(entry._HEAD) > 50 else 0
 
     q, newest_round, reds = gather()
     never = [k for k in q if k not in newest_round]
