@@ -70,9 +70,8 @@ EMB_LSH_BANDS = 2
 EMB_LSH_BAND_BITS = len(EMB_LSH_PLANES) // EMB_LSH_BANDS
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — distinct 3-token shingles per document."""
-    docs = load_table(spark, sf_dir, "documents")
+def shingles_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — distinct 3-token shingles of a documents frame."""
     t = tokenize("text")
     return (
         docs.select("doc_id", t.alias("t"))
@@ -89,6 +88,63 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingle"),
         )
     )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — distinct 3-token shingles per document."""
+    return shingles_of(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_inrow_bands(text_col: str = "text") -> tuple["F.Column", "F.Column"]:
+    """(distinct-shingle array, LSH band-string array) computed IN-ROW —
+    the map-only MinHash path for STREAMING ingestion: no explode, no
+    groupBy, so the stream side of ``stream_dedup_minhash_lsh`` stays a
+    pure projection. Values are bit-identical to the aggregation path
+    (``minhash_signatures`` + ``minhash_bands``) — asserted over the whole
+    corpus by ``test_minhash_inrow_matches_agg_path``. Docs with fewer
+    than SHINGLE_N tokens yield an EMPTY shingle array (the agg path drops
+    them by construction); callers filter ``size(sh) > 0``.
+    """
+    t = tokenize(text_col)
+    sh = F.when(
+        F.size(t) >= SHINGLE_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(t, i),
+                    F.element_at(t, i + 1),
+                    F.element_at(t, i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    hs = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+    sigs = [
+        F.array_min(
+            F.transform(
+                hs,
+                lambda h: (F.lit(HASH_A[k]) * h + F.lit(HASH_B[k]))
+                % F.lit(MERSENNE_P),
+            )
+        )
+        for k in range(MINHASH_K)
+    ]
+    rows_per_band = MINHASH_K // LSH_BANDS
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(b),
+                *[sigs[b * rows_per_band + r] for r in range(rows_per_band)],
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return sh, bands
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,6 +271,21 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_per_doc(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig_0..sig_{k-1}, sh): the one-pass aggregation producing
+    both the signature minima and the per-doc distinct-shingle array the
+    Jaccard verify step needs — shared by ``dedup_minhash_lsh``, the
+    incremental twin, and the streaming corpus-side builders."""
+    sh = shingles_of(docs).withColumn("h", _shingle_hash32())
+    aggs = [
+        F.min(
+            (F.lit(HASH_A[k]) * F.col("h") + F.lit(HASH_B[k])) % MERSENNE_P
+        ).alias(f"sig_{k}")
+        for k in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs, F.collect_list("shingle").alias("sh"))
+
+
 def minhash_bands(sigs: DataFrame) -> DataFrame:
     """(doc_id, band): one row per LSH band of a signature DataFrame — THE
     banding layout, shared by the production pair path, the exposed
@@ -258,14 +329,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once costs more than the columnar re-scan saves at this scale. At
     # 100 TB the tradeoff flips (signatures would be persisted anyway);
     # flip it there by materializing per_doc, not by changing the plan.
-    sh = _shingles(spark, sf_dir).withColumn("h", _shingle_hash32())
-    aggs = [
-        F.min((F.lit(HASH_A[k]) * F.col("h") + F.lit(HASH_B[k])) % MERSENNE_P).alias(
-            f"sig_{k}"
-        )
-        for k in range(MINHASH_K)
-    ]
-    per_doc = sh.groupBy("doc_id").agg(*aggs, F.collect_list("shingle").alias("sh"))
+    per_doc = minhash_per_doc(load_table(spark, sf_dir, "documents"))
     bands_long = minhash_bands(per_doc)
     cands = (
         bands_long.alias("x")
@@ -296,6 +360,53 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - F.size(F.array_intersect("sh1", "sh2"))
                 ),
                 6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dup_of, jaccard): NEAR-dup matches of the incoming snapshot
+    delta (doc_id % NEW_BATCH_MOD == NEW_BATCH_MOD-1, the
+    ``dedup_incremental`` convention) against the existing corpus, via the
+    same MinHash-LSH blocking as ``dedup_minhash_lsh`` — the batch twin of
+    ``streaming.windows.stream_dedup_minhash_lsh`` (replay-tested equal).
+
+    Where ``dedup_incremental`` drops only EXACT content rehashes, this is
+    the production ingestion-dedup shape for LLM corpora: a new crawl
+    batch is checked for near-duplicates of what the corpus already holds.
+    Candidates cross sides only (new x corpus; within-batch and
+    within-corpus pairs are the other operators' jobs), then exact-Jaccard
+    verified at the shared JACCARD_THRESHOLD.
+
+    Scale: signatures aggregate once over all docs; the band join's output
+    is candidate pairs, never documents; at 100 TB the corpus side's
+    bands/shingles are a persisted artifact (the ``per_doc``
+    materialization note on ``dedup_minhash_lsh``), so an ingest batch
+    costs O(batch + candidates), independent of corpus size.
+    """
+    per_doc = minhash_per_doc(load_table(spark, sf_dir, "documents"))
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    bands_long = minhash_bands(per_doc)
+    cands = (
+        bands_long.where(is_new)
+        .alias("x")
+        .join(bands_long.where(~is_new).alias("y"), "band")
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+    s1 = per_doc.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    s2 = per_doc.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    return (
+        cands.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            F.col("d1").alias("doc_id"),
+            F.col("d2").alias("dup_of"),
+            F.round(
+                inter / (F.size("sh1") + F.size("sh2") - inter), 6
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -1120,6 +1231,38 @@ def dedup_components_oracle_sql(iters: int) -> str:
     return sql + f"\n    SELECT doc_id, comp AS component FROM l{iters}"
 
 
+ORACLE_SQL["dedup_minhash_incremental"] = f"""
+    WITH sh AS ({_SHINGLES}),
+    hashed AS (SELECT doc_id, {_HASH32.format(col='shingle')} AS h FROM sh),
+    sigs AS (SELECT doc_id, {_SIG_EXPRS} FROM hashed GROUP BY doc_id),
+    banded AS (SELECT doc_id, {_BAND_EXPRS} FROM sigs),
+    bands_long AS (
+      SELECT doc_id, unnest([band_0, band_1, band_2, band_3]) AS band
+      FROM banded
+    ),
+    cands AS (
+      SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      FROM bands_long x JOIN bands_long y ON x.band = y.band
+      WHERE x.doc_id % {NEW_BATCH_MOD} = {NEW_BATCH_MOD - 1}
+        AND y.doc_id % {NEW_BATCH_MOD} <> {NEW_BATCH_MOD - 1}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.d1, c.d2, count(*) AS inter
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.d1
+      JOIN sh b ON b.doc_id = c.d2 AND a.shingle = b.shingle
+      GROUP BY 1, 2
+    )
+    SELECT d1 AS doc_id, d2 AS dup_of,
+           round(inter::DOUBLE / (s1.n + s2.n - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE round(inter::DOUBLE / (s1.n + s2.n - inter), 6)
+          >= {JACCARD_THRESHOLD}
+"""
+
 ORACLE_SQL["dedup_incremental"] = f"""
     WITH c AS (
       SELECT doc_id,
@@ -1618,6 +1761,7 @@ QUERIES = {
     "simhash_fingerprints": simhash_fingerprints,
     "dedup_simhash": dedup_simhash,
     "dedup_incremental": dedup_incremental,
+    "dedup_minhash_incremental": dedup_minhash_incremental,
     "span_dedup": span_dedup,
     "duplicate_ngram_spans": duplicate_ngram_spans,
     "remove_duplicate_spans": remove_duplicate_spans,

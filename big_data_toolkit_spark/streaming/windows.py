@@ -212,6 +212,66 @@ def stream_dedup_incremental(
     )
 
 
+def stream_dedup_minhash_lsh(
+    new_docs_stream: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_shingles: DataFrame,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming MinHash-LSH NEAR-dup detection against a static corpus —
+    the streaming form of ``dedup.dedup_minhash_incremental`` (replay-
+    tested equal on the same delta/corpus split).
+
+    The stream side is a PURE PROJECTION: each incoming document's
+    distinct-shingle array, 16 signature minima, and 4 LSH band strings
+    are computed in-row (``dedup.minhash_inrow_bands`` — bit-identical to
+    the batch aggregation path), then the bands explode 4x and stream-
+    static equi-join against ``corpus_bands`` (doc_id AS dup_of, band).
+    Matches verify with exact in-row Jaccard against ``corpus_shingles``
+    (dup_of, sh_corpus) at the shared threshold. No streaming
+    aggregation, so any output mode works and per-batch cost is
+    O(batch x bands + candidates) — corpus size only enters through the
+    static join sides, which at scale are the persisted signature
+    artifact, not raw text.
+
+    A new doc sharing MULTIPLE bands with the same corpus doc would emit
+    the pair once per band; the pair-level dedup is
+    ``dropDuplicatesWithinWatermark`` when ``ts_col`` names an event-time
+    column (bounded state — all of one arrival's band hits land in its
+    own micro-batch, so any watermark covers them), else plain
+    ``dropDuplicates`` (unbounded seen-pair state; fine for replays and
+    bounded backfills, pass a ts for production streams).
+    """
+    from big_data_toolkit_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        minhash_inrow_bands,
+    )
+
+    sh, bands = minhash_inrow_bands("text")
+    keep = ["doc_id"] + ([ts_col] if ts_col else [])
+    hits = (
+        new_docs_stream.select(*keep, sh.alias("sh_new"), bands.alias("bands"))
+        .where(F.size("sh_new") > 0)
+        .select(*keep, "sh_new", F.explode("bands").alias("band"))
+        .join(corpus_bands, "band")
+        .join(corpus_shingles, "dup_of")
+    )
+    inter = F.size(F.array_intersect("sh_new", "sh_corpus"))
+    scored = hits.select(
+        *keep,
+        "dup_of",
+        F.round(
+            inter / (F.size("sh_new") + F.size("sh_corpus") - inter), 6
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    if ts_col:
+        return scored.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["doc_id", "dup_of"]
+        )
+    return scored.dropDuplicates(["doc_id", "dup_of"])
+
+
 def stream_click_purchase_join(
     clicks: DataFrame,
     purchases: DataFrame,

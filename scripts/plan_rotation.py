@@ -73,19 +73,18 @@ def staleness_violations(
     """Queries whose newest driver row would be MORE than ``max_age``
     rounds old after the emitted ``head`` runs at ``next_round``.
 
-    A query in the head gets a fresh row (age 0). A never-rowed query
-    outside the head is always a violation (age None): plan_rotation
-    puts never-rowed first, so this only fires if >head_size queries
-    are simultaneously unrowed — a real planning failure, not noise.
+    A query in the head gets a fresh row (age 0). Never-rowed queries
+    outside the head are NOT violations — a query added mid-round is
+    legitimately unrowed until the next plan is emitted (plan_rotation
+    then puts never-rowed first); they surface separately via the
+    --check output's ``never_rowed_outside_head`` field.
     """
     head_set = set(head)
-    out: dict[str, int | None] = {}
+    out: dict[str, int] = {}
     for q in queries:
-        if q in head_set:
+        if q in head_set or q not in newest_round:
             continue
-        if q not in newest_round:
-            out[q] = None
-        elif next_round - newest_round[q] > max_age:
+        if next_round - newest_round[q] > max_age:
             out[q] = next_round - newest_round[q]
     return out
 
@@ -107,6 +106,11 @@ def main() -> int:
         next_round = max(newest_round.values(), default=0) + 1
         bad = staleness_violations(q, newest_round, entry._HEAD, next_round)
         head_missing = [k for k in entry._HEAD if k not in q]
+        never_outside = [
+            k
+            for k in q
+            if k not in newest_round and k not in set(entry._HEAD)
+        ]
         print(
             json.dumps(
                 {
@@ -114,6 +118,7 @@ def main() -> int:
                     "head_n": len(entry._HEAD),
                     "violations": bad,
                     "head_not_registered": head_missing,
+                    "never_rowed_outside_head": never_outside,
                 }
             )
         )

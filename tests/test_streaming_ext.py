@@ -289,3 +289,91 @@ def test_stream_stream_join_invariant_to_batch_boundaries(
         if r["user_id"] < 8
     ]
     assert rows == [(1, 10, 20)]
+
+
+def test_minhash_inrow_matches_agg_path(spark):
+    """dedup.minhash_inrow_bands (the streaming map-only signature path)
+    must produce bit-identical shingle sets and band strings to the batch
+    aggregation path (minhash_per_doc + minhash_bands) over the WHOLE
+    sf0.01 corpus — the guarantee that lets the stream twin share the
+    batch twin's oracle evidence."""
+    from big_data_toolkit_spark.catalog import load_table
+    from big_data_toolkit_spark.operators import dedup
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    sh, bands = dedup.minhash_inrow_bands("text")
+    inrow = {
+        r["doc_id"]: (sorted(r["sh"]), list(r["bands"]))
+        for r in docs.select(
+            "doc_id", sh.alias("sh"), bands.alias("bands")
+        ).collect()
+        if r["sh"]  # agg path drops docs below SHINGLE_N tokens
+    }
+    per_doc = dedup.minhash_per_doc(docs)
+    agg = {
+        r["doc_id"]: sorted(r["sh"]) for r in per_doc.select("doc_id", "sh").collect()
+    }
+    assert set(inrow) == set(agg)
+    for d in agg:
+        assert inrow[d][0] == agg[d], d
+    agg_band_sets = {
+        r["doc_id"]: set(r["bs"])
+        for r in dedup.minhash_bands(per_doc)
+        .groupBy("doc_id")
+        .agg(F.collect_set("band").alias("bs"))
+        .collect()
+    }
+    for d in agg_band_sets:
+        assert set(inrow[d][1]) == agg_band_sets[d], d
+
+
+def test_stream_minhash_lsh_matches_batch(spark, tmp_path):
+    """Replay the snapshot delta (doc_id % 5 == 4) as two micro-batches
+    against the static corpus bands/shingles; the streamed near-dup pairs
+    must equal dedup_minhash_incremental (the oracle-checked batch twin)."""
+    import glob
+
+    from big_data_toolkit_spark.catalog import load_table
+    from big_data_toolkit_spark.operators import dedup
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    is_new = (F.col("doc_id") % dedup.NEW_BATCH_MOD) == dedup.NEW_BATCH_MOD - 1
+    new_docs = docs.where(is_new).orderBy("doc_id").collect()
+    src = str(tmp_path / "mhsrc")
+    half = len(new_docs) // 2
+    for i, part in enumerate([new_docs[:half], new_docs[half:]]):
+        spark.createDataFrame(part, docs.schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i:03d}")
+        )
+    assert len(glob.glob(os.path.join(src, "b*"))) == 2
+
+    corpus_pd = dedup.minhash_per_doc(docs.where(~is_new))
+    corpus_bands = dedup.minhash_bands(corpus_pd).withColumnRenamed(
+        "doc_id", "dup_of"
+    )
+    corpus_shingles = corpus_pd.select(
+        F.col("doc_id").alias("dup_of"), F.col("sh").alias("sh_corpus")
+    )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "b*"))
+    )
+    _run_to_memory(
+        windows.stream_dedup_minhash_lsh(stream, corpus_bands, corpus_shingles),
+        "mh_stream",
+        tmp_path,
+    )
+    got = {
+        (r["doc_id"], r["dup_of"], r["jaccard"])
+        for r in spark.sql("SELECT * FROM mh_stream").collect()
+    }
+    expected = {
+        (r["doc_id"], r["dup_of"], r["jaccard"])
+        for r in dedup.dedup_minhash_incremental(spark, SF_ORACLE).collect()
+    }
+    assert got == expected
+    assert expected, "fixture must contain at least one cross-side near-dup"
