@@ -191,6 +191,7 @@ HEADLINE = {
     # encode->decode->aggregate inside chained mapInPandas, no shuffle).
     "audio_wav_features": multimodal.audio_wav_features,
     "image_png_features": multimodal.image_png_features,
+    "image_jpeg_features": multimodal.image_jpeg_features,
     # Round-8: exact-substring duplicate-window detection (Lee et al.)
     "duplicate_ngram_spans": dedup.duplicate_ngram_spans,
     "remove_duplicate_spans": dedup.remove_duplicate_spans,

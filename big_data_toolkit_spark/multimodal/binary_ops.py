@@ -13,15 +13,18 @@ principle for 100 TB of images/audio/video interleaved with text:
   binary batches to Python zero-copy, the decode library runs per batch, and
   the result is a normal columnar DataFrame again. Partitioning is inherited
   from the scan, so the decode scales exactly like the scan does;
-* codecs: REAL where the stdlib allows it (r8) — ``audio_wav_features``
-  writes and parses genuine RIFF/WAVE PCM16 containers and
+* codecs: REAL where the stdlib allows it — ``audio_wav_features``
+  writes and parses genuine RIFF/WAVE PCM16 containers,
   ``image_png_features`` a genuine PNG bitstream (CRC'd chunks, DEFLATE,
-  all five row filters), both via ``multimodal/codecs.py``, both with
-  exact closed-form DuckDB oracles over the deterministic encode
-  parameters. Formats whose codecs genuinely aren't in this container
-  (JPEG/MP3/H.264) keep the STUB path: ``fake_decode_features`` derives
-  deterministic per-byte histogram "features", and PIL/soundfile drop
-  into the same batch signatures.
+  all five row filters), and ``image_jpeg_features`` (r9) a genuine
+  baseline JPEG bitstream (DQT/DHT/SOF0/SOS markers, canonical Huffman,
+  8x8 DCT), all via ``multimodal/codecs.py``, all with exact closed-form
+  DuckDB oracles over the deterministic encode parameters (JPEG's assets
+  are block-constant under unit quantization, which is DC-only and
+  round-trips exactly). Formats whose codecs genuinely aren't in this
+  container (MP3/H.264) keep the STUB path: ``fake_decode_features``
+  derives deterministic per-byte histogram "features", and soundfile/pyav
+  drop into the same batch signatures.
 
 TESTDATA has no binary table, so ``assets`` derives one deterministically
 from ``documents`` (payload = UTF-8 bytes of text, media_type cycled by
@@ -173,14 +176,19 @@ def frame_sample_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 # actual bitstreams, decoded back inside mapInPandas. The encode parameters
 # are deterministic functions of doc_id, so the decoded features have EXACT
 # integer DuckDB oracles: the whole encode→container-bytes→decode loop is
-# driver-hash-checkable. Formats needing external codecs (JPEG/MP3/H.264)
-# drop into the same batch signatures with PIL/soundfile swapped in.
+# driver-hash-checkable. Formats needing external codecs (MP3/H.264)
+# drop into the same batch signatures with soundfile/pyav swapped in.
 # ---------------------------------------------------------------------------
 
 WAV_BASE_SAMPLES = 256  # n_samples = WAV_BASE_SAMPLES + doc_id % WAV_MOD_SAMPLES
 WAV_MOD_SAMPLES = 512
 PNG_BASE_W, PNG_MOD_W = 4, 13  # width  = 4 + doc_id % 13
 PNG_BASE_H, PNG_MOD_H = 4, 11  # height = 4 + doc_id % 11
+# JPEG assets: dims are BLOCK counts (x8 pixels) and content is constant per
+# 8x8 block — DC-only under the encoder's unit quantization tables, so the
+# lossy format round-trips exactly and the oracle stays closed-form.
+JPEG_BASE_BW, JPEG_MOD_BW = 2, 4  # width  = 8 * (2 + doc_id % 4)
+JPEG_BASE_BH, JPEG_MOD_BH = 2, 3  # height = 8 * (2 + doc_id % 3)
 
 
 def wav_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,6 +313,69 @@ def image_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def jpeg_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload): genuine baseline JPEG files (SOI/DQT/SOF0/DHT/SOS
+    markers, canonical Huffman scan with byte stuffing) for the image slice
+    (``doc_id % 3 == 0``). Content is grayscale, CONSTANT per 8x8 block:
+    block t (row-major) of doc d has value ``(d * 31 + t) % 256``; width
+    ``8*(2 + d % 4)``, height ``8*(2 + d % 3)``. DC-only blocks under the
+    default unit quantization tables round-trip exactly (the property that
+    makes a lossy format oracle-checkable)."""
+    from big_data_toolkit_spark.multimodal.codecs import encode_jpeg
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                bw = JPEG_BASE_BW + d % JPEG_MOD_BW
+                bh = JPEG_BASE_BH + d % JPEG_MOD_BH
+                t = np.arange(bh * bw, dtype=np.int64).reshape(bh, bw)
+                vals = (d * 31 + t) % 256
+                px = np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype(
+                    np.uint8
+                )
+                payloads.append(encode_jpeg(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def image_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, width, height, n_components, pixel_sum): REAL baseline JPEG
+    decode — marker walk, DQT/DHT read from the stream, Huffman + DC
+    prediction, dequantize, IDCT — then exact integer pixel aggregation
+    (exact because the assets are DC-only; see ``jpeg_assets``)."""
+    from big_data_toolkit_spark.multimodal.codecs import decode_jpeg
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "n_components": [], "pixel_sum": []}
+            for d, b in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_jpeg(bytes(b))
+                out["doc_id"].append(d)
+                out["height"].append(px.shape[0])
+                out["width"].append(px.shape[1])
+                out["n_components"].append(
+                    1 if px.ndim == 2 else px.shape[2]
+                )
+                out["pixel_sum"].append(int(px.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return jpeg_assets(spark, sf_dir).mapInPandas(
+        feats,
+        schema="doc_id long, width int, height int, n_components int, "
+        "pixel_sum long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL (metadata path only — codecs are stubbed)
 # ---------------------------------------------------------------------------
@@ -415,10 +486,27 @@ ORACLE_SQL["image_png_features"] = f"""
     FROM px GROUP BY doc_id, w, h
 """
 
+ORACLE_SQL["image_jpeg_features"] = f"""
+    WITH im AS (
+      SELECT doc_id,
+             {JPEG_BASE_BW} + doc_id % {JPEG_MOD_BW} AS bw,
+             {JPEG_BASE_BH} + doc_id % {JPEG_MOD_BH} AS bh
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    blk AS (SELECT doc_id, bw, bh, unnest(range(0, bw * bh)) AS t FROM im)
+    SELECT doc_id,
+           CAST(8 * bw AS INT) AS width,
+           CAST(8 * bh AS INT) AS height,
+           CAST(1 AS INT) AS n_components,
+           CAST(sum(64 * ((doc_id * 31 + t) % 256)) AS BIGINT) AS pixel_sum
+    FROM blk GROUP BY doc_id, bw, bh
+"""
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "image_features": image_features_checked,
     "video_frame_sample": frame_sample_checked,
     "audio_wav_features": audio_wav_features,
     "image_png_features": image_png_features,
+    "image_jpeg_features": image_jpeg_features,
 }

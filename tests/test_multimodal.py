@@ -176,3 +176,91 @@ def test_png_decoder_grayscale_and_rgba():
     rgba = rng.integers(0, 256, (4, 3, 4), dtype=np.uint8)
     out = codecs.decode_png(build(rgba, 6))
     assert out.shape == (4, 3, 4) and (out == rgba).all()
+
+
+def test_jpeg_roundtrip_exact_on_block_constant():
+    """Block-constant grayscale under unit quantization is DC-only and must
+    round-trip EXACTLY — the property the oracle query relies on."""
+    import numpy as np
+
+    from big_data_toolkit_spark.multimodal import codecs
+
+    rng = np.random.default_rng(17)
+    for bh, bw in [(1, 1), (2, 4), (5, 3)]:
+        vals = rng.integers(0, 256, (bh, bw), dtype=np.int64)
+        px = np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+        back = codecs.decode_jpeg(codecs.encode_jpeg(px))
+        assert back.shape == px.shape and (back == px).all()
+
+
+def test_jpeg_roundtrip_near_lossless_general():
+    """Arbitrary content under unit tables: bounded rounding error only
+    (|err| <= 4 gray / <= 6 rgb from coefficient rounding + color xform),
+    including non-multiple-of-8 dims (edge-replication padding + crop)."""
+    import numpy as np
+
+    from big_data_toolkit_spark.multimodal import codecs
+
+    rng = np.random.default_rng(19)
+    gray = rng.integers(0, 256, (19, 26), dtype=np.uint8)
+    back = codecs.decode_jpeg(codecs.encode_jpeg(gray))
+    assert back.shape == gray.shape
+    assert np.abs(back.astype(int) - gray.astype(int)).max() <= 4
+    rgb = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    back = codecs.decode_jpeg(codecs.encode_jpeg(rgb))
+    assert back.shape == rgb.shape
+    assert np.abs(back.astype(int) - rgb.astype(int)).max() <= 6
+
+
+def test_jpeg_lossy_quantization_compresses():
+    """A REAL quant table (coarser than unit) must shrink the scan and
+    stay visually close — exercising the nontrivial run/size + ZRL paths."""
+    import numpy as np
+
+    from big_data_toolkit_spark.multimodal import codecs
+
+    rng = np.random.default_rng(23)
+    # smooth gradient + mild noise: realistic DCT energy distribution
+    y, x = np.mgrid[0:32, 0:40]
+    px = np.clip(
+        4 * (x + y) // 2 + rng.integers(-8, 9, (32, 40)), 0, 255
+    ).astype(np.uint8)
+    qt = np.full(64, 16, dtype=np.int64)
+    qt[0] = 1  # keep DC exact-ish
+    coarse = codecs.encode_jpeg(px, qt=qt)
+    fine = codecs.encode_jpeg(px)
+    assert len(coarse) < len(fine)
+    back = codecs.decode_jpeg(coarse)
+    assert np.abs(back.astype(int) - px.astype(int)).max() <= 64
+
+
+def test_jpeg_decoder_rejects_malformed():
+    import numpy as np
+    import pytest
+
+    from big_data_toolkit_spark.multimodal import codecs
+
+    px = np.zeros((8, 8), dtype=np.uint8)
+    good = codecs.encode_jpeg(px)
+    with pytest.raises(ValueError, match="SOI"):
+        codecs.decode_jpeg(b"\x00\x00" + good)
+    # progressive SOF2 marker in place of SOF0
+    bad = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="non-baseline"):
+        codecs.decode_jpeg(bad)
+
+
+def test_jpeg_query_oracle_match_and_map_only(spark):
+    df = mm.QUERIES["image_jpeg_features"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"image_jpeg_features shuffles: {plan}"
+    compare(df, mm.ORACLE_SQL["image_jpeg_features"], SF_SMOKE)
+
+
+def test_jpeg_payloads_are_real_jfif_markers(spark):
+    rows = mm.jpeg_assets(spark, SF_SMOKE).limit(3).collect()
+    assert rows
+    for r in rows:
+        b = bytes(r["payload"])
+        assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+        assert b"\xff\xdb" in b and b"\xff\xc0" in b and b"\xff\xc4" in b
