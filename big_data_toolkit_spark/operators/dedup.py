@@ -95,56 +95,92 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingles_of(load_table(spark, sf_dir, "documents"))
 
 
-def minhash_inrow_bands(text_col: str = "text") -> tuple["F.Column", "F.Column"]:
-    """(distinct-shingle array, LSH band-string array) computed IN-ROW —
-    the map-only MinHash path for STREAMING ingestion: no explode, no
-    groupBy, so the stream side of ``stream_dedup_minhash_lsh`` stays a
-    pure projection. Values are bit-identical to the aggregation path
-    (``minhash_signatures`` + ``minhash_bands``) — asserted over the whole
-    corpus by ``test_minhash_inrow_matches_agg_path``. Docs with fewer
-    than SHINGLE_N tokens yield an EMPTY shingle array (the agg path drops
-    them by construction); callers filter ``size(sh) > 0``.
+def with_minhash_inrow(
+    df: DataFrame, text_col: str = "text", keep: list[str] | None = None
+) -> DataFrame:
+    """(*keep, sh, bands): per-document distinct-shingle array and LSH
+    band-string array computed IN-ROW — the map-only MinHash path for
+    STREAMING ingestion, where no aggregation alternative exists (a
+    streaming groupBy would need keyed state). Values are bit-identical
+    to the aggregation path (``minhash_signatures`` + ``minhash_bands``)
+    — asserted over the whole corpus by
+    ``test_minhash_inrow_matches_agg_path``. Docs with fewer than
+    SHINGLE_N tokens are dropped, matching the agg path.
+
+    BATCH callers should use ``minhash_per_doc`` instead: measured at
+    sf0.1, one in-row pass is ~8x slower than the agg pass (13.1 s vs
+    1.6 s — the 16 signature lambdas each allocate a transformed copy of
+    the hash array per row, where the aggregation path folds each shingle
+    hash into scalar mins once), and plans that reference the in-row
+    frame multiple times (the LSH candidate self-join) degrade far worse
+    (SCALE.md round-9 note).
+
+    STAGED PROJECTIONS, deliberately: tokens, shingles, and shingle hashes
+    materialize as intermediate columns in separate selects. Catalyst does
+    NOT eliminate common subexpressions across higher-order-function
+    lambdas, so folding everything into one projection re-evaluates the
+    shingle chain inside each of the 16 signature lambdas — measured ~90x
+    slower at sf0.01. CollapseProject keeps the stages apart because the
+    intermediates are non-cheap and multiply referenced.
     """
-    t = tokenize(text_col)
-    sh = F.when(
-        F.size(t) >= SHINGLE_N,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(t, i),
-                    F.element_at(t, i + 1),
-                    F.element_at(t, i + 2),
-                ),
-            )
+    keep = list(keep) if keep is not None else ["doc_id"]
+    out = df.withColumn("_mh_t", tokenize(text_col))
+    out = out.withColumn(
+        "_mh_sh",
+        # the when() guard (not a filter) keeps sequence/element_at from
+        # ever evaluating on short docs — ANSI mode errors on
+        # out-of-bounds element_at, and a filter could be pushed below
+        # this projection
+        F.when(
+            F.size("_mh_t") >= SHINGLE_N,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_mh_t") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("_mh_t", i),
+                        F.element_at("_mh_t", i + 1),
+                        F.element_at("_mh_t", i + 2),
+                    ),
+                )
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<string>)")),
+    ).where(F.size("_mh_sh") > 0)
+    out = out.withColumn(
+        "_mh_h",
+        F.transform(
+            "_mh_sh",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
         ),
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    hs = F.transform(
-        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
     )
-    sigs = [
+    sig_cols = [
         F.array_min(
             F.transform(
-                hs,
+                "_mh_h",
                 lambda h: (F.lit(HASH_A[k]) * h + F.lit(HASH_B[k]))
                 % F.lit(MERSENNE_P),
             )
-        )
+        ).alias(f"_mh_sig_{k}")
         for k in range(MINHASH_K)
     ]
+    out = out.select("*", *sig_cols)
     rows_per_band = MINHASH_K // LSH_BANDS
     bands = F.array(
         *[
             F.concat_ws(
                 "_",
                 F.lit(b),
-                *[sigs[b * rows_per_band + r] for r in range(rows_per_band)],
+                *[
+                    F.col(f"_mh_sig_{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
             )
             for b in range(LSH_BANDS)
         ]
     )
-    return sh, bands
+    return out.select(
+        *keep, F.col("_mh_sh").alias("sh"), bands.alias("bands")
+    )
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -225,8 +225,9 @@ def stream_dedup_minhash_lsh(
 
     The stream side is a PURE PROJECTION: each incoming document's
     distinct-shingle array, 16 signature minima, and 4 LSH band strings
-    are computed in-row (``dedup.minhash_inrow_bands`` — bit-identical to
-    the batch aggregation path), then the bands explode 4x and stream-
+    are computed in-row (``dedup.with_minhash_inrow`` — bit-identical to
+    the batch aggregation path, staged projections so the shingle chain
+    evaluates once per row), then the bands explode 4x and stream-
     static equi-join against ``corpus_bands`` (doc_id AS dup_of, band).
     Matches verify with exact in-row Jaccard against ``corpus_shingles``
     (dup_of, sh_corpus) at the shared threshold. No streaming
@@ -245,14 +246,13 @@ def stream_dedup_minhash_lsh(
     """
     from big_data_toolkit_spark.operators.dedup import (
         JACCARD_THRESHOLD,
-        minhash_inrow_bands,
+        with_minhash_inrow,
     )
 
-    sh, bands = minhash_inrow_bands("text")
     keep = ["doc_id"] + ([ts_col] if ts_col else [])
     hits = (
-        new_docs_stream.select(*keep, sh.alias("sh_new"), bands.alias("bands"))
-        .where(F.size("sh_new") > 0)
+        with_minhash_inrow(new_docs_stream, "text", keep=keep)
+        .withColumnRenamed("sh", "sh_new")
         .select(*keep, "sh_new", F.explode("bands").alias("band"))
         .join(corpus_bands, "band")
         .join(corpus_shingles, "dup_of")

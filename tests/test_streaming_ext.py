@@ -292,23 +292,19 @@ def test_stream_stream_join_invariant_to_batch_boundaries(
 
 
 def test_minhash_inrow_matches_agg_path(spark):
-    """dedup.minhash_inrow_bands (the streaming map-only signature path)
-    must produce bit-identical shingle sets and band strings to the batch
-    aggregation path (minhash_per_doc + minhash_bands) over the WHOLE
-    sf0.01 corpus — the guarantee that lets the stream twin share the
-    batch twin's oracle evidence."""
+    """dedup.with_minhash_inrow (the map-only signature path) must produce
+    bit-identical shingle sets and band strings to the batch aggregation
+    path (minhash_per_doc + minhash_bands) over the WHOLE sf0.01 corpus —
+    the guarantee that lets the stream twin share the batch twin's oracle
+    evidence."""
     from big_data_toolkit_spark.catalog import load_table
     from big_data_toolkit_spark.operators import dedup
     from tests.conftest import SF_ORACLE
 
     docs = load_table(spark, SF_ORACLE, "documents")
-    sh, bands = dedup.minhash_inrow_bands("text")
     inrow = {
         r["doc_id"]: (sorted(r["sh"]), list(r["bands"]))
-        for r in docs.select(
-            "doc_id", sh.alias("sh"), bands.alias("bands")
-        ).collect()
-        if r["sh"]  # agg path drops docs below SHINGLE_N tokens
+        for r in dedup.with_minhash_inrow(docs, "text").collect()
     }
     per_doc = dedup.minhash_per_doc(docs)
     agg = {
