@@ -57,6 +57,7 @@ HEADLINE = {
     "trending_events": streaming_windows.trending_events,
     "dedup_exact": dedup.dedup_exact,
     "dedup_incremental": dedup.dedup_incremental,
+    "dedup_incremental_bloom": dedup.dedup_incremental_bloom,
     "dedup_minhash_incremental": dedup.dedup_minhash_incremental,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
     "dedup_components": dedup.dedup_components,

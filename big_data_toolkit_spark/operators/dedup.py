@@ -35,8 +35,11 @@ whole-stage-codegen'd, and every variant is DuckDB-oracle-checked.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from big_data_toolkit_spark.catalog import load_table
 from big_data_toolkit_spark.functions.text import DUCKDB_TOKENS, tokenize
@@ -854,6 +857,89 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_M = 1 << 20  # bits; bitmap broadcasts at 128 KiB
+BLOOM_K = 5  # hash functions; fp rate ~ (1 - e^(-kn/m))^k
+
+
+def _bloom_position_array(fp_col: str) -> "F.Column":
+    """array<long> of the k Bloom bit positions for a fingerprint column —
+    md5-derived 24-bit slices mod m, computed JVM-side so the build and
+    check sides share one definition by construction."""
+    h = F.md5(fp_col)
+    return F.array(
+        *[
+            F.conv(F.substring(h, 1 + 6 * i, 6), 16, 10).cast("long")
+            % BLOOM_M
+            for i in range(BLOOM_K)
+        ]
+    )
+
+
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, content_md5): EXACTLY ``dedup_incremental``'s output, via a
+    Bloom-prefiltered plan — the memory-bounded ingestion-dedup pattern.
+
+    Build: the existing corpus' fingerprint positions (k md5-derived bits
+    each) fold into one m-bit bitmap collected to the driver (the distinct
+    position set is ≤ min(kn, m) longs) and broadcast at m/8 bytes.
+    Check: the incoming batch tests membership in an Arrow-batched
+    ``pandas_udf`` over JVM-computed position arrays — map-only.
+    Bloom-NEGATIVE docs are definitely-new and skip the exact join
+    entirely; only Bloom-POSITIVE docs (true dups + the ~(1-e^{-kn/m})^k
+    false-positive sliver) reach the anti-join, so the shuffle input
+    shrinks from |batch| to |dups| + fp·|batch| while the OUTPUT stays
+    exact (zero false negatives by construction — every corpus position
+    is set). At 100 TB, scale m with the corpus (the bitmap is the only
+    driver-side state; 10^10 fingerprints want m ~ 2^37, at which point
+    the build's distinct-positions aggregation stays distributed and the
+    bitmap ships as a few-GiB torrent broadcast, or shards into a
+    partitioned Bloom keyed by fp prefix).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(tokenize("text"))))
+        ).alias("content_md5"),
+    )
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    existing = fp.where(~is_new).select("content_md5").distinct()
+    set_positions = np.array(
+        [
+            r["p"]
+            for r in existing.select(
+                F.explode(_bloom_position_array("content_md5")).alias("p")
+            )
+            .distinct()
+            .collect()
+        ],
+        dtype=np.int64,
+    )
+    bitmap = np.zeros(BLOOM_M, dtype=bool)
+    if set_positions.size:
+        bitmap[set_positions] = True
+    packed = spark.sparkContext.broadcast(np.packbits(bitmap))
+
+    @pandas_udf("boolean")
+    def bloom_hit(pos: pd.Series) -> pd.Series:
+        bits = np.unpackbits(packed.value).astype(bool)
+        if pos.empty:
+            return pd.Series([], dtype=bool)
+        mat = np.stack([np.asarray(p, dtype=np.int64) for p in pos])
+        return pd.Series(bits[mat].all(axis=1))
+
+    new = fp.where(is_new).withColumn(
+        "_hit", bloom_hit(_bloom_position_array("content_md5"))
+    )
+    definitely_new = new.where(~F.col("_hit")).select("doc_id", "content_md5")
+    survivors_of_maybe = (
+        new.where(F.col("_hit"))
+        .join(existing, "content_md5", "left_anti")
+        .select("doc_id", "content_md5")
+    )
+    return definitely_new.unionByName(survivors_of_maybe)
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs by exact pairwise cosine ≥ threshold.
 
@@ -1312,6 +1398,10 @@ ORACLE_SQL["dedup_incremental"] = f"""
         SELECT content_md5 FROM c WHERE doc_id % {NEW_BATCH_MOD} <> {NEW_BATCH_MOD - 1}
       )
 """
+
+# The Bloom prefilter changes the PLAN, not the result: exact survivors,
+# so the oracle is dedup_incremental's, verbatim.
+ORACLE_SQL["dedup_incremental_bloom"] = ORACLE_SQL["dedup_incremental"]
 
 # ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup-style)
@@ -1797,6 +1887,7 @@ QUERIES = {
     "simhash_fingerprints": simhash_fingerprints,
     "dedup_simhash": dedup_simhash,
     "dedup_incremental": dedup_incremental,
+    "dedup_incremental_bloom": dedup_incremental_bloom,
     "dedup_minhash_incremental": dedup_minhash_incremental,
     "span_dedup": span_dedup,
     "duplicate_ngram_spans": duplicate_ngram_spans,

@@ -412,3 +412,86 @@ def test_remove_duplicate_spans_cuts_later_occurrence_only(spark):
     assert out[2]["clean_text"] == "delta epsilon"
     assert out[3]["n_tokens_kept"] == 4
     assert out[4]["n_tokens_kept"] == W + 5
+
+
+def test_bloom_incremental_equals_exact_plan(spark):
+    """The Bloom prefilter must not change the RESULT — identical survivor
+    sets to dedup_incremental (zero false negatives by construction)."""
+    exact = {
+        (r["doc_id"], r["content_md5"])
+        for r in dedup.dedup_incremental(spark, SF_ORACLE).collect()
+    }
+    bloom = {
+        (r["doc_id"], r["content_md5"])
+        for r in dedup.dedup_incremental_bloom(spark, SF_ORACLE).collect()
+    }
+    assert bloom == exact
+    assert exact, "fixture must have survivors"
+
+
+def test_bloom_prefilter_actually_prunes(spark):
+    """The point of the Bloom pass: most definitely-new docs must skip the
+    exact join. With m=2^20 and kn << m, the false-positive rate is tiny,
+    so bloom-positive count ~= true-dup count (+ a sliver)."""
+    from big_data_toolkit_spark.catalog import load_table
+    from big_data_toolkit_spark.functions.text import tokenize
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(tokenize("text"))))
+        ).alias("content_md5"),
+    )
+    is_new = F.col("doc_id") % dedup.NEW_BATCH_MOD == dedup.NEW_BATCH_MOD - 1
+    n_new = fp.where(is_new).count()
+    survivors = dedup.dedup_incremental(spark, SF_ORACLE).count()
+    true_dups = n_new - survivors
+    # replicate the bloom-positive count from the operator's own pieces
+    existing = fp.where(~is_new).select("content_md5").distinct()
+    import numpy as np
+
+    pos = np.array(
+        [
+            r["p"]
+            for r in existing.select(
+                F.explode(
+                    dedup._bloom_position_array("content_md5")
+                ).alias("p")
+            )
+            .distinct()
+            .collect()
+        ],
+        dtype=np.int64,
+    )
+    bitmap = np.zeros(dedup.BLOOM_M, dtype=bool)
+    bitmap[pos] = True
+    new_rows = fp.where(is_new).select(
+        dedup._bloom_position_array("content_md5").alias("bpos")
+    ).collect()
+    hits = sum(1 for r in new_rows if all(bitmap[p] for p in r["bpos"]))
+    false_pos = hits - true_dups
+    assert false_pos >= 0
+    # kn/m ~ 2e-3 here -> fp rate ~ (kn/m)^k is ~0; allow a generous 5%
+    assert false_pos <= max(1, int(0.05 * n_new)), (false_pos, n_new)
+
+
+def test_bloom_incremental_empty_corpus(spark):
+    """Empty existing corpus -> empty bitmap -> every new doc is
+    definitely-new and the exact join sees zero rows."""
+    from big_data_toolkit_spark.catalog import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    # restrict to the new batch only by filtering the table into a temp view
+    only_new = docs.where(
+        F.col("doc_id") % dedup.NEW_BATCH_MOD == dedup.NEW_BATCH_MOD - 1
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        sf = os.path.join(td)
+        only_new.write.parquet(os.path.join(sf, "documents.parquet"))
+        out = dedup.dedup_incremental_bloom(spark, sf)
+        n = out.count()
+        assert n == only_new.count()
