@@ -875,6 +875,41 @@ def _bloom_position_array(fp_col: str) -> "F.Column":
     )
 
 
+def bloom_bitmap_broadcast(spark: SparkSession, fp_df: DataFrame):
+    """Broadcast of the packed m-bit Bloom bitmap over a fingerprint frame
+    (column ``content_md5``) — the distinct position set is ≤ min(kn, m)
+    longs at the driver; the shipped bitmap is m/8 bytes."""
+    set_positions = np.array(
+        [
+            r["p"]
+            for r in fp_df.select(
+                F.explode(_bloom_position_array("content_md5")).alias("p")
+            )
+            .distinct()
+            .collect()
+        ],
+        dtype=np.int64,
+    )
+    bitmap = np.zeros(BLOOM_M, dtype=bool)
+    if set_positions.size:
+        bitmap[set_positions] = True
+    return spark.sparkContext.broadcast(np.packbits(bitmap))
+
+
+def bloom_hit_udf(packed):
+    """Arrow-batched membership test over JVM-computed position arrays."""
+
+    @pandas_udf("boolean")
+    def bloom_hit(pos: pd.Series) -> pd.Series:
+        bits = np.unpackbits(packed.value).astype(bool)
+        if pos.empty:
+            return pd.Series([], dtype=bool)
+        mat = np.stack([np.asarray(p, dtype=np.int64) for p in pos])
+        return pd.Series(bits[mat].all(axis=1))
+
+    return bloom_hit
+
+
 def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, content_md5): EXACTLY ``dedup_incremental``'s output, via a
     Bloom-prefiltered plan — the memory-bounded ingestion-dedup pattern.
@@ -904,30 +939,7 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
     existing = fp.where(~is_new).select("content_md5").distinct()
-    set_positions = np.array(
-        [
-            r["p"]
-            for r in existing.select(
-                F.explode(_bloom_position_array("content_md5")).alias("p")
-            )
-            .distinct()
-            .collect()
-        ],
-        dtype=np.int64,
-    )
-    bitmap = np.zeros(BLOOM_M, dtype=bool)
-    if set_positions.size:
-        bitmap[set_positions] = True
-    packed = spark.sparkContext.broadcast(np.packbits(bitmap))
-
-    @pandas_udf("boolean")
-    def bloom_hit(pos: pd.Series) -> pd.Series:
-        bits = np.unpackbits(packed.value).astype(bool)
-        if pos.empty:
-            return pd.Series([], dtype=bool)
-        mat = np.stack([np.asarray(p, dtype=np.int64) for p in pos])
-        return pd.Series(bits[mat].all(axis=1))
-
+    bloom_hit = bloom_hit_udf(bloom_bitmap_broadcast(spark, existing))
     new = fp.where(is_new).withColumn(
         "_hit", bloom_hit(_bloom_position_array("content_md5"))
     )

@@ -373,3 +373,60 @@ def test_stream_minhash_lsh_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert expected, "fixture must contain at least one cross-side near-dup"
+
+
+def test_stream_bloom_incremental_matches_batch(spark, tmp_path):
+    """Bloom-prefiltered stream ingestion dedup: replay the delta batch as
+    two micro-batches; output must equal BOTH the plain streaming form
+    (same corpus) and the oracle-green batch op — the prefilter may only
+    change the plan, never the survivors."""
+    import glob
+
+    from big_data_toolkit_spark.catalog import load_table
+    from big_data_toolkit_spark.operators import dedup
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    is_new = (F.col("doc_id") % dedup.NEW_BATCH_MOD) == dedup.NEW_BATCH_MOD - 1
+    new_docs = docs.where(is_new).orderBy("doc_id").collect()
+    src = str(tmp_path / "bloomsrc")
+    half = len(new_docs) // 2
+    for i, part in enumerate([new_docs[:half], new_docs[half:]]):
+        spark.createDataFrame(part, docs.schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i:03d}")
+        )
+    assert len(glob.glob(os.path.join(src, "b*"))) == 2
+
+    from big_data_toolkit_spark.functions.text import tokenize
+
+    corpus_fp = (
+        docs.where(~is_new)
+        .select(
+            F.md5(
+                F.concat_ws(
+                    " ", F.array_sort(F.array_distinct(tokenize("text")))
+                )
+            ).alias("content_md5")
+        )
+        .distinct()
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "b*"))
+    )
+    _run_to_memory(
+        windows.stream_dedup_incremental_bloom(stream, corpus_fp),
+        "bloom_stream",
+        tmp_path,
+    )
+    got = {
+        (r["doc_id"], r["content_md5"])
+        for r in spark.sql("SELECT * FROM bloom_stream").collect()
+    }
+    expected = {
+        (r["doc_id"], r["content_md5"])
+        for r in dedup.dedup_incremental(spark, SF_ORACLE).collect()
+    }
+    assert got == expected
+    assert expected
