@@ -146,6 +146,8 @@ HEADLINE = {
     "keyword_extraction": text_analytics.keyword_extraction,
     "kcore_subgraph": pagerank.kcore_subgraph,
     "knn_int8": similarity.knn_int8,
+    "pq_codes": similarity.pq_codes,
+    "knn_pq": similarity.knn_pq,
     "order_fulfillment_percentiles": relational_ext.order_fulfillment_percentiles,
     "session_paths": relational_ext.session_paths,
     "cross_source_leakage": dedup.cross_source_leakage,

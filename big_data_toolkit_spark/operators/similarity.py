@@ -707,6 +707,146 @@ def knn_int8(
     )
 
 
+PQ_SUBSPACES = 8  # 64-dim embedding -> 8 subvectors of 8 dims
+PQ_SUBDIM = EMB_DIM // PQ_SUBSPACES
+PQ_CODEBOOK_IDS = tuple(range(30, 46))  # 16 designated donor vectors
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> dict[int, list[int]]:
+    """donor vec_id -> 64 quantized ints. PQ codebooks are per-subspace
+    centroid sets; here centroid j of EVERY subspace is donor j's own
+    subvector (the ``CENTROID_IDS``/``EMB_LSH_PLANES`` convention: fixed
+    corpus vectors stand in for a seeded k-means so the oracle reproduces
+    the index constants exactly — Lloyd refinement would slot in per
+    subspace exactly as ``knn_ivf_trained`` does for IVF)."""
+    q = _quantize(load_table(spark, sf_dir, "embeddings"))
+    rows = (
+        q.where(F.col("vec_id").isin(list(PQ_CODEBOOK_IDS)))
+        .select("vec_id", "qv")
+        .collect()
+    )
+    found = {r["vec_id"]: [int(x) for x in r["qv"]] for r in rows}
+    if len(found) != len(PQ_CODEBOOK_IDS):
+        missing = sorted(set(PQ_CODEBOOK_IDS) - set(found))
+        raise ValueError(
+            f"PQ codebook donor vectors not found in embeddings table: "
+            f"{missing} — refusing to build a degenerate index"
+        )
+    return found
+
+
+def _pq_subdist(s: int, sub: list[int]) -> Column:
+    """Exact integer squared-L2 fold from subspace ``s`` of the quantized
+    row vector to one codebook subvector literal — same in-order JVM fold
+    discipline as ``_dist2``, but over BIGINTs, so cross-engine equality is
+    trivial (no float summation order to worry about)."""
+    arr = ", ".join(f"{int(v)}L" for v in sub)
+    return F.expr(
+        f"aggregate(zip_with(slice(qv, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM}), "
+        f"array({arr}), (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+
+
+def _with_pq_idx(q: DataFrame, donors: dict[int, list[int]]) -> DataFrame:
+    """q + per-subspace 1-based argmin codebook index columns _pq_idx_s.
+    Map-only: 8 x 16 integer folds in-row; ties to the smallest donor id
+    (``array_position`` first-minimum over ascending donor layout)."""
+    dids = sorted(donors)
+    cols = []
+    for s in range(PQ_SUBSPACES):
+        dists = F.array(
+            *[
+                _pq_subdist(s, donors[j][s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM])
+                for j in dids
+            ]
+        )
+        cols.append(
+            F.array_position(dists, F.array_min(dists))
+            .cast("int")
+            .alias(f"_pq_idx_{s}")
+        )
+    return q.select("*", *cols)
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, subspace, code): the PQ index build — every vector encoded
+    as 8 one-byte codes (nearest codebook subvector per subspace, exact
+    integer distances over the fixed-point grid). This is THE
+    memory-scaling ANN step: 64 floats become 8 codes (32x), and the
+    encode is a single map-only scan — at 100 TB the code table is the
+    persisted index artifact, 32x cheaper to scan than the embeddings.
+    Long (vec_id, subspace, code) form: scalar cells for the driver
+    canonicalizer."""
+    donors = _pq_codebook(spark, sf_dir)
+    dids = sorted(donors)
+    q = _quantize(load_table(spark, sf_dir, "embeddings"))
+    coded = _with_pq_idx(q, donors)
+    did_arr = F.array(*[F.lit(j).cast("long") for j in dids])
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("subspace"),
+                F.element_at(did_arr, F.col(f"_pq_idx_{s}")).alias("code"),
+            )
+            for s in range(PQ_SUBSPACES)
+        ]
+    )
+    return coded.select("vec_id", F.explode(structs).alias("sc")).select(
+        "vec_id",
+        F.col("sc.subspace").alias("subspace"),
+        F.col("sc.code").alias("code"),
+    )
+
+
+def knn_pq(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = QUERY_VEC_ID, k: int = TOP_K
+) -> DataFrame:
+    """(vec_id, adc_dist2): PQ top-k by ASYMMETRIC distance (Jegou et al.
+    2011) — the query stays exact while the corpus is its 8 codes; the
+    distance is a sum of 8 lookup-table entries, never a 64-dim fold.
+
+    The LUT (8 subspaces x 16 donors of exact integer sub-distances) is
+    computed DRIVER-side from the collected query vector and ships as 128
+    literals — index constants, like every other ANN path here. Scan cost
+    per corpus vector is 8 in-row argmins + 8 array lookups; at 100 TB the
+    codes come from the persisted ``pq_codes`` artifact and the scan
+    touches 8 bytes per vector instead of 256. Exact-integer arithmetic
+    end to end, so the DuckDB oracle hash-matches.
+    """
+    donors = _pq_codebook(spark, sf_dir)
+    dids = sorted(donors)
+    q = _quantize(load_table(spark, sf_dir, "embeddings"))
+    qrows = q.where(F.col("vec_id") == query_vec_id).select("qv").collect()
+    if not qrows:
+        raise ValueError(
+            f"query vector {query_vec_id} not found in embeddings table"
+        )
+    qv = [int(x) for x in qrows[0]["qv"]]
+    lut = [
+        [
+            sum(
+                (qv[s * PQ_SUBDIM + d] - donors[j][s * PQ_SUBDIM + d]) ** 2
+                for d in range(PQ_SUBDIM)
+            )
+            for j in dids
+        ]
+        for s in range(PQ_SUBSPACES)
+    ]
+    coded = _with_pq_idx(q.where(F.col("vec_id") != query_vec_id), donors)
+    adc = F.lit(0).cast("long")
+    for s in range(PQ_SUBSPACES):
+        adc = adc + F.element_at(
+            F.array(*[F.lit(v).cast("long") for v in lut[s]]),
+            F.col(f"_pq_idx_{s}"),
+        )
+    return (
+        coded.select("vec_id", adc.alias("adc_dist2"))
+        .orderBy("adc_dist2", "vec_id")
+        .limit(k)
+    )
+
+
 CENTROID_QUANT = 1_000_000.0  # 1e-6 component quantization for exact sums
 
 
@@ -882,6 +1022,50 @@ ORACLE_SQL["knn_int8"] = f"""
     LIMIT {TOP_K}
 """
 
+_PQ_CTES = f"""q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> floor(x::DOUBLE * {KMEANS_QUANT})::BIGINT)
+               AS qv
+      FROM embeddings
+    ),
+    pq_dist AS (
+      SELECT v.vec_id, t.s, d.vec_id AS did,
+             CAST(list_sum(list_transform(range(1, {PQ_SUBDIM + 1}),
+                  i -> (v.qv[t.s * {PQ_SUBDIM} + i]
+                        - d.qv[t.s * {PQ_SUBDIM} + i])
+                     * (v.qv[t.s * {PQ_SUBDIM} + i]
+                        - d.qv[t.s * {PQ_SUBDIM} + i])))
+                  AS BIGINT) AS dist2
+      FROM q v, range(0, {PQ_SUBSPACES}) t(s), q d
+      WHERE d.vec_id IN ({', '.join(str(j) for j in PQ_CODEBOOK_IDS)})
+    ),
+    pq_code AS (
+      SELECT vec_id, s, did, dist2 FROM (
+        SELECT vec_id, s, did, dist2,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist2, did) AS rk
+        FROM pq_dist
+      ) WHERE rk = 1
+    )"""
+
+ORACLE_SQL["pq_codes"] = f"""
+    WITH {_PQ_CTES}
+    SELECT vec_id, CAST(s AS INT) AS subspace, did AS code FROM pq_code
+"""
+
+ORACLE_SQL["knn_pq"] = f"""
+    WITH {_PQ_CTES}
+    SELECT c.vec_id, CAST(sum(l.dist2) AS BIGINT) AS adc_dist2
+    FROM pq_code c
+    JOIN pq_dist l
+      ON l.vec_id = {QUERY_VEC_ID} AND l.s = c.s AND l.did = c.did
+    WHERE c.vec_id <> {QUERY_VEC_ID}
+    GROUP BY c.vec_id
+    ORDER BY adc_dist2, c.vec_id
+    LIMIT {TOP_K}
+"""
+
 QUERIES = {
     "knn_brute_force": knn_brute_force,
     "knn_lsh": knn_lsh,
@@ -891,6 +1075,8 @@ QUERIES = {
     "cluster_balanced_sample": cluster_balanced_sample,
     "knn_ivf_trained": knn_ivf_trained,
     "knn_int8": knn_int8,
+    "pq_codes": pq_codes,
+    "knn_pq": knn_pq,
     "label_centroids": label_centroids,
     "nearest_centroid_confusion": nearest_centroid_confusion,
 }

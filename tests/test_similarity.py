@@ -352,3 +352,57 @@ def test_index_vector_collection_refuses_degenerate_index(spark):
     emb = sim.load_table(spark, SF_ORACLE, "embeddings")
     with pytest.raises(ValueError, match="index vectors not found"):
         sim._collect_index_vectors(emb, (10**12, 10**12 + 1))
+
+
+def test_pq_donors_encode_to_themselves(spark):
+    """A codebook donor's nearest codebook subvector in EVERY subspace is
+    its own (distance 0), so each donor's 8 codes must all be its own id —
+    the PQ analog of 'centroids assign to themselves'."""
+    codes = sim.pq_codes(spark, SF_ORACLE)
+    donor_rows = codes.where(
+        F.col("vec_id").isin(list(sim.PQ_CODEBOOK_IDS))
+    ).collect()
+    assert len(donor_rows) == len(sim.PQ_CODEBOOK_IDS) * sim.PQ_SUBSPACES
+    for r in donor_rows:
+        assert r["code"] == r["vec_id"], (r["vec_id"], r["subspace"], r["code"])
+
+
+def test_pq_codes_shape_and_adc_consistency(spark):
+    """Every vector gets exactly PQ_SUBSPACES codes drawn from the donor
+    set, and knn_pq's ADC distances are reproducible from the code table +
+    an independently computed integer LUT (the asymmetric-distance
+    identity ADC(q, v) = sum_s LUT[s][code_s(v)])."""
+    codes = sim.pq_codes(spark, SF_ORACLE)
+    per_vec = codes.groupBy("vec_id").count().collect()
+    assert all(r["count"] == sim.PQ_SUBSPACES for r in per_vec)
+    donor_set = set(sim.PQ_CODEBOOK_IDS)
+    assert all(
+        r["code"] in donor_set for r in codes.limit(200).collect()
+    )
+
+    donors = sim._pq_codebook(spark, SF_ORACLE)
+    from big_data_toolkit_spark.catalog import load_table
+
+    q = sim._quantize(load_table(spark, SF_ORACLE, "embeddings"))
+    qv = [
+        int(x)
+        for x in q.where(F.col("vec_id") == sim.QUERY_VEC_ID)
+        .collect()[0]["qv"]
+    ]
+    lut = {
+        (s, j): sum(
+            (qv[s * sim.PQ_SUBDIM + d] - donors[j][s * sim.PQ_SUBDIM + d]) ** 2
+            for d in range(sim.PQ_SUBDIM)
+        )
+        for s in range(sim.PQ_SUBSPACES)
+        for j in donors
+    }
+    code_map = {}
+    for r in codes.collect():
+        code_map.setdefault(r["vec_id"], {})[r["subspace"]] = r["code"]
+    for r in sim.knn_pq(spark, SF_ORACLE).collect():
+        expect = sum(
+            lut[(s, code_map[r["vec_id"]][s])]
+            for s in range(sim.PQ_SUBSPACES)
+        )
+        assert r["adc_dist2"] == expect, r
