@@ -148,6 +148,7 @@ HEADLINE = {
     "knn_int8": similarity.knn_int8,
     "pq_codes": similarity.pq_codes,
     "knn_pq": similarity.knn_pq,
+    "knn_pq_rerank": similarity.knn_pq_rerank,
     "order_fulfillment_percentiles": relational_ext.order_fulfillment_percentiles,
     "session_paths": relational_ext.session_paths,
     "cross_source_leakage": dedup.cross_source_leakage,

@@ -847,6 +847,40 @@ def knn_pq(
     )
 
 
+PQ_RERANK_R = 50  # PQ shortlist size fed to the exact re-rank
+
+
+def knn_pq_rerank(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = QUERY_VEC_ID, k: int = TOP_K
+) -> DataFrame:
+    """(vec_id, dist2): the full production PQ pipeline — ADC shortlist of
+    ``PQ_RERANK_R`` candidates, then EXACT (quantized) squared-L2 re-rank
+    to top-k. This is how PQ recovers recall at scale: the cheap 8-byte
+    scan proposes R candidates, and only those R vectors are fetched for
+    the exact distance (here a broadcast semi-join back into the
+    embeddings scan; on a real deployment, a point-lookup into the vector
+    store). Exact integer arithmetic end to end — oracle hash-matches.
+    """
+    shortlist = knn_pq(spark, sf_dir, query_vec_id, PQ_RERANK_R).select(
+        "vec_id"
+    )
+    q = _quantize(load_table(spark, sf_dir, "embeddings"))
+    qrows = q.where(F.col("vec_id") == query_vec_id).select(
+        F.col("qv").alias("qqv")
+    )
+    exact = F.expr(
+        "aggregate(zip_with(qv, qqv, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    return (
+        q.join(F.broadcast(shortlist), "vec_id")
+        .crossJoin(F.broadcast(qrows))
+        .select("vec_id", exact.alias("dist2"))
+        .orderBy("dist2", "vec_id")
+        .limit(k)
+    )
+
+
 CENTROID_QUANT = 1_000_000.0  # 1e-6 component quantization for exact sums
 
 
@@ -1066,6 +1100,28 @@ ORACLE_SQL["knn_pq"] = f"""
     LIMIT {TOP_K}
 """
 
+ORACLE_SQL["knn_pq_rerank"] = f"""
+    WITH {_PQ_CTES},
+    adc AS (
+      SELECT c.vec_id, CAST(sum(l.dist2) AS BIGINT) AS adc_dist2
+      FROM pq_code c
+      JOIN pq_dist l
+        ON l.vec_id = {QUERY_VEC_ID} AND l.s = c.s AND l.did = c.did
+      WHERE c.vec_id <> {QUERY_VEC_ID}
+      GROUP BY c.vec_id
+      ORDER BY adc_dist2, c.vec_id
+      LIMIT {PQ_RERANK_R}
+    ),
+    qq AS (SELECT qv AS qqv FROM q WHERE vec_id = {QUERY_VEC_ID})
+    SELECT a.vec_id,
+           CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                i -> (v.qv[i] - qq.qqv[i]) * (v.qv[i] - qq.qqv[i])))
+                AS BIGINT) AS dist2
+    FROM adc a JOIN q v ON a.vec_id = v.vec_id, qq
+    ORDER BY dist2, a.vec_id
+    LIMIT {TOP_K}
+"""
+
 QUERIES = {
     "knn_brute_force": knn_brute_force,
     "knn_lsh": knn_lsh,
@@ -1077,6 +1133,7 @@ QUERIES = {
     "knn_int8": knn_int8,
     "pq_codes": pq_codes,
     "knn_pq": knn_pq,
+    "knn_pq_rerank": knn_pq_rerank,
     "label_centroids": label_centroids,
     "nearest_centroid_confusion": nearest_centroid_confusion,
 }

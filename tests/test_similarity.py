@@ -406,3 +406,32 @@ def test_pq_codes_shape_and_adc_consistency(spark):
             for s in range(sim.PQ_SUBSPACES)
         )
         assert r["adc_dist2"] == expect, r
+
+
+def test_pq_rerank_recall_vs_exact(spark):
+    """The re-ranked PQ pipeline must recover most of the TRUE quantized-L2
+    top-k (the whole point of the shortlist+rerank shape) — and every
+    returned distance must be the exact distance, not the ADC estimate."""
+    from big_data_toolkit_spark.catalog import load_table
+
+    got = sim.knn_pq_rerank(spark, SF_ORACLE).collect()
+    assert len(got) == sim.TOP_K
+    q = sim._quantize(load_table(spark, SF_ORACLE, "embeddings"))
+    qv = [
+        int(x)
+        for x in q.where(F.col("vec_id") == sim.QUERY_VEC_ID)
+        .collect()[0]["qv"]
+    ]
+    exact = []
+    for r in q.where(F.col("vec_id") != sim.QUERY_VEC_ID).collect():
+        v = [int(x) for x in r["qv"]]
+        exact.append(
+            (sum((a - b) ** 2 for a, b in zip(v, qv)), r["vec_id"])
+        )
+    exact.sort()
+    true_top = {vid for _, vid in exact[: sim.TOP_K]}
+    exact_d = dict(((vid, d) for d, vid in exact))
+    for r in got:
+        assert r["dist2"] == exact_d[r["vec_id"]]
+    recall = len(true_top & {r["vec_id"] for r in got}) / sim.TOP_K
+    assert recall >= 0.5, f"PQ rerank recall {recall} too low"
