@@ -51,25 +51,31 @@ _MODULES = [
 # The driver's correctness gate records rows for the FIRST 50 queries in
 # dict-insertion order (observed: CORRECTNESS keys == queries()[:50] every
 # round).  Coverage rotates so no query's newest driver row goes stale.
-# Round-9 rotation (emitted by `scripts/plan_rotation.py` after fixing its
-# no_oracle-as-red bug: rows-only-by-design queries record null matches with
-# err == "no_oracle" — a clean row, not a retry).  Priority per the recorded
-# evidence: (1) no red rows exist to retry (r8 was 50/50 clean); (2) the 5
-# never-rowed post-r8-gate TPC-H completions (q9/q12/q20/q21/q2) get their
-# FIRST driver rows — never-rowed beats refresh; (3) staleness refreshes,
-# oldest newest-row first: the three rows-only queries whose newest rows are
-# r02/r04 (`sgd_train`, `sgd_score`, `event_reach_approx` — the oldest
-# evidence on the board, VERDICT r8 task 6), then 42 of the 48 queries whose
-# newest row is r6.  The remaining 6 r6-rowed queries defer to the r10 head
-# at age 3 — the maximum the CI staleness gate (scripts/check_staleness.py)
-# allows, and unavoidable at 155 registered queries x 50 rows/round
-# (period ceil(155/50) = 4 rows every 4 rounds, so age peaks at 3).
+# Round-9 rotation (emitted by `scripts/plan_rotation.py`; re-emitted after
+# the session's six operator additions so never-rowed queries lead).
+# Priority per the recorded evidence: (1) no red rows exist to retry (r8 was
+# 50/50 clean); (2) ALL 11 never-rowed queries get their FIRST driver rows —
+# the 5 post-r8-gate TPC-H completions (q9/q12/q20/q21/q2) plus the 6
+# round-9 additions (Bloom/MinHash incremental dedup, PQ ANN x3, JPEG);
+# (3) staleness refreshes, oldest newest-row first: the three rows-only
+# queries whose newest rows are r02/r04 (`sgd_train`, `sgd_score`,
+# `event_reach_approx` — VERDICT r8 task 6), then 36 of the 48 queries whose
+# newest row is r6.  The 12 remaining r6-rowed queries defer to the r10 head
+# at age 3 — the maximum `scripts/plan_rotation.py --check` (the ci.sh 0/4
+# staleness gate) allows, and unavoidable at 161 registered queries x 50
+# rows/round.
 _HEAD = [
     "q9_product_type_profit",
     "q12_late_priority_lines",
     "q20_potential_promotion",
     "q21_waiting_suppliers",
     "q2_min_cost_supplier",
+    "dedup_incremental_bloom",
+    "dedup_minhash_incremental",
+    "pq_codes",
+    "knn_pq",
+    "knn_pq_rerank",
+    "image_jpeg_features",
     "sgd_train",
     "sgd_score",
     "event_reach_approx",
@@ -109,12 +115,6 @@ _HEAD = [
     "dedup_embedding_lsh",
     "knn_brute_force",
     "quality_score",
-    "asof_purchase_attribution",
-    "error_bursts",
-    "top_orders_per_priority",
-    "lineitem_stats",
-    "event_count_sliding",
-    "user_sessions",
 ]
 
 # Deferred queries, ordered by staleness (newest driver row round ascending,
@@ -125,6 +125,12 @@ _HEAD = [
 # mid-round and absent from both lists fall to the very tail (the r10
 # never-rowed queue, which plan_rotation prioritizes ahead of refreshes).
 _DEFERRED = [
+    "asof_purchase_attribution",
+    "error_bursts",
+    "top_orders_per_priority",
+    "lineitem_stats",
+    "event_count_sliding",
+    "user_sessions",
     "curated_corpus",
     "customers_without_orders",
     "daily_activity_full",
