@@ -192,3 +192,40 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_bucketed_table(
+    df: DataFrame, table: str, key: str, n_buckets: int = 8
+) -> None:
+    """Hive-style bucketed + sorted table: ``bucketBy(n, key).sortBy(key)``.
+
+    THE 100 TB shuffle killer for recurring joins: two facts bucketed on
+    the same key with the same bucket count sort-merge-join with ZERO
+    Exchange (and, being sortBy'd, zero per-task Sort) — the join reads
+    co-located buckets directly. ``write_sorted_bucketed`` (S6) clusters
+    files for row-group pruning but leaves no catalog metadata; this
+    registers the bucket spec in the session catalog, which is what lets
+    the planner PROVE co-partitioning and drop the exchanges. At scale
+    the bucket count is chosen once per subject area (e.g. 4096 on
+    orderkey) and every downstream join/aggregation on that key rides it.
+    Plan shape is pinned by test: bucketed⋈bucketed must contain no
+    shuffle Exchange.
+
+    The pre-write ``repartition(n, key)`` uses the same Murmur3 hash as
+    the bucket spec, so each task holds exactly one bucket → ONE file per
+    bucket (no small-file fan-out, and the layout needed for Spark to
+    exploit the sortBy ordering at read time under
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true``; the
+    default planner still re-sorts per task — bucket-sized in-memory
+    runs — but never re-shuffles, which is the expensive part).
+    """
+    from pyspark.sql import functions as F
+
+    (
+        df.repartition(n_buckets, F.col(key))
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )

@@ -243,3 +243,47 @@ def test_zorder_layout_improves_2d_box_locality(spark, tmp_path):
     nf_z, n2 = files_touched(z_d)
     assert n1 == n2 and n1 > 0  # same result set either way
     assert nf_z <= nf_1d  # z-order never worse for the 2-d box
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    """write_bucketed_table: two tables bucketed on the same key with the
+    same bucket count must sort-merge-join with ZERO shuffle Exchange and
+    ZERO per-task Sort — the planner proves co-partitioning from the
+    catalog bucket spec. This is the recurring-join shuffle killer the
+    plain path-based writers can't provide."""
+    from pyspark.sql import functions as F
+
+    from big_data_toolkit_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        writers.write_bucketed_table(orders, "bkt_orders", "o_orderkey", 4)
+        writers.write_bucketed_table(li, "bkt_lineitem", "l_orderkey", 4)
+        j = spark.table("bkt_lineitem").join(
+            spark.table("bkt_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles: {plan}"
+        assert "Bucketed: true" in plan, plan
+        # (per-task Sorts remain: Spark only exploits sortBy ordering under
+        # spark.sql.legacy.bucketedTableScan.outputOrdering — they are
+        # bucket-sized in-memory runs, not shuffles)
+        # and the join is CORRECT: row count equals the plain join
+        expected = li.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).count()
+        assert j.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
