@@ -319,36 +319,63 @@ def _encode_block(
 
 
 def encode_jpeg(
-    pixels: np.ndarray, qt: np.ndarray | None = None
+    pixels: np.ndarray,
+    qt: np.ndarray | None = None,
+    subsampling: str = "444",
 ) -> bytes:
     """HxW (grayscale) or HxWx3 (RGB) uint8 -> baseline JPEG bytes.
 
-    Dimensions are padded to multiples of 8 by edge replication (decoder
-    crops back). RGB converts to YCbCr (JFIF/BT.601) with 4:4:4 sampling.
-    ``qt``: 64 quantization divisors in zigzag order (default all-ones —
-    near-lossless, and EXACTLY lossless for block-constant grayscale)."""
+    Dimensions are padded by edge replication (decoder crops back). RGB
+    converts to YCbCr (JFIF/BT.601); ``subsampling`` is ``"444"`` (every
+    component full-resolution, 1x1 sampling) or ``"420"`` (RGB only: luma
+    2x2, chroma 2x2-mean-downsampled — the layout nearly every camera and
+    web encoder emits). ``qt``: 64 quantization divisors in zigzag order
+    (default all-ones — near-lossless, and EXACTLY lossless for
+    block-constant grayscale)."""
     qt = _UNIT_QT if qt is None else np.asarray(qt, dtype=np.int64)
     if pixels.dtype != np.uint8:
         raise ValueError(f"pixels must be uint8, got {pixels.dtype}")
     gray = pixels.ndim == 2
     if not gray and (pixels.ndim != 3 or pixels.shape[2] != 3):
         raise ValueError(f"expected HxW or HxWx3, got {pixels.shape}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if subsampling == "420" and gray:
+        raise ValueError("420 subsampling needs 3 components")
     h, w_ = pixels.shape[:2]
     if gray:
-        comps = [pixels.astype(np.float64)]
+        planes = [pixels.astype(np.float64)]
     else:
         r, g, b = (pixels[:, :, i].astype(np.float64) for i in range(3))
-        comps = [
+        planes = [
             0.299 * r + 0.587 * g + 0.114 * b,
             -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
-    ph, pw = -(-h // 8) * 8, -(-w_ // 8) * 8
-    comps = [
-        np.clip(np.round(np.pad(c, ((0, ph - h), (0, pw - w_)), mode="edge")),
-                0, 255)
-        for c in comps
-    ]
+    ncomp = len(planes)
+    # per-component sampling factors (h_i, v_i)
+    samp = (
+        [(2, 2), (1, 1), (1, 1)]
+        if subsampling == "420" and not gray
+        else [(1, 1)] * ncomp
+    )
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w_ // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    comp_planes = []
+    for (hi, vi), plane in zip(samp, planes):
+        if (hi, vi) != (hmax, vmax):
+            # pad full-res to even dims, then 2x2 mean downsample
+            fh, fw = -(-h // 2) * 2, -(-w_ // 2) * 2
+            p = np.pad(plane, ((0, fh - h), (0, fw - w_)), mode="edge")
+            plane = (
+                p.reshape(fh // 2, 2, fw // 2, 2).mean(axis=(1, 3))
+            )
+        th, tw = mcuy * 8 * vi, mcux * 8 * hi  # padded plane dims
+        ch, cw = plane.shape
+        plane = np.pad(plane, ((0, th - ch), (0, tw - cw)), mode="edge")
+        comp_planes.append(np.clip(np.round(plane), 0, 255))
 
     dc, ac = _huff_codes(_DC_BITS, _DC_VALS), _huff_codes(_AC_BITS, _AC_VALS)
     out = bytearray(b"\xff\xd8")  # SOI
@@ -356,11 +383,11 @@ def encode_jpeg(
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
         int(x) & 0xFF for x in qt
     )
-    ncomp = 1 if gray else 3
     # SOF0 carries the TRUE dimensions; the decoder re-derives the padding
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w_, ncomp)
     for cid in range(1, ncomp + 1):
-        out += struct.pack(">BBB", cid, 0x11, 0)  # 1x1 sampling, qtable 0
+        hi, vi = samp[cid - 1]
+        out += struct.pack(">BBB", cid, (hi << 4) | vi, 0)
     for cls, bits, vals in ((0, _DC_BITS, _DC_VALS), (1, _AC_BITS, _AC_VALS)):
         out += (
             b"\xff\xc4"
@@ -374,11 +401,17 @@ def encode_jpeg(
     out += b"\x00\x3f\x00"  # Ss=0, Se=63, Ah/Al=0
     bw = _BitWriter()
     preds = [0] * ncomp
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            for ci, comp in enumerate(comps):
-                block = comp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                preds[ci] = _encode_block(bw, block, qt, preds[ci], dc, ac)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, ((hi, vi), comp) in enumerate(zip(samp, comp_planes)):
+                for j in range(vi):
+                    for i in range(hi):
+                        y0 = (my * vi + j) * 8
+                        x0 = (mx * hi + i) * 8
+                        block = comp[y0 : y0 + 8, x0 : x0 + 8]
+                        preds[ci] = _encode_block(
+                            bw, block, qt, preds[ci], dc, ac
+                        )
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
@@ -444,10 +477,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JPEG bytes -> HxW (grayscale) or HxWx3 (RGB) uint8.
 
     Real parse: marker walk, DQT/DHT tables read FROM THE STREAM (not
-    assumed), SOF0 with 1x1 sampling (grayscale or 4:4:4), Huffman + DC
-    prediction + EXTEND, dequantize, de-zigzag, IDCT, level shift, crop
-    to the SOF dimensions, YCbCr->RGB for 3 components. Progressive,
-    subsampled, arithmetic, and restart-interval streams raise."""
+    assumed), SOF0 with 1x1 sampling (grayscale or 4:4:4) or the standard
+    4:2:0 layout (luma 2x2, chroma 1x1 — nearest-neighbor chroma
+    upsample), Huffman + DC prediction + EXTEND, dequantize, de-zigzag,
+    IDCT, level shift, crop to the SOF dimensions, YCbCr->RGB for 3
+    components. Progressive, arithmetic, exotic sampling grids, and
+    restart-interval streams raise."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
@@ -493,9 +528,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError(f"unsupported precision {precision}")
             for c in range(ncomp):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise ValueError("subsampling unsupported (4:4:4 only)")
+                if samp not in (0x11, 0x22):
+                    raise ValueError(
+                        f"sampling factor 0x{samp:02X} unsupported "
+                        "(1x1 and 2x2 only)"
+                    )
                 comps.append((cid, samp, tq))
+            sampset = {s for _, s, _ in comps}
+            if 0x22 in sampset and (
+                comps[0][1] != 0x22 or sampset - {0x11, 0x22}
+                or any(s != 0x11 for _, s, _ in comps[1:])
+            ):
+                raise ValueError("only 4:4:4 or standard 4:2:0 supported")
             sof = (h, w_, ncomp)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise ValueError(f"non-baseline SOF 0xFF{marker:02X} unsupported")
@@ -515,37 +559,55 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if sof is None or br is None:
         raise ValueError("JPEG missing SOF0/SOS")
     h, w_, ncomp = sof
-    ph, pw = -(-h // 8) * 8, -(-w_ // 8) * 8
-    planes = [np.zeros((ph, pw), dtype=np.float64) for _ in range(ncomp)]
+    samp = [((s >> 4) & 0xF, s & 0xF) for _, s, _ in comps]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w_ // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * 8 * vi, mcux * 8 * hi), dtype=np.float64)
+        for hi, vi in samp
+    ]
     preds = [0] * ncomp
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci, dct_id, act_id in scan:
+                hi, vi = samp[ci]
                 qt = qts[comps[ci][2]]
-                s = _read_symbol(br, dc_tabs[dct_id])
-                diff = _extend(br.read_bits(s), s) if s else 0
-                preds[ci] += diff
-                zz = np.zeros(64, dtype=np.int64)
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    sym = _read_symbol(br, ac_tabs[act_id])
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    zz[k] = _extend(br.read_bits(size), size)
-                    k += 1
-                coef = np.zeros(64, dtype=np.float64)
-                coef[_ZIGZAG] = zz * qt
-                block = _DCT_C.T @ coef.reshape(8, 8) @ _DCT_C
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    planes = [p[:h, :w_] + 128.0 for p in planes]
+                for j in range(vi):
+                    for i in range(hi):
+                        s = _read_symbol(br, dc_tabs[dct_id])
+                        diff = _extend(br.read_bits(s), s) if s else 0
+                        preds[ci] += diff
+                        zz = np.zeros(64, dtype=np.int64)
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _read_symbol(br, ac_tabs[act_id])
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0xF
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past end of block")
+                            zz[k] = _extend(br.read_bits(size), size)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[_ZIGZAG] = zz * qt
+                        block = _DCT_C.T @ coef.reshape(8, 8) @ _DCT_C
+                        y0 = (my * vi + j) * 8
+                        x0 = (mx * hi + i) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    # upsample subsampled components to full resolution, then crop
+    full = []
+    for (hi, vi), p in zip(samp, planes):
+        if (hi, vi) != (hmax, vmax):
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(p[:h, :w_] + 128.0)
+    planes = full
     if ncomp == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     if ncomp != 3:

@@ -264,3 +264,42 @@ def test_jpeg_payloads_are_real_jfif_markers(spark):
         b = bytes(r["payload"])
         assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
         assert b"\xff\xdb" in b and b"\xff\xc0" in b and b"\xff\xc4" in b
+
+
+def test_jpeg_420_roundtrip_and_dims():
+    """4:2:0 (luma 2x2, chroma subsampled) — the layout real cameras emit.
+    MCU-constant color content survives the chroma downsample nearly
+    exactly; odd (non-multiple-of-16) dims crop back correctly; random
+    content is bounded by the chroma information loss."""
+    import numpy as np
+
+    from big_data_toolkit_spark.multimodal import codecs
+
+    rng = np.random.default_rng(29)
+    vals = rng.integers(0, 256, (2, 3, 3), dtype=np.int64)
+    img = (
+        np.kron(vals, np.ones((16, 16, 1), np.int64))
+        .reshape(32, 48, 3)
+        .astype(np.uint8)
+    )
+    out = codecs.decode_jpeg(codecs.encode_jpeg(img, subsampling="420"))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+    y, x = np.mgrid[0:37, 0:45]
+    smooth = np.stack(
+        [np.minimum(2 * x + y, 255), np.minimum(x + 2 * y, 255), 3 * x % 256],
+        axis=2,
+    ).astype(np.uint8)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(smooth, subsampling="420"))
+    assert out.shape == smooth.shape
+
+    # 420 bitstream advertises 2x2 luma sampling in SOF0
+    b = codecs.encode_jpeg(img, subsampling="420")
+    sof = b.index(b"\xff\xc0")
+    assert b[sof + 11] == 0x22 and b[sof + 14] == 0x11
+
+    import pytest
+
+    with pytest.raises(ValueError, match="3 components"):
+        codecs.encode_jpeg(img[:, :, 0].copy(), subsampling="420")
