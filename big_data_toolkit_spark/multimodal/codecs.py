@@ -322,6 +322,7 @@ def encode_jpeg(
     pixels: np.ndarray,
     qt: np.ndarray | None = None,
     subsampling: str = "444",
+    dri: int = 0,
 ) -> bytes:
     """HxW (grayscale) or HxWx3 (RGB) uint8 -> baseline JPEG bytes.
 
@@ -331,7 +332,9 @@ def encode_jpeg(
     2x2, chroma 2x2-mean-downsampled — the layout nearly every camera and
     web encoder emits). ``qt``: 64 quantization divisors in zigzag order
     (default all-ones — near-lossless, and EXACTLY lossless for
-    block-constant grayscale)."""
+    block-constant grayscale). ``dri``: restart interval in MCUs (0 =
+    none) — emits a DRI segment and RST0-7 markers with per-interval DC
+    prediction resets, the error-resilience layout camera files use."""
     qt = _UNIT_QT if qt is None else np.asarray(qt, dtype=np.int64)
     if pixels.dtype != np.uint8:
         raise ValueError(f"pixels must be uint8, got {pixels.dtype}")
@@ -383,6 +386,8 @@ def encode_jpeg(
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
         int(x) & 0xFF for x in qt
     )
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
     # SOF0 carries the TRUE dimensions; the decoder re-derives the padding
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w_, ncomp)
     for cid in range(1, ncomp + 1):
@@ -401,8 +406,14 @@ def encode_jpeg(
     out += b"\x00\x3f\x00"  # Ss=0, Se=63, Ah/Al=0
     bw = _BitWriter()
     preds = [0] * ncomp
+    mcu_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if dri and mcu_n and mcu_n % dri == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (mcu_n // dri - 1) % 8])
+                preds = [0] * ncomp
+            mcu_n += 1
             for ci, ((hi, vi), comp) in enumerate(zip(samp, comp_planes)):
                 for j in range(vi):
                     for i in range(hi):
@@ -450,6 +461,16 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def read_restart(self, expect_n: int) -> None:
+        """Byte-align and consume the RSTn marker (T.81 E.1.2)."""
+        self.n = 0  # discard pad bits
+        b0, b1 = self.data[self.pos], self.data[self.pos + 1]
+        if b0 != 0xFF or b1 != 0xD0 + expect_n:
+            raise ValueError(
+                f"expected RST{expect_n} marker, got 0x{b0:02X}{b1:02X}"
+            )
+        self.pos += 2
+
 
 def _huff_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
     """(length, code) -> symbol, from a DHT's canonical spec."""
@@ -490,6 +511,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     sof = None
+    dri = 0  # restart interval in MCUs (0 = none)
     comps: list[tuple[int, int, int]] = []  # (id, sampling, qtable)
     scan: list[tuple[int, int, int]] = []  # (comp_idx, dc_tab, ac_tab)
     br = None
@@ -543,8 +565,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             sof = (h, w_, ncomp)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise ValueError(f"non-baseline SOF 0xFF{marker:02X} unsupported")
-        elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            (dri,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = body[0]
             for c in range(ns):
@@ -569,8 +591,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         for hi, vi in samp
     ]
     preds = [0] * ncomp
+    mcu_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if dri and mcu_n and mcu_n % dri == 0:
+                br.read_restart((mcu_n // dri - 1) % 8)
+                preds = [0] * ncomp  # DC prediction resets per interval
+            mcu_n += 1
             for ci, dct_id, act_id in scan:
                 hi, vi = samp[ci]
                 qt = qts[comps[ci][2]]

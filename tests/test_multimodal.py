@@ -303,3 +303,33 @@ def test_jpeg_420_roundtrip_and_dims():
 
     with pytest.raises(ValueError, match="3 components"):
         codecs.encode_jpeg(img[:, :, 0].copy(), subsampling="420")
+
+
+def test_jpeg_restart_intervals():
+    """DRI/RSTn support: interval-coded streams round-trip at several
+    interval lengths (including intervals that don't divide the MCU
+    count), DC prediction resets per interval, and a tampered RST index
+    raises rather than desyncing."""
+    import numpy as np
+    import pytest
+
+    from big_data_toolkit_spark.multimodal import codecs
+
+    rng = np.random.default_rng(31)
+    g = rng.integers(0, 256, (40, 56), np.uint8)  # 35 MCUs
+    for dri in (1, 2, 5, 7):
+        b = codecs.encode_jpeg(g, dri=dri)
+        assert b"\xff\xdd" in b
+        out = codecs.decode_jpeg(b)
+        assert np.abs(out.astype(int) - g.astype(int)).max() <= 4, dri
+    c = rng.integers(0, 256, (48, 64, 3), np.uint8)
+    out = codecs.decode_jpeg(
+        codecs.encode_jpeg(c, subsampling="420", dri=3)
+    )
+    assert out.shape == c.shape
+
+    b = bytearray(codecs.encode_jpeg(g, dri=2))
+    i = b.index(b"\xff\xd0", 20)
+    b[i + 1] = 0xD7
+    with pytest.raises(ValueError, match="RST"):
+        codecs.decode_jpeg(bytes(b))
