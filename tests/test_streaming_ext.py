@@ -430,3 +430,87 @@ def test_stream_bloom_incremental_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert expected
+
+
+def test_stream_heavy_hitters_exact_when_capacity_suffices(spark, tmp_path):
+    """With capacity >= distinct users per key, Space-Saving never evicts:
+    the final summary is EXACT and invariant to micro-batch cuts — equal
+    to the batch groupBy twin at sf0.01."""
+    from big_data_toolkit_spark.catalog import load_table
+    from big_data_toolkit_spark.streaming import trending
+    from tests.conftest import SF_ORACLE
+
+    events = load_table(spark, SF_ORACLE, "events").select(
+        "event_type", "user_id", "ts", "event_id"
+    )
+    rows = events.orderBy("ts", "event_id").collect()
+    # keep distinct-user count per key under SS_CAPACITY
+    keep_users = {
+        r["user_id"]
+        for r in events.select("user_id").distinct().limit(40).collect()
+    }
+    rows = [r for r in rows if r["user_id"] in keep_users]
+    assert rows
+    src = str(tmp_path / "hhsrc")
+    third = len(rows) // 3
+    batches = [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+    for i, part in enumerate(b for b in batches if b):
+        spark.createDataFrame(part, events.schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i:03d}")
+        )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "b*"))
+    )
+    _run_to_memory(trending.stream_heavy_hitters(stream), "hh", tmp_path)
+    all_rows = spark.sql("SELECT * FROM hh").collect()
+    latest_version = {}
+    for r in all_rows:
+        latest_version[r["event_type"]] = max(
+            latest_version.get(r["event_type"], -1), r["version"]
+        )
+    got = {
+        (r["event_type"], r["user_id"]): (r["est_cnt"], r["err"])
+        for r in all_rows
+        if r["version"] == latest_version[r["event_type"]]
+    }
+    exact = {}
+    for r in rows:
+        k = (r["event_type"], r["user_id"])
+        exact[k] = exact.get(k, 0) + 1
+    assert {k: v[0] for k, v in got.items()} == exact
+    assert all(err == 0 for _, err in got.values())
+
+
+def test_space_saving_error_bound_under_eviction():
+    """Property (no Spark needed): with tiny capacity over a skewed
+    stream, est >= true >= est - err for every surviving counter, and
+    every user with true count > N/capacity is present."""
+    import random
+
+    from big_data_toolkit_spark.streaming.trending import _space_saving_merge
+
+    rng = random.Random(3)
+    stream = (
+        [1] * 500 + [2] * 300 + [3] * 120
+        + [rng.randrange(100, 400) for _ in range(400)]
+    )
+    rng.shuffle(stream)
+    capacity = 8
+    summary = {}
+    true = {}
+    for i in range(0, len(stream), 57):  # uneven micro-batches
+        chunk = stream[i : i + 57]
+        batch = {}
+        for u in chunk:
+            batch[u] = batch.get(u, 0) + 1
+            true[u] = true.get(u, 0) + 1
+        _space_saving_merge(summary, batch, capacity)
+    assert len(summary) <= capacity
+    n = len(stream)
+    for u, (est, err) in summary.items():
+        assert est >= true[u] >= est - err, (u, est, err, true[u])
+    for u, t in true.items():
+        if t > n / capacity:
+            assert u in summary, (u, t)
