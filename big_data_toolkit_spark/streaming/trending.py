@@ -216,10 +216,10 @@ def _space_saving_merge(
             summary[user] = (vcnt + c, vcnt)
 
 
-def _update_hh_state(key, pdfs, state) -> "Iterator[pd.DataFrame]":
-    users, counts, errs, version = (
-        state.get if state.exists else ([], [], [], 0)
-    )
+def _hh_fold(stored: tuple | None, key, pdfs) -> tuple[tuple, "pd.DataFrame"]:
+    """Shared heavy-hitter state fold — used by BOTH stateful APIs so the
+    two implementations cannot drift. Returns (new_state_tuple, out_df)."""
+    users, counts, errs, version = stored if stored else ([], [], [], 0)
     summary = {
         int(u): (int(c), int(e)) for u, c, e in zip(users, counts, errs)
     }
@@ -232,15 +232,13 @@ def _update_hh_state(key, pdfs, state) -> "Iterator[pd.DataFrame]":
     _space_saving_merge(summary, batch, SS_CAPACITY)
     version += n
     items = sorted(summary.items())
-    state.update(
-        (
-            [u for u, _ in items],
-            [c for _, (c, _) in items],
-            [e for _, (_, e) in items],
-            version,
-        )
+    new_state = (
+        [u for u, _ in items],
+        [c for _, (c, _) in items],
+        [e for _, (_, e) in items],
+        version,
     )
-    yield pd.DataFrame(
+    out = pd.DataFrame(
         {
             "event_type": key[0],
             "user_id": [u for u, _ in items],
@@ -250,6 +248,13 @@ def _update_hh_state(key, pdfs, state) -> "Iterator[pd.DataFrame]":
         },
         columns=["event_type", "user_id", "est_cnt", "err", "version"],
     )
+    return new_state, out
+
+
+def _update_hh_state(key, pdfs, state) -> "Iterator[pd.DataFrame]":
+    new_state, out = _hh_fold(state.get if state.exists else None, key, pdfs)
+    state.update(new_state)
+    yield out
 
 
 def stream_heavy_hitters(events_stream: DataFrame) -> DataFrame:
@@ -281,5 +286,42 @@ def stream_heavy_hitters(events_stream: DataFrame) -> DataFrame:
             stateStructType=HH_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_heavy_hitters_tws(events_stream: DataFrame) -> DataFrame:
+    """``stream_heavy_hitters`` on ``transformWithStateInPandas`` — same
+    Space-Saving fold (``_hh_fold``, shared so the two APIs cannot
+    drift), state in a typed ``ValueState``. Same dependency boundary as
+    ``stream_trending_tws``: executing the stream needs protobuf; the
+    plan construction is exercised unconditionally."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class HHProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("hh", HH_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            new_state, out = _hh_fold(
+                self._state.get() if self._state.exists() else None, key, rows
+            )
+            self._state.update(new_state)
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events_stream.select("event_type", "user_id")
+        .groupBy("event_type")
+        .transformWithStateInPandas(
+            HHProcessor(),
+            outputStructType=HH_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
         )
     )

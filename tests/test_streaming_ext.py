@@ -514,3 +514,73 @@ def test_space_saving_error_bound_under_eviction():
     for u, t in true.items():
         if t > n / capacity:
             assert u in summary, (u, t)
+
+
+def test_stream_heavy_hitters_tws_matches_apip(spark, tmp_path):
+    """The transformWithStateInPandas heavy-hitter twin must reproduce the
+    applyInPandasWithState output over the same replay (both fold through
+    _hh_fold). Plan construction is asserted unconditionally; execution is
+    protobuf-gated like the trending TWS twin."""
+    from tests import conftest as cft
+    from big_data_toolkit_spark.catalog import load_table
+    from big_data_toolkit_spark.streaming import trending
+    from tests.conftest import SF_ORACLE
+
+    events = load_table(spark, SF_ORACLE, "events").select(
+        "event_type", "user_id", "ts", "event_id"
+    )
+    tws_df = trending.stream_heavy_hitters_tws(
+        spark.readStream.schema(events.schema).parquet(
+            "/root/testdata/sf0.001/events.parquet"
+        )
+    )
+    assert tws_df.isStreaming
+    assert [f.name for f in tws_df.schema.fields] == [
+        "event_type", "user_id", "est_cnt", "err", "version"
+    ]
+    if not cft.HAS_PROTOBUF:
+        import pytest
+
+        pytest.skip(cft.TWS_SKIP_REASON)
+
+    rows = events.orderBy("ts", "event_id").limit(400).collect()
+    src = str(tmp_path / "hhtws")
+    half = len(rows) // 2
+    for i, part in enumerate([rows[:half], rows[half:]]):
+        spark.createDataFrame(part, events.schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i:03d}")
+        )
+
+    def run(factory, name, ckpt):
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src, "b*"))
+        )
+        df = factory(stream)
+        with cft.rocksdb_state_store(spark):
+            q = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(300)
+        out = spark.sql(f"SELECT * FROM {name}").collect()
+        latest = {}
+        for r in out:
+            latest[r["event_type"]] = max(
+                latest.get(r["event_type"], -1), r["version"]
+            )
+        return {
+            (r["event_type"], r["user_id"], r["est_cnt"], r["err"])
+            for r in out
+            if r["version"] == latest[r["event_type"]]
+        }
+
+    got_tws = run(trending.stream_heavy_hitters_tws, "hh_tws", "ck_tws")
+    got_apip = run(trending.stream_heavy_hitters, "hh_apip", "ck_apip")
+    assert got_tws == got_apip
+    assert got_tws
