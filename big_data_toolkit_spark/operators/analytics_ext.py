@@ -499,6 +499,45 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp, version, is_current): slowly-changing-dimension type 2
+    — the versioned history that APPLYING ``snapshot_diff``'s changes
+    produces. Same deterministic snapshot pair; per key:
+    unchanged → one v1 current row; changed → v1 closed + v2 current;
+    removed → v1 closed; added → v2 current. This is the warehouse MERGE
+    counterpart of the diff: one full-outer join on the key builds the
+    complete history, and at 100 TB the same two scale facts carry it —
+    fingerprints (not payloads) flow through the single key-partitioned
+    shuffle, and the union branches are projections of that one join, so
+    Catalyst reuses it rather than joining twice.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % DIFF_OLD_MOD != DIFF_OLD_MOD - 1).select(
+        "doc_id", F.md5("text").alias("fp_old")
+    )
+    new = docs.where(F.col("doc_id") % DIFF_NEW_MOD != DIFF_NEW_MOD - 1).select(
+        "doc_id", F.md5(F.lower("text")).alias("fp_new")
+    )
+    joined = old.join(new, "doc_id", "full_outer")
+    v1 = joined.where(F.col("fp_old").isNotNull()).select(
+        "doc_id",
+        F.col("fp_old").alias("fp"),
+        F.lit(1).cast("int").alias("version"),
+        # current iff the key survived unchanged into the new snapshot
+        (F.col("fp_new") == F.col("fp_old")).alias("is_current"),
+    ).withColumn("is_current", F.coalesce("is_current", F.lit(False)))
+    v2 = joined.where(
+        F.col("fp_new").isNotNull()
+        & (F.col("fp_old").isNull() | (F.col("fp_old") != F.col("fp_new")))
+    ).select(
+        "doc_id",
+        F.col("fp_new").alias("fp"),
+        F.lit(2).cast("int").alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    return v1.unionByName(v2)
+
+
 FUZZY_MAX_DIST = 2
 
 
@@ -902,6 +941,26 @@ ORACLE_SQL: dict[str, str] = {
                    WHEN fp_new IS NULL THEN 'removed'
                    WHEN fp_old <> fp_new THEN 'changed' END IS NOT NULL
     """,
+    "scd2_history": f"""
+        WITH old AS (
+          SELECT doc_id, md5(text) AS fp_old FROM documents
+          WHERE doc_id % {DIFF_OLD_MOD} <> {DIFF_OLD_MOD - 1}
+        ),
+        new AS (
+          SELECT doc_id, md5(lower(text)) AS fp_new FROM documents
+          WHERE doc_id % {DIFF_NEW_MOD} <> {DIFF_NEW_MOD - 1}
+        ),
+        j AS (SELECT * FROM old FULL OUTER JOIN new USING (doc_id))
+        SELECT doc_id, fp_old AS fp, CAST(1 AS INT) AS version,
+               coalesce(fp_new = fp_old, FALSE) AS is_current
+        FROM j WHERE fp_old IS NOT NULL
+        UNION ALL
+        SELECT doc_id, fp_new AS fp, CAST(2 AS INT) AS version,
+               TRUE AS is_current
+        FROM j
+        WHERE fp_new IS NOT NULL
+          AND (fp_old IS NULL OR fp_old <> fp_new)
+    """,
     "fuzzy_name_matches": f"""
         WITH names AS (
           SELECT p_name, count(*) AS cnt,
@@ -1076,6 +1135,7 @@ QUERIES = {
     "integrity_audit": integrity_audit,
     "fuzzy_name_matches": fuzzy_name_matches,
     "snapshot_diff": snapshot_diff,
+    "scd2_history": scd2_history,
     "dau_wau_stickiness": dau_wau_stickiness,
     "customer_cohort_ltv": customer_cohort_ltv,
     "event_reach_approx": event_reach_approx,  # rows-only (sketches)

@@ -442,3 +442,32 @@ def test_dormant_rich_customers_reconciles(spark):
         for r in ax.dormant_rich_customers(spark, SF_SMOKE).collect()
     }
     assert got == want and got
+
+
+def test_scd2_history_consistent_with_diff(spark):
+    """The SCD2 history must agree with snapshot_diff's categories:
+    changed keys have exactly two rows (closed v1 + current v2), added
+    keys one current v2, removed keys one closed v1, and every unchanged
+    key one current v1. Exactly one current row per surviving key."""
+    from big_data_toolkit_spark.operators import analytics_ext as ax
+    from tests.conftest import SF_ORACLE
+
+    diff = {
+        r["doc_id"]: r["status"]
+        for r in ax.snapshot_diff(spark, SF_ORACLE).collect()
+    }
+    hist: dict[int, list] = {}
+    for r in ax.scd2_history(spark, SF_ORACLE).collect():
+        hist.setdefault(r["doc_id"], []).append(r)
+    assert hist
+    for doc, rows in hist.items():
+        status = diff.get(doc)  # None == unchanged
+        versions = sorted((r["version"], r["is_current"]) for r in rows)
+        if status == "changed":
+            assert versions == [(1, False), (2, True)], (doc, versions)
+        elif status == "added":
+            assert versions == [(2, True)], (doc, versions)
+        elif status == "removed":
+            assert versions == [(1, False)], (doc, versions)
+        else:
+            assert versions == [(1, True)], (doc, versions)
