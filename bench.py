@@ -69,6 +69,7 @@ HEADLINE = {
     "token_count": quality.token_count,
     "fingerprint": quality.fingerprint,
     "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
+    "dedup_embedding_incremental": dedup.dedup_embedding_incremental,
     "dedup_embedding_ivf": dedup.dedup_embedding_ivf,
     "asof_join": relational_ext.asof_purchase_attribution,
     "range_join_bursts": relational_ext.error_bursts,

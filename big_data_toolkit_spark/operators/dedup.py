@@ -978,14 +978,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def emb_band_candidates(sigs: DataFrame) -> DataFrame:
-    """Banded candidate pairs from (vec_id, bits) signature rows: (d1, d2).
-
-    A pair is a candidate iff ALL ``EMB_LSH_BAND_BITS`` bits of at least one
-    band match — the MinHash banding shape applied to hyperplane signatures.
-    Factored out so adversarial fan-out tests can feed synthetic bit strings.
-    """
-    bands_long = sigs.select(
+def emb_bands_of(sigs: DataFrame) -> DataFrame:
+    """(vec_id, band): the hyperplane-signature banding layout — one row
+    per LSH band of a (vec_id, bits) frame, shared by the within-corpus
+    candidate path, the incremental cross-side path, and the streaming
+    corpus-side builder (a banding change cannot desynchronize them)."""
+    return sigs.select(
         "vec_id",
         F.explode(
             F.array(
@@ -1002,6 +1000,16 @@ def emb_band_candidates(sigs: DataFrame) -> DataFrame:
             )
         ).alias("band"),
     )
+
+
+def emb_band_candidates(sigs: DataFrame) -> DataFrame:
+    """Banded candidate pairs from (vec_id, bits) signature rows: (d1, d2).
+
+    A pair is a candidate iff ALL ``EMB_LSH_BAND_BITS`` bits of at least one
+    band match — the MinHash banding shape applied to hyperplane signatures.
+    Factored out so adversarial fan-out tests can feed synthetic bit strings.
+    """
+    bands_long = emb_bands_of(sigs)
     return (
         bands_long.alias("x")
         .join(bands_long.alias("y"), "band")
@@ -1075,6 +1083,39 @@ def _verify_pairs_cosine(emb: DataFrame, cands: DataFrame) -> DataFrame:
             F.round(_dot("e1", "e2") / (F.col("n1") * F.col("n2")), 6).alias("cos"),
         )
         .where(F.col("cos") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, dup_of, cos): banded-LSH near-dup matches of the incoming
+    embedding batch (vec_id % NEW_BATCH_MOD == NEW_BATCH_MOD-1, the shared
+    delta convention) against the existing corpus — the embedding-space
+    analog of ``dedup_minhash_incremental``, and the batch twin of
+    ``streaming.windows.stream_dedup_embedding_lsh`` (replay-tested
+    equal). Candidates cross sides only; exact-cosine verify at the
+    shared threshold. At 100 TB the corpus side's (vec_id, band)
+    signatures are a persisted artifact, so an ingest batch costs
+    O(batch + candidates), independent of corpus size.
+    """
+    from big_data_toolkit_spark.operators.similarity import (
+        _bucket_udf,
+        _collect_index_vectors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _collect_index_vectors(emb, EMB_LSH_PLANES)
+    sigs = emb.select("vec_id", _bucket_udf(planes)("embedding").alias("bits"))
+    bands = emb_bands_of(sigs)
+    is_new = F.col("vec_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    cands = (
+        bands.where(is_new)
+        .alias("x")
+        .join(bands.where(~is_new).alias("y"), "band")
+        .select(F.col("x.vec_id").alias("d1"), F.col("y.vec_id").alias("d2"))
+        .distinct()
+    )
+    return _verify_pairs_cosine(emb, cands).select(
+        F.col("d1").alias("vec_id"), F.col("d2").alias("dup_of"), "cos"
     )
 
 
@@ -1275,6 +1316,41 @@ ORACLE_SQL["dedup_embedding_lsh"] = f"""
       FROM bands x JOIN bands y ON x.band = y.band AND x.vec_id < y.vec_id
     )
     SELECT c.d1, c.d2, round({_COS_AB}, 6) AS cos
+    FROM cands c
+    JOIN embeddings a ON a.vec_id = c.d1
+    JOIN embeddings b ON b.vec_id = c.d2
+    WHERE round({_COS_AB}, 6) >= {COSINE_DUP_THRESHOLD}
+"""
+
+ORACLE_SQL["dedup_embedding_incremental"] = f"""
+    WITH planes AS (
+      SELECT vec_id AS plane_id, embedding AS pv FROM embeddings
+      WHERE vec_id BETWEEN {EMB_LSH_PLANES[0]} AND {EMB_LSH_PLANES[-1]}
+    ),
+    bits AS (
+      SELECT e.vec_id, p.plane_id,
+             CASE WHEN {_DOT.format(a='e.embedding', b='p.pv')} > 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM embeddings e, planes p
+    ),
+    sigs AS (
+      SELECT vec_id, string_agg(bit::VARCHAR, '' ORDER BY plane_id) AS bits
+      FROM bits GROUP BY vec_id
+    ),
+    bands AS (
+      SELECT vec_id,
+             b::VARCHAR || '_' ||
+             substr(bits, b * {EMB_LSH_BAND_BITS} + 1, {EMB_LSH_BAND_BITS})
+               AS band
+      FROM sigs, (SELECT unnest(range({EMB_LSH_BANDS})) AS b)
+    ),
+    cands AS (
+      SELECT DISTINCT x.vec_id AS d1, y.vec_id AS d2
+      FROM bands x JOIN bands y ON x.band = y.band
+      WHERE x.vec_id % {NEW_BATCH_MOD} = {NEW_BATCH_MOD - 1}
+        AND y.vec_id % {NEW_BATCH_MOD} <> {NEW_BATCH_MOD - 1}
+    )
+    SELECT c.d1 AS vec_id, c.d2 AS dup_of, round({_COS_AB}, 6) AS cos
     FROM cands c
     JOIN embeddings a ON a.vec_id = c.d1
     JOIN embeddings b ON b.vec_id = c.d2
@@ -1907,6 +1983,7 @@ QUERIES = {
     "semantic_dedup": semantic_dedup,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    "dedup_embedding_incremental": dedup_embedding_incremental,
     "dedup_embedding_ivf": dedup_embedding_ivf,
     "cross_source_leakage": cross_source_leakage,
 }

@@ -250,6 +250,86 @@ def stream_dedup_incremental_bloom(
     return definitely_new.unionByName(survivors_of_maybe)
 
 
+def stream_dedup_embedding_lsh(
+    emb_stream: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_vecs: DataFrame,
+    planes: dict,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+    threshold: float | None = None,
+) -> DataFrame:
+    """Streaming embedding near-dup detection against a static corpus —
+    the embedding-space sibling of ``stream_dedup_minhash_lsh`` and the
+    streaming form of ``dedup.dedup_embedding_incremental`` (replay-
+    tested equal).
+
+    The stream side is map-only: each arriving vector's hyperplane sign
+    bits come from the Arrow-batched ``_bucket_udf`` over the broadcast
+    ``planes`` constants, band strings are built in-row, and the bands
+    stream-static join against ``corpus_bands`` (dup_of, band). Matches
+    verify with the exact in-row cosine against ``corpus_vecs``
+    (dup_of, emb_corpus, n_corpus — norms precomputed on the static side,
+    the `_verify_pairs_cosine` lesson) at the shared threshold
+    (overridable — sign-band blocking is a HIGH-similarity dedup; see the
+    regime note on ``dedup_embedding_lsh``). Multi-band pair hits
+    collapse exactly as in the MinHash twin.
+    """
+    from big_data_toolkit_spark.operators.dedup import (
+        COSINE_DUP_THRESHOLD,
+        EMB_LSH_BAND_BITS,
+        EMB_LSH_BANDS,
+    )
+    from big_data_toolkit_spark.operators.similarity import (
+        _bucket_udf,
+        _dot,
+        _norm,
+    )
+
+    keep = ["vec_id"] + ([ts_col] if ts_col else [])
+    sigs = emb_stream.select(
+        *keep,
+        "embedding",
+        _norm("embedding").alias("n_new"),
+        _bucket_udf(planes)("embedding").alias("bits"),
+    )
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(b),
+                F.substring(
+                    "bits", b * EMB_LSH_BAND_BITS + 1, EMB_LSH_BAND_BITS
+                ),
+            )
+            for b in range(EMB_LSH_BANDS)
+        ]
+    )
+    scored = (
+        sigs.select(*keep, "embedding", "n_new", F.explode(bands).alias("band"))
+        .join(corpus_bands, "band")
+        .join(corpus_vecs, "dup_of")
+        .select(
+            *keep,
+            "dup_of",
+            F.round(
+                _dot("embedding", "emb_corpus")
+                / (F.col("n_new") * F.col("n_corpus")),
+                6,
+            ).alias("cos"),
+        )
+        .where(
+            F.col("cos")
+            >= (COSINE_DUP_THRESHOLD if threshold is None else threshold)
+        )
+    )
+    if ts_col:
+        return scored.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["vec_id", "dup_of"]
+        )
+    return scored.dropDuplicates(["vec_id", "dup_of"])
+
+
 def stream_dedup_minhash_lsh(
     new_docs_stream: DataFrame,
     corpus_bands: DataFrame,

@@ -584,3 +584,121 @@ def test_stream_heavy_hitters_tws_matches_apip(spark, tmp_path):
     got_apip = run(trending.stream_heavy_hitters, "hh_apip", "ck_apip")
     assert got_tws == got_apip
     assert got_tws
+
+
+def test_stream_embedding_lsh_matches_batch(spark, tmp_path):
+    """Replay the embedding delta (vec_id % 5 == 4) as two micro-batches
+    against the static corpus bands/vectors; streamed near-dup matches
+    must equal dedup_embedding_incremental (the oracle-checked batch
+    twin)."""
+    import glob
+
+    from big_data_toolkit_spark.catalog import load_table
+    from big_data_toolkit_spark.operators import dedup
+    from big_data_toolkit_spark.operators.similarity import (
+        _bucket_udf,
+        _collect_index_vectors,
+        _norm,
+    )
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    is_new = (F.col("vec_id") % dedup.NEW_BATCH_MOD) == dedup.NEW_BATCH_MOD - 1
+    new_vecs = emb.where(is_new).orderBy("vec_id").collect()
+    src = str(tmp_path / "embsrc")
+    half = len(new_vecs) // 2
+    for i, part in enumerate([new_vecs[:half], new_vecs[half:]]):
+        spark.createDataFrame(part, emb.schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i:03d}")
+        )
+    assert len(glob.glob(os.path.join(src, "b*"))) == 2
+
+    planes = _collect_index_vectors(emb, dedup.EMB_LSH_PLANES)
+    corpus = emb.where(~is_new)
+    corpus_sigs = corpus.select(
+        "vec_id", _bucket_udf(planes)("embedding").alias("bits")
+    )
+    corpus_bands = dedup.emb_bands_of(corpus_sigs).withColumnRenamed(
+        "vec_id", "dup_of"
+    )
+    corpus_vecs = corpus.select(
+        F.col("vec_id").alias("dup_of"),
+        F.col("embedding").alias("emb_corpus"),
+        _norm("embedding").alias("n_corpus"),
+    )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "b*"))
+    )
+    # at the production threshold the sign-band regime note applies (recall
+    # ~0 at moderate theta, and the fixture's planted near-dups don't cross
+    # the delta/corpus slice within a band) — so ALSO run at threshold 0 to
+    # pin a NON-EMPTY stream==batch equality over every band candidate.
+    _run_to_memory(
+        windows.stream_dedup_embedding_lsh(
+            stream, corpus_bands, corpus_vecs, planes
+        ),
+        "emb_stream",
+        tmp_path,
+    )
+    got = {
+        (r["vec_id"], r["dup_of"], r["cos"])
+        for r in spark.sql("SELECT * FROM emb_stream").collect()
+    }
+    expected = {
+        (r["vec_id"], r["dup_of"], r["cos"])
+        for r in dedup.dedup_embedding_incremental(spark, SF_ORACLE).collect()
+    }
+    assert got == expected
+
+    _run_to_memory(
+        windows.stream_dedup_embedding_lsh(
+            stream, corpus_bands, corpus_vecs, planes, threshold=0.0
+        ),
+        "emb_stream0",
+        tmp_path,
+    )
+    got0 = {
+        (r["vec_id"], r["dup_of"], r["cos"])
+        for r in spark.sql("SELECT * FROM emb_stream0").collect()
+    }
+    sigs_new = emb.where(is_new).select(
+        "vec_id", _bucket_udf(planes)("embedding").alias("bits")
+    )
+    cands = (
+        dedup.emb_bands_of(sigs_new)
+        .withColumnRenamed("vec_id", "d1")
+        .join(corpus_bands.withColumnRenamed("dup_of", "d2"), "band")
+        .select("d1", "d2")
+        .distinct()
+    )
+    from big_data_toolkit_spark.operators.similarity import _dot
+
+    nemb = emb.select("vec_id", "embedding", _norm("embedding").alias("nrm"))
+    e1 = nemb.select(
+        F.col("vec_id").alias("d1"),
+        F.col("embedding").alias("e1"),
+        F.col("nrm").alias("n1"),
+    )
+    e2 = nemb.select(
+        F.col("vec_id").alias("d2"),
+        F.col("embedding").alias("e2"),
+        F.col("nrm").alias("n2"),
+    )
+    expected0 = {
+        (r["d1"], r["d2"], r["cos"])
+        for r in cands.join(e1, "d1")
+        .join(e2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(_dot("e1", "e2") / (F.col("n1") * F.col("n2")), 6).alias(
+                "cos"
+            ),
+        )
+        .where(F.col("cos") >= 0.0)
+        .collect()
+    }
+    assert got0 == expected0
+    assert got0, "band candidates must flow through the stream path"
