@@ -52,18 +52,18 @@ _MODULES = [
 # dict-insertion order (observed: CORRECTNESS keys == queries()[:50] every
 # round).  Coverage rotates so no query's newest driver row goes stale.
 # Round-9 rotation (emitted by `scripts/plan_rotation.py`; final re-emit
-# after the session's seven operator additions so never-rowed queries lead).
+# after the session's eight operator additions so never-rowed queries lead).
 # Priority per the recorded evidence: (1) no red rows exist to retry (r8 was
-# 50/50 clean); (2) ALL 12 never-rowed queries get their FIRST driver rows —
-# the 5 post-r8-gate TPC-H completions (q9/q12/q20/q21/q2) plus the 7
-# round-9 additions (Bloom/MinHash incremental dedup, PQ ANN x3, JPEG
-# features, SCD2 history); (3) staleness refreshes, oldest newest-row
+# 50/50 clean); (2) ALL 13 never-rowed queries get their FIRST driver rows —
+# the 5 post-r8-gate TPC-H completions (q9/q12/q20/q21/q2) plus the 8
+# round-9 additions (Bloom/MinHash/embedding incremental dedup, PQ ANN x3,
+# JPEG features, SCD2 history); (3) staleness refreshes, oldest newest-row
 # first: the three rows-only queries whose newest rows are r02/r04
 # (`sgd_train`, `sgd_score`, `event_reach_approx` — VERDICT r8 task 6),
-# then 35 of the 48 queries whose newest row is r6.  The 13 remaining
+# then 34 of the 48 queries whose newest row is r6.  The 14 remaining
 # r6-rowed queries defer to the r10 head at age 3 — the maximum
 # `scripts/plan_rotation.py --check` (the ci.sh 0/4 staleness gate)
-# allows, and unavoidable at 162 registered queries x 50 rows/round.
+# allows, and unavoidable at 163 registered queries x 50 rows/round.
 _HEAD = [
     "q9_product_type_profit",
     "q12_late_priority_lines",
@@ -77,6 +77,7 @@ _HEAD = [
     "knn_pq_rerank",
     "image_jpeg_features",
     "scd2_history",
+    "dedup_embedding_incremental",
     "sgd_train",
     "sgd_score",
     "event_reach_approx",
@@ -114,7 +115,6 @@ _HEAD = [
     "simhash_fingerprints",
     "dedup_simhash",
     "dedup_embedding_lsh",
-    "knn_brute_force",
 ]
 
 # Deferred queries, ordered by staleness (newest driver row round ascending,
@@ -125,6 +125,7 @@ _HEAD = [
 # mid-round and absent from both lists fall to the very tail (the r10
 # never-rowed queue, which plan_rotation prioritizes ahead of refreshes).
 _DEFERRED = [
+    "knn_brute_force",
     "quality_score",
     "asof_purchase_attribution",
     "error_bursts",
