@@ -51,80 +51,18 @@ _MODULES = [
 # The driver's correctness gate records rows for the FIRST 50 queries in
 # dict-insertion order (observed: CORRECTNESS keys == queries()[:50] every
 # round).  Coverage rotates so no query's newest driver row goes stale.
-# Round-9 rotation (emitted by `scripts/plan_rotation.py`; final re-emit
-# after the session's eight operator additions so never-rowed queries lead).
-# Priority per the recorded evidence: (1) no red rows exist to retry (r8 was
-# 50/50 clean); (2) ALL 13 never-rowed queries get their FIRST driver rows —
-# the 5 post-r8-gate TPC-H completions (q9/q12/q20/q21/q2) plus the 8
-# round-9 additions (Bloom/MinHash/embedding incremental dedup, PQ ANN x3,
-# JPEG features, SCD2 history); (3) staleness refreshes, oldest newest-row
-# first: the three rows-only queries whose newest rows are r02/r04
-# (`sgd_train`, `sgd_score`, `event_reach_approx` — VERDICT r8 task 6),
-# then 34 of the 48 queries whose newest row is r6.  The 14 remaining
-# r6-rowed queries defer to the r10 head at age 3 — the maximum
-# `scripts/plan_rotation.py --check` (the ci.sh 0/4 staleness gate)
-# allows, and unavoidable at 163 registered queries x 50 rows/round.
+# Round-10 rotation (emitted by `scripts/plan_rotation.py` with
+# CORRECTNESS_r09.json on disk).  Priority per the recorded evidence:
+# (1) no red rows to retry (r9 was 50/50 clean); (2) no never-rowed
+# queries (r9 closed full registry coverage); (3) staleness refreshes,
+# oldest newest-row first: the 14 queries whose newest row is r6 (age 4
+# at next_round=10 — they MUST lead this head or the ci.sh 0/4 gate
+# fails), then 36 of the 49 r7-rowed queries.  The 13 remaining r7
+# queries lead the r11 head at age 4-in-head, which the gate's
+# head-exemption permits: the steady-state rotation period is 4 rounds
+# (50 slots x 4 = 200 >= registry size; max out-of-head age 3), the
+# policy recorded in BASELINE.md's r10 rotation-capacity note.
 _HEAD = [
-    "q9_product_type_profit",
-    "q12_late_priority_lines",
-    "q20_potential_promotion",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "dedup_incremental_bloom",
-    "dedup_minhash_incremental",
-    "pq_codes",
-    "knn_pq",
-    "knn_pq_rerank",
-    "image_jpeg_features",
-    "scd2_history",
-    "dedup_embedding_incremental",
-    "sgd_train",
-    "sgd_score",
-    "event_reach_approx",
-    "kmeans_clusters",
-    "cluster_balanced_sample",
-    "text_clean",
-    "pii_redaction",
-    "knn_ivf_trained",
-    "ranked_retrieval_bm25",
-    "span_dedup",
-    "semantic_dedup",
-    "dsir_weights",
-    "hybrid_retrieval",
-    "triangle_count",
-    "bigram_logprob",
-    "event_funnel",
-    "q1_count_shipped",
-    "q2_orders_shipped",
-    "q3_part_supplier_shipped",
-    "q4_orders_by_nation",
-    "word_count",
-    "next_word_after",
-    "bigram_relative_frequency",
-    "pmi_pairs",
-    "inverted_index",
-    "boolean_and",
-    "boolean_or",
-    "boolean_mixed",
-    "spam_score",
-    "spam_ensemble",
-    "pagerank_top20",
-    "region_event_count",
-    "trending_events",
-    "dedup_minhash_lsh",
-    "simhash_fingerprints",
-    "dedup_simhash",
-    "dedup_embedding_lsh",
-]
-
-# Deferred queries, ordered by staleness (newest driver row round ascending,
-# registry order) — the r10 refresh priority order.  Every deferred query
-# remains registered and pytest-oracle-covered (tests/oracle_utils.compare
-# replicates the driver's comparison, including its typed-value hash
-# sensitivity via the no-HUGEINT/DECIMAL-mismatch guard).  Queries added
-# mid-round and absent from both lists fall to the very tail (the r10
-# never-rowed queue, which plan_rotation prioritizes ahead of refreshes).
-_DEFERRED = [
     "knn_brute_force",
     "quality_score",
     "asof_purchase_attribution",
@@ -175,6 +113,16 @@ _DEFERRED = [
     "user_event_matrix",
     "json_props_stats",
     "event_reach",
+]
+
+# Deferred queries, ordered by staleness (newest driver row round ascending,
+# registry order) — the r11 refresh priority order.  Every deferred query
+# remains registered and pytest-oracle-covered (tests/oracle_utils.compare
+# replicates the driver's comparison, including its typed-value hash
+# sensitivity via the no-HUGEINT/DECIMAL-mismatch guard).  Queries added
+# mid-round and absent from both lists fall to the very tail (the r10
+# never-rowed queue, which plan_rotation prioritizes ahead of refreshes).
+_DEFERRED = [
     "retention_cohorts",
     "user_activity_anomalies",
     "event_value_histogram",
@@ -238,6 +186,56 @@ _DEFERRED = [
     "q11_important_parts",
     "q16_supplier_part_variety",
     "dedup_star_components",
+    "q9_product_type_profit",
+    "q12_late_priority_lines",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "dedup_incremental_bloom",
+    "dedup_minhash_incremental",
+    "pq_codes",
+    "knn_pq",
+    "knn_pq_rerank",
+    "image_jpeg_features",
+    "scd2_history",
+    "dedup_embedding_incremental",
+    "sgd_train",
+    "sgd_score",
+    "event_reach_approx",
+    "kmeans_clusters",
+    "cluster_balanced_sample",
+    "text_clean",
+    "pii_redaction",
+    "knn_ivf_trained",
+    "ranked_retrieval_bm25",
+    "span_dedup",
+    "semantic_dedup",
+    "dsir_weights",
+    "hybrid_retrieval",
+    "triangle_count",
+    "bigram_logprob",
+    "event_funnel",
+    "q1_count_shipped",
+    "q2_orders_shipped",
+    "q3_part_supplier_shipped",
+    "q4_orders_by_nation",
+    "word_count",
+    "next_word_after",
+    "bigram_relative_frequency",
+    "pmi_pairs",
+    "inverted_index",
+    "boolean_and",
+    "boolean_or",
+    "boolean_mixed",
+    "spam_score",
+    "spam_ensemble",
+    "pagerank_top20",
+    "region_event_count",
+    "trending_events",
+    "dedup_minhash_lsh",
+    "simhash_fingerprints",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
 ]
 
 

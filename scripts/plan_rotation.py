@@ -60,7 +60,11 @@ def gather(repo_root: str = _REPO_ROOT):
     return q, newest_round, reds_newest
 
 
-MAX_ROW_AGE = 3  # rounds; feasible at 155 queries x 50 rows/round
+# Max rounds a query may sit outside the head since its newest driver row.
+# A query IN the head is exempt (it gets a fresh row that round), so the
+# steady-state rotation period is MAX_ROW_AGE + 1 = 4 rounds and capacity
+# is 50 slots x 4 = 200 registered queries (163 registered as of r10).
+MAX_ROW_AGE = 3
 
 
 def staleness_violations(
@@ -99,6 +103,17 @@ def main() -> int:
         f"every registered query within {MAX_ROW_AGE} rounds of a "
         "driver row at the next round; exit 1 on violations",
     )
+    ap.add_argument(
+        "--project",
+        type=int,
+        default=0,
+        metavar="K",
+        help="with --check: additionally simulate K future rounds of "
+        "greedy stale-first rotation (current head runs, then each "
+        "simulated round re-plans) and verify none violates the gate — "
+        "proves the rotation period is sustainable at the current "
+        "registry size, not just for the next round",
+    )
     args = ap.parse_args()
 
     if args.check:
@@ -111,6 +126,28 @@ def main() -> int:
             for k in q
             if k not in newest_round and k not in set(entry._HEAD)
         ]
+        projections: dict[str, dict] = {}
+        proj_bad = False
+        if args.project:
+            # Simulate: the committed head runs at next_round, then each
+            # future round re-plans greedily (stale-first) and runs.
+            sim_newest = dict(newest_round)
+            sim_head = list(entry._HEAD)
+            for rnd in range(next_round, next_round + args.project + 1):
+                viol = staleness_violations(q, sim_newest, sim_head, rnd)
+                projections[f"r{rnd}"] = {
+                    "head_n": len(sim_head),
+                    "violations": viol,
+                }
+                proj_bad = proj_bad or bool(viol)
+                for k in sim_head:
+                    sim_newest[k] = rnd
+                never = [k for k in q if k not in sim_newest]
+                rest = sorted(
+                    (k for k in q if k in sim_newest),
+                    key=lambda k: (sim_newest[k], q.index(k)),
+                )
+                sim_head = list(dict.fromkeys(never + rest))[:50]
         print(
             json.dumps(
                 {
@@ -119,10 +156,19 @@ def main() -> int:
                     "violations": bad,
                     "head_not_registered": head_missing,
                     "never_rowed_outside_head": never_outside,
+                    **(
+                        {"projections": projections}
+                        if projections
+                        else {}
+                    ),
                 }
             )
         )
-        return 1 if bad or head_missing or len(entry._HEAD) > 50 else 0
+        return (
+            1
+            if bad or head_missing or len(entry._HEAD) > 50 or proj_bad
+            else 0
+        )
 
     q, newest_round, reds = gather()
     never = [k for k in q if k not in newest_round]
