@@ -382,9 +382,14 @@ def encode_jpeg(
 
     dc, ac = _huff_codes(_DC_BITS, _DC_VALS), _huff_codes(_AC_BITS, _AC_VALS)
     out = bytearray(b"\xff\xd8")  # SOI
-    # DQT: Lq=67, Pq/Tq=0, 64 divisors in zigzag order
+    # DQT: Lq=67, Pq/Tq=0, 64 divisors in zigzag order. Divisors above
+    # 255 would need a 16-bit table (Pq=1), which this baseline encoder
+    # (and the decoder) doesn't emit — fail loud rather than emit a
+    # silently truncated corrupt-but-parseable table.
+    if any(not 1 <= int(x) <= 255 for x in qt):
+        raise ValueError("quantization divisors must be in 1..255")
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
-        int(x) & 0xFF for x in qt
+        int(x) for x in qt
     )
     if dri:
         out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
@@ -440,9 +445,13 @@ class _BitReader:
 
     def read_bit(self) -> int:
         if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG scan")
             byte = self.data[self.pos]
             self.pos += 1
             if byte == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated JPEG scan")
                 marker = self.data[self.pos]
                 if marker == 0x00:
                     self.pos += 1  # stuffed byte
@@ -464,6 +473,8 @@ class _BitReader:
     def read_restart(self, expect_n: int) -> None:
         """Byte-align and consume the RSTn marker (T.81 E.1.2)."""
         self.n = 0  # discard pad bits
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated JPEG scan")
         b0, b1 = self.data[self.pos], self.data[self.pos + 1]
         if b0 != 0xFF or b1 != 0xD0 + expect_n:
             raise ValueError(
@@ -502,8 +513,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     4:2:0 layout (luma 2x2, chroma 1x1 — nearest-neighbor chroma
     upsample), Huffman + DC prediction + EXTEND, dequantize, de-zigzag,
     IDCT, level shift, crop to the SOF dimensions, YCbCr->RGB for 3
-    components. Progressive, arithmetic, exotic sampling grids, and
-    restart-interval streams raise."""
+    components. Restart-interval streams are decoded (DRI segment +
+    RST0-7 markers with per-interval DC prediction resets); progressive,
+    arithmetic, and exotic sampling grids raise."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2

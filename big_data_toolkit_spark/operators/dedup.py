@@ -857,51 +857,104 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BLOOM_M = 1 << 20  # bits; bitmap broadcasts at 128 KiB
+BLOOM_M_MIN = 1 << 20  # bits; floor — bitmap broadcasts at 128 KiB
+BLOOM_M_MAX = 1 << 27  # bits; single-bitmap cap — 16 MiB broadcast.
+# Beyond the cap, the right shape is a partitioned Bloom keyed by
+# fingerprint prefix (each executor holds only its shards) or a torrent
+# broadcast of a few-GiB bitmap; this module stops at the single-bitmap
+# form and fails loud instead of silently degrading.
 BLOOM_K = 5  # hash functions; fp rate ~ (1 - e^(-kn/m))^k
+_BLOOM_FILL_TARGET = 0.10  # fraction of set bits; fp = fill^k ~ 1e-5
 
 
-def _bloom_position_array(fp_col: str) -> "F.Column":
-    """array<long> of the k Bloom bit positions for a fingerprint column —
-    md5-derived 24-bit slices mod m, computed JVM-side so the build and
-    check sides share one definition by construction."""
+def bloom_m_for(n_fingerprints: int) -> int:
+    """Bits for the corpus bitmap: smallest power of two keeping the
+    expected fill ≤ 10% (fp = fill^k ≈ 1e-5), floored at 2^20 so tiny
+    corpora keep a cheap fixed-size bitmap and capped at 2^27 (16 MiB —
+    the largest bitmap worth shipping as a plain broadcast; see
+    ``BLOOM_M_MAX`` for the beyond-cap design)."""
+    # fill = 1 - e^(-kn/m) <= target  =>  m >= kn / -ln(1 - target)
+    import math
+
+    need = BLOOM_K * max(n_fingerprints, 1) / -math.log1p(-_BLOOM_FILL_TARGET)
+    m = BLOOM_M_MIN
+    while m < need and m < BLOOM_M_MAX:
+        m <<= 1
+    return m
+
+
+def _bloom_position_array(fp_col: str, m: int = BLOOM_M_MIN) -> "F.Column":
+    """array<long> of the k Bloom bit positions for a fingerprint column,
+    computed JVM-side so the build and check sides share one definition by
+    construction.  Kirsch–Mitzenmacher double hashing over the two 60-bit
+    md5 halves — position_i = (h1 + i·h2odd) mod m — so any power-of-two m
+    up to 2^60 works (the old 24-bit-slice form capped m at 2^24).
+    h1 + (k-1)·h2odd < 5·2^60 < 2^63, so the arithmetic stays in LongType.
+    """
     h = F.md5(fp_col)
-    return F.array(
-        *[
-            F.conv(F.substring(h, 1 + 6 * i, 6), 16, 10).cast("long")
-            % BLOOM_M
-            for i in range(BLOOM_K)
-        ]
+    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    h2 = (
+        F.conv(F.substring(h, 16, 15), 16, 10)
+        .cast("long")
+        .bitwiseOR(F.lit(1))
     )
+    return F.array(*[(h1 + F.lit(i) * h2) % m for i in range(BLOOM_K)])
 
 
-def bloom_bitmap_broadcast(spark: SparkSession, fp_df: DataFrame):
+class BloomBitmap:
+    """A broadcast packed bitmap plus the m it was built with — check
+    sides must derive positions with the SAME m (`positions_of`)."""
+
+    def __init__(self, packed, m: int):
+        self.packed = packed
+        self.m = m
+
+    def positions_of(self, fp_col: str) -> "F.Column":
+        return _bloom_position_array(fp_col, self.m)
+
+
+def bloom_bitmap_broadcast(
+    spark: SparkSession, fp_df: DataFrame, m: int | None = None
+) -> BloomBitmap:
     """Broadcast of the packed m-bit Bloom bitmap over a fingerprint frame
-    (column ``content_md5``) — the distinct position set is ≤ min(kn, m)
-    longs at the driver; the shipped bitmap is m/8 bytes."""
+    (column ``content_md5``) — m auto-sized from the corpus fingerprint
+    count to keep fill ≤ 10% / fp ≤ ~1e-5 unless pinned by the caller.
+    The distinct position set is ≤ min(kn, m) longs at the driver; the
+    shipped bitmap is m/8 bytes (128 KiB floor, 16 MiB cap — enough for
+    ~2.8M fingerprints at target fill; see ``BLOOM_M_MAX`` beyond)."""
+    if m is None:
+        m = bloom_m_for(fp_df.count())
     set_positions = np.array(
         [
             r["p"]
             for r in fp_df.select(
-                F.explode(_bloom_position_array("content_md5")).alias("p")
+                F.explode(_bloom_position_array("content_md5", m)).alias("p")
             )
             .distinct()
             .collect()
         ],
         dtype=np.int64,
     )
-    bitmap = np.zeros(BLOOM_M, dtype=bool)
+    bitmap = np.zeros(m, dtype=bool)
     if set_positions.size:
         bitmap[set_positions] = True
-    return spark.sparkContext.broadcast(np.packbits(bitmap))
+    return BloomBitmap(spark.sparkContext.broadcast(np.packbits(bitmap)), m)
 
 
-def bloom_hit_udf(packed):
-    """Arrow-batched membership test over JVM-computed position arrays."""
+def bloom_hit_udf(bloom: BloomBitmap):
+    """Arrow-batched membership test over JVM-computed position arrays.
+    The broadcast ships packed (m/8 bytes); each Python worker unpacks it
+    ONCE into a closure-level cache — not per Arrow batch (the unpacked
+    bool array is 8× the packed size and batch-invariant)."""
+    packed = bloom.packed
+    cache: dict[str, np.ndarray] = {}
 
     @pandas_udf("boolean")
     def bloom_hit(pos: pd.Series) -> pd.Series:
-        bits = np.unpackbits(packed.value).astype(bool)
+        bits = cache.get("bits")
+        if bits is None:
+            bits = np.unpackbits(packed.value).astype(bool)
+            cache["bits"] = bits
         if pos.empty:
             return pd.Series([], dtype=bool)
         mat = np.stack([np.asarray(p, dtype=np.int64) for p in pos])
@@ -924,11 +977,13 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     false-positive sliver) reach the anti-join, so the shuffle input
     shrinks from |batch| to |dups| + fp·|batch| while the OUTPUT stays
     exact (zero false negatives by construction — every corpus position
-    is set). At 100 TB, scale m with the corpus (the bitmap is the only
-    driver-side state; 10^10 fingerprints want m ~ 2^37, at which point
-    the build's distinct-positions aggregation stays distributed and the
-    bitmap ships as a few-GiB torrent broadcast, or shards into a
-    partitioned Bloom keyed by fp prefix).
+    is set). m auto-sizes with the corpus (``bloom_m_for``: fill ≤ 10%,
+    fp ≤ ~1e-5; 2^20 floor, 2^27/16 MiB single-broadcast cap good for
+    ~2.8M fingerprints). At 100 TB, 10^10 fingerprints want m ~ 2^37:
+    past the cap the build's distinct-positions aggregation stays
+    distributed and the bitmap ships as a few-GiB torrent broadcast, or
+    shards into a partitioned Bloom keyed by fp prefix — this module
+    stops at the single-bitmap form rather than degrade silently.
     """
     docs = load_table(spark, sf_dir, "documents")
     fp = docs.select(
@@ -939,9 +994,10 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
     existing = fp.where(~is_new).select("content_md5").distinct()
-    bloom_hit = bloom_hit_udf(bloom_bitmap_broadcast(spark, existing))
+    bloom = bloom_bitmap_broadcast(spark, existing)
+    bloom_hit = bloom_hit_udf(bloom)
     new = fp.where(is_new).withColumn(
-        "_hit", bloom_hit(_bloom_position_array("content_md5"))
+        "_hit", bloom_hit(bloom.positions_of("content_md5"))
     )
     definitely_new = new.where(~F.col("_hit")).select("doc_id", "content_md5")
     survivors_of_maybe = (

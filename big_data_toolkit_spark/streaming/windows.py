@@ -229,17 +229,15 @@ def stream_dedup_incremental_bloom(
     """
     from big_data_toolkit_spark.functions.text import tokenize
     from big_data_toolkit_spark.operators.dedup import (
-        _bloom_position_array,
         bloom_bitmap_broadcast,
         bloom_hit_udf,
     )
 
-    bloom_hit = bloom_hit_udf(
-        bloom_bitmap_broadcast(new_docs_stream.sparkSession, corpus_fp)
-    )
+    bloom = bloom_bitmap_broadcast(new_docs_stream.sparkSession, corpus_fp)
+    bloom_hit = bloom_hit_udf(bloom)
     fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokenize("text")))))
     new = new_docs_stream.withColumn("content_md5", fp).withColumn(
-        "_hit", bloom_hit(_bloom_position_array("content_md5"))
+        "_hit", bloom_hit(bloom.positions_of("content_md5"))
     )
     definitely_new = new.where(~F.col("_hit")).select("doc_id", "content_md5")
     survivors_of_maybe = (

@@ -447,16 +447,18 @@ def test_bloom_prefilter_actually_prunes(spark):
     n_new = fp.where(is_new).count()
     survivors = dedup.dedup_incremental(spark, SF_ORACLE).count()
     true_dups = n_new - survivors
-    # replicate the bloom-positive count from the operator's own pieces
+    # replicate the bloom-positive count from the operator's own pieces,
+    # including its auto-sized m
     existing = fp.where(~is_new).select("content_md5").distinct()
     import numpy as np
 
+    m = dedup.bloom_m_for(existing.count())
     pos = np.array(
         [
             r["p"]
             for r in existing.select(
                 F.explode(
-                    dedup._bloom_position_array("content_md5")
+                    dedup._bloom_position_array("content_md5", m)
                 ).alias("p")
             )
             .distinct()
@@ -464,16 +466,55 @@ def test_bloom_prefilter_actually_prunes(spark):
         ],
         dtype=np.int64,
     )
-    bitmap = np.zeros(dedup.BLOOM_M, dtype=bool)
+    bitmap = np.zeros(m, dtype=bool)
     bitmap[pos] = True
     new_rows = fp.where(is_new).select(
-        dedup._bloom_position_array("content_md5").alias("bpos")
+        dedup._bloom_position_array("content_md5", m).alias("bpos")
     ).collect()
     hits = sum(1 for r in new_rows if all(bitmap[p] for p in r["bpos"]))
     false_pos = hits - true_dups
     assert false_pos >= 0
     # kn/m ~ 2e-3 here -> fp rate ~ (kn/m)^k is ~0; allow a generous 5%
     assert false_pos <= max(1, int(0.05 * n_new)), (false_pos, n_new)
+
+
+def test_bloom_m_auto_sizing():
+    """m grows with the corpus so fill stays <= 10% (fp ~ 1e-5): floor at
+    2^20 for small corpora, next power of two covering k*n/-ln(0.9)
+    above, hard cap 2^27 (the single-broadcast limit)."""
+    import math
+
+    assert dedup.bloom_m_for(0) == dedup.BLOOM_M_MIN
+    assert dedup.bloom_m_for(10_000) == dedup.BLOOM_M_MIN
+    for n in (50_000, 500_000, 2_000_000):
+        m = dedup.bloom_m_for(n)
+        fill = 1 - math.exp(-dedup.BLOOM_K * n / m)
+        assert fill <= 0.10 + 1e-9, (n, m, fill)
+        # minimal: half the bitmap would overfill (unless at the floor)
+        if m > dedup.BLOOM_M_MIN:
+            half_fill = 1 - math.exp(-dedup.BLOOM_K * n / (m // 2))
+            assert half_fill > 0.10, (n, m, half_fill)
+    assert dedup.bloom_m_for(10**9) == dedup.BLOOM_M_MAX
+
+
+def test_bloom_positions_respect_m(spark):
+    """Kirsch-Mitzenmacher positions stay in [0, m) for every m in the
+    auto-size range, and distinct fingerprints spread across the space
+    (no degenerate clustering from the double-hash form)."""
+    fps = spark.createDataFrame(
+        [(f"fingerprint-{i}",) for i in range(200)], ["content_md5"]
+    )
+    for m in (dedup.BLOOM_M_MIN, 1 << 23, dedup.BLOOM_M_MAX):
+        rows = fps.select(
+            F.explode(
+                dedup._bloom_position_array("content_md5", m)
+            ).alias("p")
+        ).collect()
+        ps = [r["p"] for r in rows]
+        assert len(ps) == 200 * dedup.BLOOM_K
+        assert all(0 <= p < m for p in ps), (m, min(ps), max(ps))
+        # 1000 draws over >=2^20 slots should be essentially collision-free
+        assert len(set(ps)) > 0.99 * len(ps)
 
 
 def test_bloom_incremental_empty_corpus(spark):

@@ -248,6 +248,33 @@ def test_jpeg_decoder_rejects_malformed():
     bad = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError, match="non-baseline"):
         codecs.decode_jpeg(bad)
+    # scan cut mid-entropy-segment: uniform ValueError, not IndexError
+    cut = good[: good.index(b"\xff\xda") + 12]
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.decode_jpeg(cut)
+    # truncation mid-restart-marker on an interval-coded stream
+    g = np.arange(64 * 4, dtype=np.uint8).reshape(16, 16)
+    dri_bytes = codecs.encode_jpeg(g, dri=1)
+    cut = dri_bytes[: dri_bytes.index(b"\xff\xd0") + 1]
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.decode_jpeg(cut)
+
+
+def test_jpeg_encoder_rejects_oversized_quant_divisors():
+    """Divisors > 255 need a 16-bit DQT (Pq=1) the baseline pipeline
+    doesn't support — the encoder must refuse, not mask to 8 bits."""
+    import numpy as np
+    import pytest
+
+    from big_data_toolkit_spark.multimodal import codecs
+
+    px = np.zeros((8, 8), dtype=np.uint8)
+    qt = np.full(64, 16, dtype=np.int64)
+    qt[63] = 256
+    with pytest.raises(ValueError, match="1..255"):
+        codecs.encode_jpeg(px, qt=qt)
+    with pytest.raises(ValueError, match="1..255"):
+        codecs.encode_jpeg(px, qt=np.zeros(64, dtype=np.int64))
 
 
 def test_jpeg_query_oracle_match_and_map_only(spark):
