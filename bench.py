@@ -223,6 +223,12 @@ HEADLINE = {
     "mat_cross_source_leakage": materialize.bench_cross_source_leakage,
     "mat_semantic_dedup": materialize.bench_semantic_dedup,
     "mat_knn_ivf_trained": materialize.bench_knn_ivf_trained,
+    # Round-10: the PQ index as a stored artifact — build once (encode
+    # scan + codebook write), then ADC searches read 8 bytes/vector from
+    # the store. Compare mat_knn_pq against the in-plan knn_pq line to
+    # read the per-search encode recompute saved.
+    "mat_pq_build": materialize.bench_pq_build,
+    "mat_knn_pq": materialize.bench_knn_pq_stored,
     # Round-8 (session 2): the five remaining classic TPC-H shapes the
     # synthetic schema supports — outer-join histogram (Q13), correlated
     # scalar-avg subquery (Q17), max-over-view (Q15), HAVING-vs-global-

@@ -799,6 +799,32 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_lut(
+    spark: SparkSession, sf_dir: str, donors: dict[int, list[int]], query_vec_id: int
+) -> list[list[int]]:
+    """The ADC lookup table: lut[s][j] = exact integer squared-L2 from the
+    query's subvector s to donor dids[j]'s subvector s — 8 x 16 driver-side
+    integers computed from ONE point-looked-up query vector."""
+    dids = sorted(donors)
+    q = _quantize(load_table(spark, sf_dir, "embeddings"))
+    qrows = q.where(F.col("vec_id") == query_vec_id).select("qv").collect()
+    if not qrows:
+        raise ValueError(
+            f"query vector {query_vec_id} not found in embeddings table"
+        )
+    qv = [int(x) for x in qrows[0]["qv"]]
+    return [
+        [
+            sum(
+                (qv[s * PQ_SUBDIM + d] - donors[j][s * PQ_SUBDIM + d]) ** 2
+                for d in range(PQ_SUBDIM)
+            )
+            for j in dids
+        ]
+        for s in range(PQ_SUBSPACES)
+    ]
+
+
 def knn_pq(
     spark: SparkSession, sf_dir: str, query_vec_id: int = QUERY_VEC_ID, k: int = TOP_K
 ) -> DataFrame:
@@ -811,28 +837,14 @@ def knn_pq(
     literals — index constants, like every other ANN path here. Scan cost
     per corpus vector is 8 in-row argmins + 8 array lookups; at 100 TB the
     codes come from the persisted ``pq_codes`` artifact and the scan
-    touches 8 bytes per vector instead of 256. Exact-integer arithmetic
+    touches 8 bytes per vector instead of 256 (that production form is
+    ``knn_pq_from_codes`` over the ``plans.materialize`` PQ artifact,
+    equality-tested against this in-plan twin). Exact-integer arithmetic
     end to end, so the DuckDB oracle hash-matches.
     """
     donors = _pq_codebook(spark, sf_dir)
-    dids = sorted(donors)
+    lut = _pq_lut(spark, sf_dir, donors, query_vec_id)
     q = _quantize(load_table(spark, sf_dir, "embeddings"))
-    qrows = q.where(F.col("vec_id") == query_vec_id).select("qv").collect()
-    if not qrows:
-        raise ValueError(
-            f"query vector {query_vec_id} not found in embeddings table"
-        )
-    qv = [int(x) for x in qrows[0]["qv"]]
-    lut = [
-        [
-            sum(
-                (qv[s * PQ_SUBDIM + d] - donors[j][s * PQ_SUBDIM + d]) ** 2
-                for d in range(PQ_SUBDIM)
-            )
-            for j in dids
-        ]
-        for s in range(PQ_SUBSPACES)
-    ]
     coded = _with_pq_idx(q.where(F.col("vec_id") != query_vec_id), donors)
     adc = F.lit(0).cast("long")
     for s in range(PQ_SUBSPACES):
@@ -842,6 +854,68 @@ def knn_pq(
         )
     return (
         coded.select("vec_id", adc.alias("adc_dist2"))
+        .orderBy("adc_dist2", "vec_id")
+        .limit(k)
+    )
+
+
+def pq_codes_wide(
+    spark: SparkSession,
+    sf_dir: str,
+    donors: dict[int, list[int]] | None = None,
+) -> DataFrame:
+    """(vec_id, codes ARRAY<INT>[8]): the PERSISTABLE PQ index form — one
+    row per vector, its 8 donor-id codes in subspace order. Same encode as
+    ``pq_codes`` (one map-only scan, exact integer argmins) but wide, so
+    the stored artifact is 8 small ints per vector (dictionary-encoded
+    bytes in parquet) instead of 8 rows. ``plans.materialize`` writes this
+    table once per corpus snapshot; ``knn_pq_from_codes`` searches it
+    without ever rescanning the embeddings."""
+    if donors is None:
+        donors = _pq_codebook(spark, sf_dir)
+    dids = sorted(donors)
+    q = _quantize(load_table(spark, sf_dir, "embeddings"))
+    coded = _with_pq_idx(q, donors)
+    did_arr = F.array(*[F.lit(j).cast("int") for j in dids])
+    codes = F.array(
+        *[
+            F.element_at(did_arr, F.col(f"_pq_idx_{s}"))
+            for s in range(PQ_SUBSPACES)
+        ]
+    )
+    return coded.select("vec_id", codes.alias("codes"))
+
+
+def knn_pq_from_codes(
+    spark: SparkSession,
+    sf_dir: str,
+    codes_df: DataFrame,
+    donors: dict[int, list[int]],
+    query_vec_id: int = QUERY_VEC_ID,
+    k: int = TOP_K,
+) -> DataFrame:
+    """(vec_id, adc_dist2): ``knn_pq`` over a PERSISTED code table — the
+    production shape where the ANN scan reads 8 bytes/vector from the
+    stored index instead of re-encoding the corpus in-plan. The only
+    embeddings access is the query vector's point lookup (the codebook
+    comes stored alongside the codes); the ADC is the same 8-lookup sum,
+    here ``element_at`` into per-subspace donor-id→distance map literals
+    (128 entries, index constants). Bit-exact vs the in-plan twin —
+    equality-tested in tests/test_materialize.py."""
+    dids = sorted(donors)
+    lut = _pq_lut(spark, sf_dir, donors, query_vec_id)
+    did_keys = F.array(*[F.lit(j).cast("int") for j in dids])
+    adc = F.lit(0).cast("long")
+    for s in range(PQ_SUBSPACES):
+        adc = adc + F.element_at(
+            F.map_from_arrays(
+                did_keys, F.array(*[F.lit(v).cast("long") for v in lut[s]])
+            ),
+            F.element_at("codes", s + 1),
+        )
+    return (
+        codes_df.where(F.col("vec_id") != query_vec_id)
+        .select("vec_id", adc.alias("adc_dist2"))
         .orderBy("adc_dist2", "vec_id")
         .limit(k)
     )

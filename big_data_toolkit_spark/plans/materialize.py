@@ -248,3 +248,121 @@ def bench_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bench_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf_trained_materialized(spark, sf_dir, _bench_workdir(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# PQ index artifact (VERDICT r9 item 6): ``pq_codes`` is documented as "the
+# persisted index artifact", but the gated ``knn_pq`` query re-encodes the
+# corpus in-plan every run (deliberately — self-contained oracle plan).
+# The production shape builds the code table + codebook ONCE per corpus
+# snapshot and every search reads 8 bytes/vector from the store; this is
+# that shape, mirroring the reference's build-once/query-many MapFile
+# pattern (a3/BuildInvertedIndexCompressed.java:187 builds the index job-
+# side; a3/BooleanRetrievalCompressed.java:66-74 only ever reads it).
+# ---------------------------------------------------------------------------
+
+PQ_CODES_DIR = "pq_codes"
+PQ_CODEBOOK_DIR = "pq_codebook"
+
+
+def build_pq_artifact(spark: SparkSession, sf_dir: str, workdir: str) -> dict[str, str]:
+    """One map-only corpus scan writes the wide code table (vec_id, 8
+    donor-id codes — dictionary-encoded bytes in parquet); the 16-row
+    codebook (donor id, quantized vector) persists alongside it so a
+    consumer needs the embeddings table ONLY for the query vector's
+    point lookup."""
+    from big_data_toolkit_spark.operators.similarity import (
+        _pq_codebook,
+        pq_codes_wide,
+    )
+
+    codes_path = os.path.join(workdir, PQ_CODES_DIR)
+    book_path = os.path.join(workdir, PQ_CODEBOOK_DIR)
+    donors = _pq_codebook(spark, sf_dir)
+    pq_codes_wide(spark, sf_dir, donors=donors).write.mode(
+        "overwrite"
+    ).parquet(codes_path)
+
+    # 16 driver-resident rows — pyarrow direct write, like the centroids
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(book_path, exist_ok=True)
+    table = pa.table(
+        {
+            "donor_id": pa.array(sorted(donors), type=pa.int64()),
+            "qv": pa.array(
+                [donors[j] for j in sorted(donors)],
+                type=pa.list_(pa.int64()),
+            ),
+        }
+    )
+    pq.write_table(table, os.path.join(book_path, "part-00000.parquet"))
+    return {PQ_CODES_DIR: codes_path, PQ_CODEBOOK_DIR: book_path}
+
+
+def read_pq_codes(spark: SparkSession, workdir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(workdir, PQ_CODES_DIR))
+
+
+def read_pq_codebook(spark: SparkSession, workdir: str) -> dict[int, list[int]]:
+    rows = spark.read.parquet(os.path.join(workdir, PQ_CODEBOOK_DIR)).collect()
+    if not rows:
+        raise ValueError(
+            f"read_pq_codebook: no rows under {workdir}/{PQ_CODEBOOK_DIR}"
+            " — PQ artifact build did not run or wrote an empty table"
+        )
+    return {int(r["donor_id"]): [int(x) for x in r["qv"]] for r in rows}
+
+
+def knn_pq_materialized(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> DataFrame:
+    from big_data_toolkit_spark.operators.similarity import knn_pq_from_codes
+
+    return knn_pq_from_codes(
+        spark,
+        sf_dir,
+        read_pq_codes(spark, workdir),
+        read_pq_codebook(spark, workdir),
+    )
+
+
+_PQ_BENCH_WORKDIRS: dict[str, str] = {}
+
+
+def _pq_bench_workdir(spark: SparkSession, sf_dir: str) -> str:
+    workdir = _PQ_BENCH_WORKDIRS.get(sf_dir)
+    if workdir is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        workdir = tempfile.mkdtemp(prefix="bdts-pq-")
+        atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+        _PQ_BENCH_WORKDIRS[sf_dir] = workdir
+        build_pq_artifact(spark, sf_dir, workdir)
+    return workdir
+
+
+def bench_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench line for the PQ index build alone: one encode scan + the
+    codebook write. Returns artifact row counts (re-reads only the
+    written parquet)."""
+    _PQ_BENCH_WORKDIRS.pop(sf_dir, None)  # always time a FRESH build
+    workdir = _pq_bench_workdir(spark, sf_dir)
+    return local_table(
+        spark,
+        [
+            (PQ_CODES_DIR, read_pq_codes(spark, workdir).count()),
+            (PQ_CODEBOOK_DIR, len(read_pq_codebook(spark, workdir))),
+        ],
+        "artifact string, n_rows long",
+    )
+
+
+def bench_knn_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer: ADC top-k over the STORED code table — per-search
+    cost once the index exists (compare against the in-plan ``knn_pq``
+    bench line, which re-encodes the corpus every run)."""
+    return knn_pq_materialized(spark, sf_dir, _pq_bench_workdir(spark, sf_dir))

@@ -80,3 +80,49 @@ def test_suite_summary_counts(spark):
     }
     assert rows["triangle_count"] == 1  # single summary row by contract
     assert all(n >= 0 for n in rows.values())
+
+
+@pytest.fixture(scope="module")
+def pq_workdir(spark, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("pq-artifact"))
+    paths = materialize.build_pq_artifact(spark, SF_SMOKE, wd)
+    assert set(paths) == {materialize.PQ_CODES_DIR, materialize.PQ_CODEBOOK_DIR}
+    return wd
+
+
+def test_pq_codes_artifact_roundtrip_exact(spark, pq_workdir):
+    """Stored wide codes == the gated long-form pq_codes query, row for
+    row (the artifact IS the index the oracle checks, reshaped)."""
+    stored = materialize.read_pq_codes(spark, pq_workdir).collect()
+    wide = sorted(
+        (r["vec_id"], s, int(r["codes"][s]))
+        for r in stored
+        for s in range(len(r["codes"]))
+    )
+    inplan = _rows(similarity.pq_codes(spark, SF_SMOKE))
+    assert wide == inplan and len(wide) > 0
+
+
+def test_pq_codebook_roundtrip_exact(spark, pq_workdir):
+    stored = materialize.read_pq_codebook(spark, pq_workdir)
+    inplan = similarity._pq_codebook(spark, SF_SMOKE)
+    assert stored == inplan
+
+
+def test_knn_pq_materialized_equals_inplan(spark, pq_workdir):
+    """The production search path (stored 8-byte codes + stored codebook,
+    embeddings touched only for the query point lookup) must be BIT-EXACT
+    vs the in-plan twin — same integers, same ADC, same top-k order."""
+    assert _rows(
+        materialize.knn_pq_materialized(spark, SF_SMOKE, pq_workdir)
+    ) == _rows(similarity.knn_pq(spark, SF_SMOKE))
+
+
+def test_knn_pq_from_codes_no_embeddings_corpus_scan(spark, pq_workdir):
+    """The consumer's plan reads the parquet code table; the embeddings
+    table appears only via the driver-side query/codebook lookups, never
+    as a corpus-wide scan branch in the search plan."""
+    df = materialize.knn_pq_materialized(spark, SF_SMOKE, pq_workdir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "pq_codes" in plan
+    assert "embeddings" not in plan, plan
