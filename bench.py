@@ -150,6 +150,7 @@ HEADLINE = {
     "pq_codes": similarity.pq_codes,
     "knn_pq": similarity.knn_pq,
     "knn_pq_rerank": similarity.knn_pq_rerank,
+    "ann_pq_incremental": similarity.ann_pq_incremental,
     "order_fulfillment_percentiles": relational_ext.order_fulfillment_percentiles,
     "session_paths": relational_ext.session_paths,
     "cross_source_leakage": dedup.cross_source_leakage,

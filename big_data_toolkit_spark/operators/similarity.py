@@ -921,6 +921,146 @@ def knn_pq_from_codes(
     )
 
 
+PQ_RADIUS = 1_300_000_000_000  # ADC match radius (ticks²; ~4% of same-cell
+# pair distances on the fixture — a "near in embedding space" alert bound)
+
+
+def _int_dist2(vec: list[int]) -> Column:
+    """Exact integer squared-L2 from the full quantized row vector ``qv``
+    to one integer-vector literal — the full-width form of
+    ``_pq_subdist`` (same in-order JVM fold discipline)."""
+    arr = ", ".join(f"{int(v)}L" for v in vec)
+    return F.expr(
+        f"aggregate(zip_with(qv, array({arr}), (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+
+
+def _quantized_centroids(
+    spark: SparkSession, sf_dir: str
+) -> dict[int, list[int]]:
+    """CENTROID_IDS corpus vectors on the fixed-point grid — the coarse
+    IVF quantizer the PQ-ANN cell assignment keys on (integer distances,
+    so both engines and both twins assign identically)."""
+    q = _quantize(load_table(spark, sf_dir, "embeddings"))
+    rows = (
+        q.where(F.col("vec_id").isin(list(CENTROID_IDS)))
+        .select("vec_id", "qv")
+        .collect()
+    )
+    found = {r["vec_id"]: [int(x) for x in r["qv"]] for r in rows}
+    if len(found) != len(CENTROID_IDS):
+        missing = sorted(set(CENTROID_IDS) - set(found))
+        raise ValueError(
+            f"coarse-quantizer centroid vectors missing: {missing}"
+        )
+    return found
+
+
+def pq_cell_col(cents_q: dict[int, list[int]]) -> Column:
+    """Coarse cell id: argmin integer squared-L2 from ``qv`` to the
+    centroid literals, ties to the smallest centroid id — map-only, works
+    identically on batch frames and streaming micro-batches."""
+    cids = sorted(cents_q)
+    dists = F.array(*[_int_dist2(cents_q[c]) for c in cids])
+    idx = F.array_position(dists, F.array_min(dists)).cast("int")
+    return F.element_at(F.array(*[F.lit(c).cast("long") for c in cids]), idx)
+
+
+def pq_lut_cols(donors: dict[int, list[int]]) -> list[Column]:
+    """Per-subspace in-row ADC lookup arrays ``_lut_s`` for a QUERY-side
+    row: entry j = exact integer distance from the row's subvector s to
+    donor dids[j]'s subvector — the per-arriving-vector form of the
+    driver-side ``_pq_lut`` (a stream can't collect per-row LUTs to the
+    driver, so the 8×16 folds run in-row instead)."""
+    dids = sorted(donors)
+    return [
+        F.array(
+            *[
+                _pq_subdist(s, donors[j][s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM])
+                for j in dids
+            ]
+        ).alias(f"_lut_{s}")
+        for s in range(PQ_SUBSPACES)
+    ]
+
+
+def _adc_from_lut_cols() -> Column:
+    """ADC sum joining a query row's ``_lut_s`` arrays with a corpus row's
+    ``_pq_idx_s`` code positions — 8 array lookups per candidate pair."""
+    adc = F.lit(0).cast("long")
+    for s in range(PQ_SUBSPACES):
+        adc = adc + F.element_at(f"_lut_{s}", F.col(f"_pq_idx_{s}"))
+    return adc
+
+
+def pq_corpus_coded(
+    spark: SparkSession,
+    sf_dir: str,
+    donors: dict[int, list[int]] | None = None,
+    cents_q: dict[int, list[int]] | None = None,
+) -> DataFrame:
+    """(match_id, cell, _pq_idx_0.._pq_idx_7): the corpus side of the
+    incremental/streaming PQ-ANN — coarse cell plus PQ code positions,
+    one map-only scan over the EXISTING corpus (the non-delta slice).
+    At scale this is a persisted artifact next to the ``materialize`` PQ
+    codes; per-ingest cost then never rescans the corpus."""
+    from big_data_toolkit_spark.operators.dedup import NEW_BATCH_MOD
+
+    if donors is None:
+        donors = _pq_codebook(spark, sf_dir)
+    if cents_q is None:
+        cents_q = _quantized_centroids(spark, sf_dir)
+    q = _quantize(load_table(spark, sf_dir, "embeddings")).where(
+        F.col("vec_id") % NEW_BATCH_MOD != NEW_BATCH_MOD - 1
+    )
+    return _with_pq_idx(q, donors).select(
+        F.col("vec_id").alias("match_id"),
+        pq_cell_col(cents_q).alias("cell"),
+        *[F.col(f"_pq_idx_{s}") for s in range(PQ_SUBSPACES)],
+    )
+
+
+def ann_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, match_id, adc_dist2): IVF-PQ radius matching of the
+    incoming embedding batch (vec_id % NEW_BATCH_MOD == NEW_BATCH_MOD-1,
+    the shared delta convention) against the existing corpus — the ANN
+    family's incremental-ingest form and the batch twin of
+    ``streaming.windows.stream_ann_pq`` (replay-tested equal).
+
+    Jegou IVF-ADC, ingest-shaped: each new vector assigns to its coarse
+    cell in-row (integer argmin over the 16 centroid literals) and
+    carries its 8 in-row LUT arrays (8×16 integer folds); the corpus
+    side is cell + 8 code positions (8 bytes/vector — the persisted
+    index form). Candidates meet on a CELL EQUI-JOIN (never a cross
+    join: corpus cost per ingest batch is |batch| × cell occupancy), the
+    ADC is 8 array lookups per candidate, and matches pass the
+    ``PQ_RADIUS`` bound. Exact integer arithmetic end to end — the
+    DuckDB oracle hash-matches. (Reference seed: the a3 index is also
+    build-once/probe-many — ``BuildInvertedIndexCompressed.java:187``;
+    here the postings are PQ cells instead of terms.)
+    """
+    from big_data_toolkit_spark.operators.dedup import NEW_BATCH_MOD
+
+    donors = _pq_codebook(spark, sf_dir)
+    cents_q = _quantized_centroids(spark, sf_dir)
+    corpus = pq_corpus_coded(spark, sf_dir, donors, cents_q)
+    new = (
+        _quantize(load_table(spark, sf_dir, "embeddings"))
+        .where(F.col("vec_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1)
+        .select(
+            "vec_id",
+            pq_cell_col(cents_q).alias("cell"),
+            *pq_lut_cols(donors),
+        )
+    )
+    return (
+        new.join(corpus, "cell")
+        .select("vec_id", "match_id", _adc_from_lut_cols().alias("adc_dist2"))
+        .where(F.col("adc_dist2") <= PQ_RADIUS)
+    )
+
+
 PQ_RERANK_R = 50  # PQ shortlist size fed to the exact re-rank
 
 
@@ -1196,6 +1336,42 @@ ORACLE_SQL["knn_pq_rerank"] = f"""
     LIMIT {TOP_K}
 """
 
+def _ann_pq_incremental_sql() -> str:
+    from big_data_toolkit_spark.operators.dedup import NEW_BATCH_MOD
+
+    cents = ", ".join(str(c) for c in CENTROID_IDS)
+    return f"""
+    WITH {_PQ_CTES},
+    cents AS (SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id IN ({cents})),
+    cell AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1),
+                      i -> (v.qv[i] - c.cqv[i]) * (v.qv[i] - c.cqv[i])))
+                      AS BIGINT), c.cid) AS rk
+        FROM q v, cents c) WHERE rk = 1
+    ),
+    pairs AS (
+      SELECT n.vec_id AS nid, m.vec_id AS mid
+      FROM cell n JOIN cell m ON n.cell = m.cell
+      WHERE n.vec_id % {NEW_BATCH_MOD} = {NEW_BATCH_MOD - 1}
+        AND m.vec_id % {NEW_BATCH_MOD} <> {NEW_BATCH_MOD - 1}
+    ),
+    adc AS (
+      SELECT p.nid, p.mid, CAST(sum(l.dist2) AS BIGINT) AS adc_dist2
+      FROM pairs p
+      JOIN pq_code c ON c.vec_id = p.mid
+      JOIN pq_dist l ON l.vec_id = p.nid AND l.s = c.s AND l.did = c.did
+      GROUP BY p.nid, p.mid
+    )
+    SELECT nid AS vec_id, mid AS match_id, adc_dist2
+    FROM adc WHERE adc_dist2 <= {PQ_RADIUS}
+"""
+
+
+ORACLE_SQL["ann_pq_incremental"] = _ann_pq_incremental_sql()
+
 QUERIES = {
     "knn_brute_force": knn_brute_force,
     "knn_lsh": knn_lsh,
@@ -1208,6 +1384,7 @@ QUERIES = {
     "pq_codes": pq_codes,
     "knn_pq": knn_pq,
     "knn_pq_rerank": knn_pq_rerank,
+    "ann_pq_incremental": ann_pq_incremental,
     "label_centroids": label_centroids,
     "nearest_centroid_confusion": nearest_centroid_confusion,
 }

@@ -388,6 +388,58 @@ def stream_dedup_minhash_lsh(
     return scored.dropDuplicates(["doc_id", "dup_of"])
 
 
+def stream_ann_pq(
+    emb_stream: DataFrame,
+    corpus_coded: DataFrame,
+    donors: dict[int, list[int]],
+    cents_q: dict[int, list[int]],
+    radius: int | None = None,
+) -> DataFrame:
+    """Streaming IVF-PQ ANN radius matching against a static coded corpus —
+    the streaming form of ``similarity.ann_pq_incremental`` (replay-tested
+    equal) and the ANN family's last missing twin: MinHash and embedding
+    near-dup got theirs in round 9; this is the same ingest shape for
+    "alert when an arriving vector lands near the corpus".
+
+    The stream side is a PURE PROJECTION: each arriving embedding
+    quantizes to the fixed-point grid in-row, assigns its coarse cell by
+    integer argmin over the 16 broadcast centroid literals, and computes
+    its 8 in-row ADC lookup arrays (8×16 integer folds — the per-row form
+    of ``knn_pq``'s driver-side LUT, since a stream cannot collect per-row
+    LUTs). Candidates come from a stream-static CELL EQUI-JOIN against
+    ``corpus_coded`` (match_id, cell, 8 code positions — the persisted
+    8-bytes/vector index form, built once by ``pq_corpus_coded``), the ADC
+    is 8 array lookups per candidate, and matches pass the shared
+    ``PQ_RADIUS`` bound. No streaming aggregation and one cell per
+    arriving vector (each pair emits exactly once), so any output mode
+    works and per-batch cost is O(batch × cell occupancy) — corpus size
+    enters only through the static index side.
+    """
+    from big_data_toolkit_spark.operators.similarity import (
+        KMEANS_QUANT,
+        PQ_RADIUS,
+        _adc_from_lut_cols,
+        pq_cell_col,
+        pq_lut_cols,
+    )
+
+    qv = F.expr(
+        f"transform(embedding, x -> floor(double(x) * {KMEANS_QUANT}))"
+    )
+    new = emb_stream.withColumn("qv", qv).select(
+        "vec_id",
+        pq_cell_col(cents_q).alias("cell"),
+        *pq_lut_cols(donors),
+    )
+    return (
+        new.join(corpus_coded, "cell")
+        .select("vec_id", "match_id", _adc_from_lut_cols().alias("adc_dist2"))
+        .where(
+            F.col("adc_dist2") <= (PQ_RADIUS if radius is None else radius)
+        )
+    )
+
+
 def stream_click_purchase_join(
     clicks: DataFrame,
     purchases: DataFrame,

@@ -702,3 +702,53 @@ def test_stream_embedding_lsh_matches_batch(spark, tmp_path):
     }
     assert got0 == expected0
     assert got0, "band candidates must flow through the stream path"
+
+
+def test_stream_ann_pq_matches_batch(spark, tmp_path):
+    """Replay the embedding delta (vec_id % 5 == 4) as two micro-batches
+    against the static coded corpus (cell + PQ code positions); streamed
+    IVF-PQ radius matches must equal ann_pq_incremental (the oracle-checked
+    batch twin), bit-exact — the whole path is integer arithmetic."""
+    import glob
+
+    from big_data_toolkit_spark.catalog import load_table
+    from big_data_toolkit_spark.operators import dedup, similarity
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    is_new = (F.col("vec_id") % dedup.NEW_BATCH_MOD) == dedup.NEW_BATCH_MOD - 1
+    new_vecs = emb.where(is_new).orderBy("vec_id").collect()
+    src = str(tmp_path / "pqsrc")
+    half = len(new_vecs) // 2
+    for i, part in enumerate([new_vecs[:half], new_vecs[half:]]):
+        spark.createDataFrame(part, emb.schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i:03d}")
+        )
+    assert len(glob.glob(os.path.join(src, "b*"))) == 2
+
+    donors = similarity._pq_codebook(spark, SF_ORACLE)
+    cents_q = similarity._quantized_centroids(spark, SF_ORACLE)
+    corpus_coded = similarity.pq_corpus_coded(
+        spark, SF_ORACLE, donors, cents_q
+    ).localCheckpoint()  # static index side, built once
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "b*"))
+    )
+    _run_to_memory(
+        windows.stream_ann_pq(stream, corpus_coded, donors, cents_q),
+        "pq_stream",
+        tmp_path,
+    )
+    got = {
+        (r["vec_id"], r["match_id"], r["adc_dist2"])
+        for r in spark.sql("SELECT * FROM pq_stream").collect()
+    }
+    expected = {
+        (r["vec_id"], r["match_id"], r["adc_dist2"])
+        for r in similarity.ann_pq_incremental(spark, SF_ORACLE).collect()
+    }
+    assert got == expected
+    assert expected, "fixture must contain at least one in-radius match"
