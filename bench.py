@@ -197,6 +197,7 @@ HEADLINE = {
     # Round-8: REAL stdlib codec paths (WAV container + PNG bitstream,
     # encode->decode->aggregate inside chained mapInPandas, no shuffle).
     "audio_wav_features": multimodal.audio_wav_features,
+    "audio_spectral_features": multimodal.audio_spectral_features,
     "image_png_features": multimodal.image_png_features,
     "image_jpeg_features": multimodal.image_jpeg_features,
     # Round-8: exact-substring duplicate-window detection (Lee et al.)

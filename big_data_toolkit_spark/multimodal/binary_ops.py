@@ -258,6 +258,59 @@ def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUDIO_FFT_N = 256  # analysis frame: the first N PCM samples (>= BASE_SAMPLES)
+
+
+def audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sample_rate, n_fft, spectral_centroid_hz, rms): FFT-based
+    SIGNAL features over the decoded WAV PCM — upgrades the audio column
+    story from container parsing (``audio_wav_features``) to spectral
+    analysis, in the same Arrow ``mapInPandas`` batch signature.
+
+    Per asset: decode the RIFF container, take the first ``AUDIO_FFT_N``
+    samples as the analysis frame, ``np.fft.rfft`` it, and quantize the
+    non-DC magnitude spectrum to unit integers (|X_k| is O(1e5) here, so
+    unit ticks keep ~5 significant digits while eliminating cross-engine
+    float-summation drift — the ``label_centroids`` fixed-point
+    discipline applied to a spectrum). The spectral centroid is then a
+    RATIO OF EXACT BIGINTs scaled by rate/N — one float division, bit-
+    identical in both engines — and the RMS is sqrt of an exact integer
+    sum over an exact power-of-two divisor. The DuckDB oracle recomputes
+    the same spectrum from the closed-form sample formula with a naive
+    O(N²) DFT (cos/sin sums) — a green row certifies the encoder, the
+    container bytes, the decoder, AND the FFT agree across two completely
+    different transform algorithms. Map-only plan, like every codec scan.
+    """
+    from big_data_toolkit_spark.multimodal.codecs import decode_wav
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "sample_rate": [], "n_fft": [],
+                   "spectral_centroid_hz": [], "rms": []}
+            for d, b in zip(pdf["doc_id"], pdf["payload"]):
+                rate, _channels, samples = decode_wav(bytes(b))
+                frame = samples[:AUDIO_FFT_N].astype(np.float64)
+                mag = np.abs(np.fft.rfft(frame))[1:]  # bins 1..N/2
+                mag_q = np.floor(mag + 0.5).astype(np.int64)
+                k = np.arange(1, len(mag_q) + 1, dtype=np.int64)
+                num = int(rate) * int((k * mag_q).sum())
+                den = AUDIO_FFT_N * int(mag_q.sum())
+                centroid = round(num / den, 6) if den else 0.0
+                sq = int((frame.astype(np.int64) ** 2).sum())
+                out["doc_id"].append(d)
+                out["sample_rate"].append(rate)
+                out["n_fft"].append(AUDIO_FFT_N)
+                out["spectral_centroid_hz"].append(centroid)
+                out["rms"].append(round(float(np.sqrt(sq / AUDIO_FFT_N)), 6))
+            yield pd.DataFrame(out)
+
+    return wav_assets(spark, sf_dir).mapInPandas(
+        feats,
+        schema="doc_id long, sample_rate int, n_fft int, "
+        "spectral_centroid_hz double, rms double",
+    )
+
+
 def png_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, payload): genuine PNG files (signature, CRC'd IHDR/IDAT/
     IEND, DEFLATE scanlines, row filters cycling None/Sub/Up/Average/Paeth)
@@ -470,6 +523,54 @@ ORACLE_SQL["audio_wav_features"] = f"""
     FROM s GROUP BY doc_id, n
 """
 
+# The spectral oracle re-derives the analysis frame from the closed-form
+# sample formula and runs a NAIVE O(N²) DFT (cos/sin sums) — a completely
+# different transform algorithm from numpy's FFT. Magnitudes quantize to
+# unit BIGINT ticks on both sides (~1e-7 cross-engine float drift vs a
+# 0.5 quantization margin), after which centroid = one division of exact
+# integers — bit-identical.
+ORACLE_SQL["audio_spectral_features"] = f"""
+    WITH a AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END AS rate
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    frame AS (
+      SELECT doc_id, rate, i,
+             CAST((doc_id * 7919 + i * 31) % 65536 - 32768 AS DOUBLE) AS x
+      FROM (SELECT doc_id, rate, unnest(range(0, {AUDIO_FFT_N})) AS i FROM a)
+    ),
+    spec AS (
+      SELECT doc_id, rate, k,
+             CAST(floor(sqrt(
+               pow(sum(x * cos(-2 * pi() * k * i / {AUDIO_FFT_N})), 2)
+             + pow(sum(x * sin(-2 * pi() * k * i / {AUDIO_FFT_N})), 2)
+             ) + 0.5) AS BIGINT) AS mag_q
+      FROM frame, range(1, {AUDIO_FFT_N // 2} + 1) AS t(k)
+      GROUP BY doc_id, rate, k
+    ),
+    cent AS (
+      SELECT doc_id, rate,
+             CAST(sum(k * mag_q) AS BIGINT) AS km,
+             CAST(sum(mag_q) AS BIGINT) AS m
+      FROM spec GROUP BY doc_id, rate
+    ),
+    sq AS (
+      SELECT doc_id, CAST(sum(CAST(x AS BIGINT) * CAST(x AS BIGINT))
+                          AS BIGINT) AS ss
+      FROM frame GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(c.rate AS INT) AS sample_rate,
+           CAST({AUDIO_FFT_N} AS INT) AS n_fft,
+           CASE WHEN c.m = 0 THEN 0.0
+                ELSE round((c.rate * c.km) / CAST({AUDIO_FFT_N} * c.m
+                                                  AS DOUBLE), 6)
+           END AS spectral_centroid_hz,
+           round(sqrt(s.ss / {AUDIO_FFT_N}.0), 6) AS rms
+    FROM cent c JOIN sq s ON c.doc_id = s.doc_id
+"""
+
 ORACLE_SQL["image_png_features"] = f"""
     WITH im AS (
       SELECT doc_id,
@@ -507,6 +608,7 @@ QUERIES = {
     "image_features": image_features_checked,
     "video_frame_sample": frame_sample_checked,
     "audio_wav_features": audio_wav_features,
+    "audio_spectral_features": audio_spectral_features,
     "image_png_features": image_png_features,
     "image_jpeg_features": image_jpeg_features,
 }

@@ -360,3 +360,59 @@ def test_jpeg_restart_intervals():
     b[i + 1] = 0xD7
     with pytest.raises(ValueError, match="RST"):
         codecs.decode_jpeg(bytes(b))
+
+
+def test_audio_spectral_features_numpy_replica(spark):
+    """Independent replica: regenerate each asset's PCM from the closed
+    form (never touching the operator's decode path), FFT it with the
+    same quantization discipline, and require exact equality — plus the
+    map-only plan assert every codec scan carries."""
+    import numpy as np
+
+    df = mm.QUERIES["audio_spectral_features"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"audio_spectral_features shuffles: {plan}"
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows
+    N = mm.AUDIO_FFT_N
+    for d, r in rows.items():
+        i = np.arange(N, dtype=np.int64)
+        x = ((d * 7919 + i * 31) % 65536 - 32768).astype(np.float64)
+        rate = 16000 if d % 2 == 0 else 8000
+        mag_q = np.floor(np.abs(np.fft.rfft(x))[1:] + 0.5).astype(np.int64)
+        k = np.arange(1, len(mag_q) + 1, dtype=np.int64)
+        centroid = round(int(rate) * int((k * mag_q).sum()) / (N * int(mag_q.sum())), 6)
+        rms = round(float(np.sqrt(int((x.astype(np.int64) ** 2).sum()) / N)), 6)
+        assert r["sample_rate"] == rate and r["n_fft"] == N, d
+        assert r["spectral_centroid_hz"] == centroid, d
+        assert r["rms"] == rms, d
+
+
+def test_audio_spectral_quantization_margin(spark):
+    """The cross-engine safety property: every quantized magnitude must sit
+    FAR from its rounding boundary relative to float-summation drift (the
+    naive-DFT-vs-FFT difference is ~1e-7; require > 1e-4 margin so the
+    oracle can never flip a tick on this fixture)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from big_data_toolkit_spark.catalog import load_table
+
+    doc_ids = [
+        r["doc_id"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .where((F.col("doc_id") % 3) == 1)
+        .select("doc_id")
+        .collect()
+    ]
+    assert doc_ids
+    N = mm.AUDIO_FFT_N
+    worst = 0.5
+    for d in doc_ids:
+        i = np.arange(N, dtype=np.int64)
+        x = ((d * 7919 + i * 31) % 65536 - 32768).astype(np.float64)
+        mag = np.abs(np.fft.rfft(x))[1:]
+        f = (mag + 0.5) - np.floor(mag + 0.5)  # flips when this crosses 0/1
+        margin = np.minimum(f, 1.0 - f)
+        worst = min(worst, float(margin.min()))
+    assert worst > 1e-4, worst
