@@ -58,6 +58,7 @@ HEADLINE = {
     "dedup_exact": dedup.dedup_exact,
     "dedup_incremental": dedup.dedup_incremental,
     "dedup_incremental_bloom": dedup.dedup_incremental_bloom,
+    "dedup_incremental_bloom_sharded": dedup.dedup_incremental_bloom_sharded,
     "dedup_minhash_incremental": dedup.dedup_minhash_incremental,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
     "dedup_components": dedup.dedup_components,
@@ -151,6 +152,8 @@ HEADLINE = {
     "knn_pq": similarity.knn_pq,
     "knn_pq_rerank": similarity.knn_pq_rerank,
     "ann_pq_incremental": similarity.ann_pq_incremental,
+    "knn_ivfpq": similarity.knn_ivfpq,
+    "knn_join_pq": similarity.knn_join_pq,
     "order_fulfillment_percentiles": relational_ext.order_fulfillment_percentiles,
     "session_paths": relational_ext.session_paths,
     "cross_source_leakage": dedup.cross_source_leakage,

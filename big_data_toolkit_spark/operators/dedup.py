@@ -1008,6 +1008,125 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return definitely_new.unionByName(survivors_of_maybe)
 
 
+BLOOM_SHARDS = 16  # partitioned-Bloom shard count (power of two)
+
+
+def _bloom_shard_col(fp_col: str) -> "F.Column":
+    """Shard id from md5 hex chars 31-32 — bits DISJOINT from the
+    double-hash halves (chars 1-15 and 16-30), so shard choice and bit
+    positions are independent."""
+    return (
+        F.conv(F.substring(F.md5(fp_col), 31, 2), 16, 10).cast("long")
+        % BLOOM_SHARDS
+    )
+
+
+def bloom_shard_table(
+    spark: SparkSession, fp_df: DataFrame, m_shard: int
+) -> DataFrame:
+    """(shard, bitmap): the PARTITIONED Bloom build — each shard's m_shard-
+    bit bitmap packs from only its own fingerprints' positions, built
+    distributed (groupBy shard → ``applyInPandas`` packbits) and NEVER
+    collected to the driver. Total filter capacity is SHARDS × m_shard
+    bits with per-task memory of ONE shard — the beyond-``BLOOM_M_MAX``
+    design the single-bitmap path refuses to fake: at 10^10 fingerprints,
+    2^37 total bits shard into 16 × 2^33 (1 GiB per shard task, nothing
+    broadcast)."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        bitmap = np.zeros(m_shard, dtype=bool)
+        bitmap[pdf["p"].to_numpy(dtype=np.int64)] = True
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "bitmap": [np.packbits(bitmap).tobytes()],
+            }
+        )
+
+    pos = fp_df.select(
+        _bloom_shard_col("content_md5").alias("shard"),
+        F.explode(_bloom_position_array("content_md5", m_shard)).alias("p"),
+    ).distinct()
+    return pos.groupBy("shard").applyInPandas(pack, "shard long, bitmap binary")
+
+
+def dedup_incremental_bloom_sharded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc_id, content_md5): EXACTLY ``dedup_incremental``'s output via a
+    PARTITIONED Bloom prefilter — the shape that holds past the broadcast
+    cap, where the single bitmap (``dedup_incremental_bloom``) stops.
+
+    Build: per-shard bitmaps, distributed end to end (``bloom_shard_table``
+    — no driver collect, no broadcast). Check: the incoming batch shuffles
+    ONCE by shard and COGROUPS with the shard table
+    (``groupby().cogroup().applyInPandas``), so each task holds exactly
+    one shard's bitmap while testing that shard's rows — memory per task
+    is m_shard/8 bytes regardless of corpus size. Bloom-negative docs skip
+    the exact anti-join exactly as in the broadcast form; output is exact
+    (zero false negatives by construction). The tradeoff vs the broadcast
+    form is one batch-side shuffle — the price of not shipping the filter
+    everywhere, which is the right trade exactly when the filter no
+    longer fits a broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(tokenize("text"))))
+        ).alias("content_md5"),
+    )
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    existing = fp.where(~is_new).select("content_md5").distinct()
+    # per-shard sizing: same fill/fp targets over the expected shard load
+    m_shard = bloom_m_for(-(-existing.count() // BLOOM_SHARDS))
+    shards = bloom_shard_table(spark, existing, m_shard)
+    new = fp.where(is_new).select(
+        "doc_id",
+        "content_md5",
+        _bloom_shard_col("content_md5").alias("shard"),
+        _bloom_position_array("content_md5", m_shard).alias("pos"),
+    )
+
+    def test(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                {"doc_id": [], "content_md5": [], "_hit": []}
+            ).astype({"doc_id": "int64", "content_md5": str, "_hit": bool})
+        if right.empty:
+            hit = np.zeros(len(left), dtype=bool)
+        else:
+            bits = np.unpackbits(
+                np.frombuffer(right["bitmap"].iloc[0], dtype=np.uint8)
+            ).astype(bool)
+            mat = np.stack(
+                [np.asarray(p, dtype=np.int64) for p in left["pos"]]
+            )
+            hit = bits[mat].all(axis=1)
+        return pd.DataFrame(
+            {
+                "doc_id": left["doc_id"].to_numpy(),
+                "content_md5": left["content_md5"].to_numpy(),
+                "_hit": hit,
+            }
+        )
+
+    tested = (
+        new.groupby("shard")
+        .cogroup(shards.groupby("shard"))
+        .applyInPandas(test, "doc_id long, content_md5 string, _hit boolean")
+    )
+    definitely_new = tested.where(~F.col("_hit")).select(
+        "doc_id", "content_md5"
+    )
+    survivors_of_maybe = (
+        tested.where(F.col("_hit"))
+        .join(existing, "content_md5", "left_anti")
+        .select("doc_id", "content_md5")
+    )
+    return definitely_new.unionByName(survivors_of_maybe)
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs by exact pairwise cosine ≥ threshold.
 
@@ -1546,6 +1665,9 @@ ORACLE_SQL["dedup_incremental"] = f"""
 # The Bloom prefilter changes the PLAN, not the result: exact survivors,
 # so the oracle is dedup_incremental's, verbatim.
 ORACLE_SQL["dedup_incremental_bloom"] = ORACLE_SQL["dedup_incremental"]
+# The sharded form changes only the PLAN (partitioned filter, cogrouped
+# membership); survivors are identical by construction.
+ORACLE_SQL["dedup_incremental_bloom_sharded"] = ORACLE_SQL["dedup_incremental"]
 
 # ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup-style)
@@ -2032,6 +2154,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_bloom": dedup_incremental_bloom,
+    "dedup_incremental_bloom_sharded": dedup_incremental_bloom_sharded,
     "dedup_minhash_incremental": dedup_minhash_incremental,
     "span_dedup": span_dedup,
     "duplicate_ngram_spans": duplicate_ngram_spans,

@@ -1336,6 +1336,110 @@ ORACLE_SQL["knn_pq_rerank"] = f"""
     LIMIT {TOP_K}
 """
 
+NPROBE_PQ = 4  # coarse cells probed by the IVF-PQ point query (of 16)
+
+
+def knn_ivfpq(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = QUERY_VEC_ID,
+    k: int = TOP_K,
+    nprobe: int = NPROBE_PQ,
+) -> DataFrame:
+    """(vec_id, adc_dist2): the full FAISS-style IVFADC point query —
+    coarse quantizer prunes the scan to ``NPROBE_PQ`` of 16 cells, PQ
+    codes + the driver-side ADC LUT score what remains. This composes the
+    family's two dials in one plan: IVF's recall/cost probe dial
+    (``knn_ivf``) and PQ's 8-bytes-per-vector memory dial (``knn_pq``).
+
+    Everything driver-side is index constants: the probed cells fall out
+    of pure Python over the collected query vector + the 16 quantized
+    centroids (no Spark job), the LUT is the standard 8×16 integer table.
+    The corpus pass is ONE map-only scan — in-row cell argmin, an
+    ``isin`` cell filter (with a stored cell-partitioned code table this
+    is partition pruning), in-row code argmins, 8 LUT lookups — into
+    TakeOrderedAndProject. Exact integer arithmetic; oracle hash-matches.
+    """
+    donors = _pq_codebook(spark, sf_dir)
+    cents_q = _quantized_centroids(spark, sf_dir)
+    q = _quantize(load_table(spark, sf_dir, "embeddings"))
+    qrows = q.where(F.col("vec_id") == query_vec_id).select("qv").collect()
+    if not qrows:
+        raise ValueError(
+            f"query vector {query_vec_id} not found in embeddings table"
+        )
+    qv = [int(x) for x in qrows[0]["qv"]]
+    probe = sorted(
+        sorted(cents_q),
+        key=lambda c: (
+            sum((a - b) ** 2 for a, b in zip(qv, cents_q[c])),
+            c,
+        ),
+    )[:nprobe]
+    lut = _pq_lut(spark, sf_dir, donors, query_vec_id)
+    coded = _with_pq_idx(
+        q.where(F.col("vec_id") != query_vec_id), donors
+    ).withColumn("cell", pq_cell_col(cents_q))
+    dids = sorted(donors)
+    adc = F.lit(0).cast("long")
+    for s in range(PQ_SUBSPACES):
+        adc = adc + F.element_at(
+            F.array(*[F.lit(v).cast("long") for v in lut[s]]),
+            F.col(f"_pq_idx_{s}"),
+        )
+    return (
+        coded.where(F.col("cell").isin([int(c) for c in probe]))
+        .select("vec_id", adc.alias("adc_dist2"))
+        .orderBy("adc_dist2", "vec_id")
+        .limit(k)
+    )
+
+
+KNN_JOIN_K = 5  # neighbors returned per incoming vector by the kNN join
+
+
+def knn_join_pq(
+    spark: SparkSession, sf_dir: str, k: int = KNN_JOIN_K
+) -> DataFrame:
+    """(vec_id, match_id, adc_dist2, rank): the batch ANN **kNN JOIN** —
+    the k nearest corpus vectors for EVERY incoming vector (the delta
+    slice), not just one query point. This is the shape batch enrichment
+    pipelines need (label transfer, dedup clustering seeds, RAG corpus
+    linking: 'for each new document, its k nearest existing ones').
+
+    Same IVF-PQ machinery as ``ann_pq_incremental``: in-row coarse cell +
+    in-row ADC LUT arrays on the incoming side, 8-byte code positions on
+    the corpus side, candidates from the cell EQUI-join. The top-k per
+    incoming vector is a ``row_number`` window partitioned by vec_id —
+    the one shuffle, carrying only (vec_id, match_id, adc) candidate
+    tuples, never vectors. Vectors whose cell holds fewer than k corpus
+    rows return fewer matches (single-probe semantics, deterministic —
+    at scale, raise nprobe exactly as in ``knn_ivfpq``). Exact integer
+    ADC; ties break to the smaller match_id; oracle hash-matches.
+    """
+    from big_data_toolkit_spark.operators.dedup import NEW_BATCH_MOD
+
+    donors = _pq_codebook(spark, sf_dir)
+    cents_q = _quantized_centroids(spark, sf_dir)
+    corpus = pq_corpus_coded(spark, sf_dir, donors, cents_q)
+    new = (
+        _quantize(load_table(spark, sf_dir, "embeddings"))
+        .where(F.col("vec_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1)
+        .select(
+            "vec_id",
+            pq_cell_col(cents_q).alias("cell"),
+            *pq_lut_cols(donors),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("adc_dist2", "match_id")
+    return (
+        new.join(corpus, "cell")
+        .select("vec_id", "match_id", _adc_from_lut_cols().alias("adc_dist2"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def _ann_pq_incremental_sql() -> str:
     from big_data_toolkit_spark.operators.dedup import NEW_BATCH_MOD
 
@@ -1372,6 +1476,88 @@ def _ann_pq_incremental_sql() -> str:
 
 ORACLE_SQL["ann_pq_incremental"] = _ann_pq_incremental_sql()
 
+
+def _knn_ivfpq_sql() -> str:
+    cents = ", ".join(str(c) for c in CENTROID_IDS)
+    return f"""
+    WITH {_PQ_CTES},
+    cents AS (SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id IN ({cents})),
+    cell AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1),
+                      i -> (v.qv[i] - c.cqv[i]) * (v.qv[i] - c.cqv[i])))
+                      AS BIGINT), c.cid) AS rk
+        FROM q v, cents c) WHERE rk = 1
+    ),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (ORDER BY
+                 CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1),
+                      i -> (v.qv[i] - c.cqv[i]) * (v.qv[i] - c.cqv[i])))
+                      AS BIGINT), c.cid) AS rk
+        FROM cents c, (SELECT qv FROM q WHERE vec_id = {QUERY_VEC_ID}) v
+      ) WHERE rk <= {NPROBE_PQ}
+    )
+    SELECT c.vec_id, CAST(sum(l.dist2) AS BIGINT) AS adc_dist2
+    FROM pq_code c
+    JOIN cell ce ON ce.vec_id = c.vec_id
+    JOIN probe p ON p.cid = ce.cell
+    JOIN pq_dist l ON l.vec_id = {QUERY_VEC_ID} AND l.s = c.s AND l.did = c.did
+    WHERE c.vec_id <> {QUERY_VEC_ID}
+    GROUP BY c.vec_id
+    ORDER BY adc_dist2, c.vec_id
+    LIMIT {TOP_K}
+"""
+
+
+ORACLE_SQL["knn_ivfpq"] = _knn_ivfpq_sql()
+
+
+def _knn_join_pq_sql() -> str:
+    from big_data_toolkit_spark.operators.dedup import NEW_BATCH_MOD
+
+    cents = ", ".join(str(c) for c in CENTROID_IDS)
+    return f"""
+    WITH {_PQ_CTES},
+    cents AS (SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id IN ({cents})),
+    cell AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1),
+                      i -> (v.qv[i] - c.cqv[i]) * (v.qv[i] - c.cqv[i])))
+                      AS BIGINT), c.cid) AS rk
+        FROM q v, cents c) WHERE rk = 1
+    ),
+    pairs AS (
+      SELECT n.vec_id AS nid, m.vec_id AS mid
+      FROM cell n JOIN cell m ON n.cell = m.cell
+      WHERE n.vec_id % {NEW_BATCH_MOD} = {NEW_BATCH_MOD - 1}
+        AND m.vec_id % {NEW_BATCH_MOD} <> {NEW_BATCH_MOD - 1}
+    ),
+    adc AS (
+      SELECT p.nid, p.mid, CAST(sum(l.dist2) AS BIGINT) AS adc_dist2
+      FROM pairs p
+      JOIN pq_code c ON c.vec_id = p.mid
+      JOIN pq_dist l ON l.vec_id = p.nid AND l.s = c.s AND l.did = c.did
+      GROUP BY p.nid, p.mid
+    )
+    SELECT nid AS vec_id, mid AS match_id, adc_dist2,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT nid, mid, adc_dist2,
+             row_number() OVER (PARTITION BY nid
+                                ORDER BY adc_dist2, mid) AS rank
+      FROM adc
+    ) WHERE rank <= {KNN_JOIN_K}
+"""
+
+
+ORACLE_SQL["knn_join_pq"] = _knn_join_pq_sql()
+
 QUERIES = {
     "knn_brute_force": knn_brute_force,
     "knn_lsh": knn_lsh,
@@ -1385,6 +1571,8 @@ QUERIES = {
     "knn_pq": knn_pq,
     "knn_pq_rerank": knn_pq_rerank,
     "ann_pq_incremental": ann_pq_incremental,
+    "knn_ivfpq": knn_ivfpq,
+    "knn_join_pq": knn_join_pq,
     "label_centroids": label_centroids,
     "nearest_centroid_confusion": nearest_centroid_confusion,
 }

@@ -536,3 +536,50 @@ def test_bloom_incremental_empty_corpus(spark):
         out = dedup.dedup_incremental_bloom(spark, sf)
         n = out.count()
         assert n == only_new.count()
+
+
+def test_bloom_sharded_equals_broadcast_form(spark):
+    """The partitioned Bloom changes only the plan: survivors must equal
+    both the broadcast-bitmap form and the plain incremental op, and the
+    membership test must run as a COGROUP (no bitmap broadcast) — the
+    beyond-broadcast-cap design actually exercised."""
+    sharded = dedup.dedup_incremental_bloom_sharded(spark, SF_ORACLE)
+    plan = sharded._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    rows = lambda df: sorted(  # noqa: E731
+        (r["doc_id"], r["content_md5"]) for r in df.collect()
+    )
+    got = rows(sharded)
+    assert got == rows(dedup.dedup_incremental_bloom(spark, SF_ORACLE))
+    assert got == rows(dedup.dedup_incremental(spark, SF_ORACLE))
+
+
+def test_bloom_shard_table_shape(spark):
+    """Shard bitmaps: ≤ BLOOM_SHARDS rows, every bitmap exactly m/8 bytes,
+    every set position attributable to that shard's own fingerprints."""
+    import numpy as np
+
+    from big_data_toolkit_spark.catalog import load_table
+    from big_data_toolkit_spark.functions.text import tokenize
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    fp = docs.select(
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(tokenize("text"))))
+        ).alias("content_md5")
+    ).distinct()
+    m = dedup.bloom_m_for(-(-fp.count() // dedup.BLOOM_SHARDS))
+    tbl = dedup.bloom_shard_table(spark, fp, m).collect()
+    assert 0 < len(tbl) <= dedup.BLOOM_SHARDS
+    expected = {}
+    for r in fp.select(
+        dedup._bloom_shard_col("content_md5").alias("s"),
+        dedup._bloom_position_array("content_md5", m).alias("pos"),
+    ).collect():
+        expected.setdefault(r["s"], set()).update(r["pos"])
+    for r in tbl:
+        bits = np.unpackbits(
+            np.frombuffer(bytes(r["bitmap"]), dtype=np.uint8)
+        ).astype(bool)
+        assert len(bits) == m
+        assert set(np.flatnonzero(bits).tolist()) == expected[r["shard"]]

@@ -435,3 +435,43 @@ def test_pq_rerank_recall_vs_exact(spark):
         assert r["dist2"] == exact_d[r["vec_id"]]
     recall = len(true_top & {r["vec_id"] for r in got}) / sim.TOP_K
     assert recall >= 0.5, f"PQ rerank recall {recall} too low"
+
+
+def test_ivfpq_probe_dial_converges_to_pq(spark):
+    """The IVF probe dial's defining invariant: probing ALL 16 cells makes
+    IVFADC identical to the flat PQ scan (same ADC integers, same order);
+    the default nprobe returns a subset of cells' candidates whose ADC
+    values agree with the flat scan wherever they appear."""
+    flat = {r["vec_id"]: r["adc_dist2"]
+            for r in sim.knn_pq(spark, SF_ORACLE, k=10**6).collect()}
+    full = sim.knn_ivfpq(spark, SF_ORACLE, nprobe=len(sim.CENTROID_IDS)).collect()
+    top_flat = sorted(flat.items(), key=lambda t: (t[1], t[0]))[: sim.TOP_K]
+    assert [(r["vec_id"], r["adc_dist2"]) for r in full] == top_flat
+    probed = sim.knn_ivfpq(spark, SF_ORACLE).collect()
+    assert len(probed) == sim.TOP_K
+    for r in probed:
+        assert flat[r["vec_id"]] == r["adc_dist2"], r
+
+
+def test_knn_join_pq_ranks_dense_and_monotone(spark):
+    """Per incoming vector: ranks are 1..n contiguous (n <= k), ADC is
+    non-decreasing along rank, and every ADC value agrees with the flat
+    PQ scan's distance for that (query, match) pair."""
+    rows = sim.knn_join_pq(spark, SF_ORACLE).collect()
+    assert rows
+    by_vec: dict = {}
+    for r in rows:
+        by_vec.setdefault(r["vec_id"], []).append(r)
+    for vid, rs in by_vec.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1)), vid
+        assert len(rs) <= sim.KNN_JOIN_K
+        adcs = [r["adc_dist2"] for r in rs]
+        assert adcs == sorted(adcs), vid
+    # spot-check ADC agreement with the single-query flat scan machinery
+    some_vid = sorted(by_vec)[0]
+    flat = {r["vec_id"]: r["adc_dist2"]
+            for r in sim.knn_pq(spark, SF_ORACLE, query_vec_id=some_vid,
+                                k=10**6).collect()}
+    for r in by_vec[some_vid]:
+        assert flat[r["match_id"]] == r["adc_dist2"], r
