@@ -168,6 +168,7 @@ HEADLINE = {
     "fuzzy_name_matches": analytics_ext.fuzzy_name_matches,
     "snapshot_diff": analytics_ext.snapshot_diff,
     "scd2_history": analytics_ext.scd2_history,
+    "events_gapfill_locf": analytics_ext.events_gapfill_locf,
     "q5": sql_analytics.q5_local_supplier_volume,
     "batch_gd_train": spam.batch_gd_train,
     "batch_gd_score": spam.batch_gd_score,

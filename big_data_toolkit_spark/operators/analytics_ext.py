@@ -1416,3 +1416,105 @@ ORACLE_SQL["dormant_rich_customers"] = """
 """
 
 QUERIES["dormant_rich_customers"] = dormant_rich_customers
+
+
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, hour, n, locf_avg): gap-filled hourly rollup with
+    last-observation-carried-forward — the hypertable/time-series
+    resampling shape (TimescaleDB's ``time_bucket_gapfill`` + ``locf``)
+    no raw groupBy can produce, because EMPTY buckets must exist as rows.
+
+    Grid: the full hourly range (global min..max event hour) crossed with
+    the distinct event types — generated IN-PLAN by ``sequence`` over a
+    1-row aggregate, so the grid is data-derived, deterministic, and
+    never driver-materialized. Observed buckets left-join onto the grid;
+    empty buckets carry n=0 and inherit ``locf_avg`` from the window's
+    ``last(ignorenulls)`` running along each type's hour order (null
+    before a type's first observation). Bucket averages follow the
+    fixed-point discipline: values sum as 1e-6-tick BIGINTs (exact,
+    order-independent), one closing division per bucket.
+
+    Scale: one aggregation shuffle carries |types|×|hours| cells; the
+    LOCF window partitions by event_type — at 100 TB, per-type state is
+    one running value, and the grid size is schedule-bounded (types ×
+    hours), never data-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.expr("cast(floor(value * 1000000 + 0.5) as bigint)")
+        ).alias("ticks"),
+    )
+    grid_hours = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    ).select(
+        F.explode(
+            F.expr("sequence(h0, h1, interval 1 hour)")
+        ).alias("hour")
+    )
+    grid = ev.select("event_type").distinct().crossJoin(grid_hours)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bucket_avg = F.round(
+        F.col("ticks").cast("double") / F.col("n") / F.lit(1000000.0), 6
+    )
+    return (
+        grid.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.when(F.col("n") > 0, bucket_avg).alias("avg_obs"),
+        )
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            F.last("avg_obs", ignorenulls=True).over(w).alias("locf_avg"),
+        )
+    )
+
+
+ORACLE_SQL["events_gapfill_locf"] = """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             count(*) AS n,
+             CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS ticks
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events
+    ),
+    grid AS (
+      SELECT t.event_type, g.hour
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM bounds) g
+    ),
+    joined AS (
+      SELECT g.event_type, g.hour,
+             coalesce(h.n, 0) AS n,
+             CASE WHEN h.n > 0
+                  THEN round(h.ticks / h.n / 1000000.0, 6) END AS avg_obs
+      FROM grid g LEFT JOIN hourly h
+        ON g.event_type = h.event_type AND g.hour = h.hour
+    )
+    SELECT event_type, hour, n,
+           last_value(avg_obs IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS locf_avg
+    FROM joined
+"""
+
+QUERIES["events_gapfill_locf"] = events_gapfill_locf

@@ -471,3 +471,30 @@ def test_scd2_history_consistent_with_diff(spark):
             assert versions == [(1, False)], (doc, versions)
         else:
             assert versions == [(1, True)], (doc, versions)
+
+
+def test_gapfill_locf_semantics(spark):
+    """Gap-filled rollup: the grid is dense (|types| x |hours| rows, empty
+    buckets present with n=0), LOCF carries the latest observed bucket
+    average across gaps, and nothing precedes a type's first observation."""
+    from pyspark.sql import functions as F
+
+    df = ax.events_gapfill_locf(spark, SF_ORACLE)
+    rows = df.collect()
+    types = {r["event_type"] for r in rows}
+    hours = {r["hour"] for r in rows}
+    assert len(rows) == len(types) * len(hours)  # dense grid
+    gaps = [r for r in rows if r["n"] == 0]
+    assert gaps, "fixture must contain empty hourly buckets"
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r["hour"])
+        seen = None
+        for r in rs:
+            if r["n"] > 0:
+                assert r["locf_avg"] is not None, (t, r["hour"])
+                seen = r["locf_avg"]
+            else:
+                assert r["locf_avg"] == seen, (t, r["hour"])
