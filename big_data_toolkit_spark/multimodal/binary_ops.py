@@ -281,6 +281,21 @@ def audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     container bytes, the decoder, AND the FFT agree across two completely
     different transform algorithms. Map-only plan, like every codec scan.
     """
+    return spectral_features_of(wav_assets(spark, sf_dir))
+
+
+SPECTRAL_SCHEMA = (
+    "doc_id long, sample_rate int, n_fft int, "
+    "spectral_centroid_hz double, rms double"
+)
+
+
+def spectral_features_of(payloads: DataFrame) -> DataFrame:
+    """The decode→FFT→features projection over any (doc_id, payload)
+    frame — batch AND streaming (``mapInPandas`` is stream-safe: pure
+    per-batch projection, no state), so an audio ingest stream computes
+    features per micro-batch with this exact code path
+    (replay-tested == the batch query in tests/test_streaming_ext)."""
     from big_data_toolkit_spark.multimodal.codecs import decode_wav
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -304,11 +319,7 @@ def audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["rms"].append(round(float(np.sqrt(sq / AUDIO_FFT_N)), 6))
             yield pd.DataFrame(out)
 
-    return wav_assets(spark, sf_dir).mapInPandas(
-        feats,
-        schema="doc_id long, sample_rate int, n_fft int, "
-        "spectral_centroid_hz double, rms double",
-    )
+    return payloads.mapInPandas(feats, schema=SPECTRAL_SCHEMA)
 
 
 def png_assets(spark: SparkSession, sf_dir: str) -> DataFrame:

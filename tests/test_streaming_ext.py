@@ -752,3 +752,41 @@ def test_stream_ann_pq_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert expected, "fixture must contain at least one in-radius match"
+
+
+def test_stream_audio_spectral_matches_batch(spark, tmp_path):
+    """The multimodal family's first streaming form: WAV payloads replayed
+    as two micro-batches through the SAME decode→FFT projection
+    (binary_ops.spectral_features_of — mapInPandas is stream-safe) must
+    equal the oracle-checked batch query exactly."""
+    import glob
+
+    from big_data_toolkit_spark.multimodal import binary_ops as mm
+    from tests.conftest import SF_ORACLE
+
+    assets = mm.wav_assets(spark, SF_ORACLE).orderBy("doc_id").collect()
+    src = str(tmp_path / "wavsrc")
+    half = len(assets) // 2
+    schema = "doc_id long, payload binary"
+    for i, part in enumerate([assets[:half], assets[half:]]):
+        spark.createDataFrame(part, schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i:03d}")
+        )
+    assert len(glob.glob(os.path.join(src, "b*"))) == 2
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "b*"))
+    )
+    _run_to_memory(
+        mm.spectral_features_of(stream), "wav_spectral_stream", tmp_path
+    )
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM wav_spectral_stream").collect()
+    }
+    expected = {
+        tuple(r)
+        for r in mm.QUERIES["audio_spectral_features"](spark, SF_ORACLE).collect()
+    }
+    assert got == expected and expected
