@@ -1039,6 +1039,11 @@ def ann_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle hash-matches. (Reference seed: the a3 index is also
     build-once/probe-many — ``BuildInvertedIndexCompressed.java:187``;
     here the postings are PQ cells instead of terms.)
+
+    Scale rule (SCALE.md r10 probe note): candidate count is
+    n²/nlist, so nlist must GROW ∝ √n — the 16 fixture cells are
+    oracle constants; production passes a k-means-trained quantizer of
+    the right nlist through ``pq_corpus_coded``'s ``cents_q``.
     """
     from big_data_toolkit_spark.operators.dedup import NEW_BATCH_MOD
 
