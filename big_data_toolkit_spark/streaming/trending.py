@@ -325,3 +325,126 @@ def stream_heavy_hitters_tws(events_stream: DataFrame) -> DataFrame:
             timeMode="none",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming gap-fill + LOCF (the hypertable rollup, stateful-stream form)
+# ---------------------------------------------------------------------------
+
+GAPFILL_HOUR = 3600
+GAPFILL_OUTPUT_SCHEMA = (
+    "event_type string, hour timestamp, n long, locf_avg double"
+)
+GAPFILL_STATE_SCHEMA = "open_hour long, n long, ticks long"
+
+
+def _round6_half_up(x: float) -> float:
+    """Spark's ``round(x, 6)`` (HALF_UP, away from zero) — Python's
+    built-in ``round`` is banker's and would drift on exact halves."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+
+def _fold_gapfill(
+    open_hour: int, n: int, ticks: int, pdfs, grid_start: int
+) -> tuple:
+    """Shared gap-fill state fold: bucket one micro-batch's events into
+    hours, CLOSE the open hour when a later one arrives (emitting its
+    final row plus n=0 LOCF rows for every skipped hour), keep the newest
+    hour open. An hour's row emits exactly once, with its complete count
+    — so replay output is batch-boundary invariant and equals the batch
+    twin (``analytics_ext.events_gapfill_locf``) on every closed hour.
+    Leading gaps before a key's first event fill from ``grid_start`` (the
+    batch twin's global grid origin) with NULL locf. Assumes event-time-
+    ordered arrival per key (late rows for a closed hour would need a
+    watermarked re-emit policy — out of scope here, as for the reference's
+    state machine)."""
+    import numpy as np  # executor-side
+
+    buckets: dict[int, list[int]] = {}
+    for pdf in pdfs:
+        hours = (
+            pdf["ts"].astype("int64") // 1_000_000_000 // GAPFILL_HOUR
+        ) * GAPFILL_HOUR
+        tick = np.floor(
+            pdf["value"].to_numpy(dtype="float64") * 1_000_000 + 0.5
+        ).astype("int64")
+        for h, bn, bt in (
+            pd.DataFrame({"h": hours, "t": tick})
+            .groupby("h")
+            .agg(bn=("t", "size"), bt=("t", "sum"))
+            .itertuples()
+        ):
+            cur = buckets.setdefault(int(h), [0, 0])
+            cur[0] += int(bn)
+            cur[1] += int(bt)
+
+    out: list[dict] = []
+    for h in sorted(buckets):
+        bn, bt = buckets[h]
+        if h == open_hour:
+            n += bn
+            ticks += bt
+            continue
+        if h < open_hour:  # late data for a closed hour: fail loud
+            raise ValueError(
+                f"out-of-order hour {h} after open {open_hour}"
+            )
+        if open_hour == -1:
+            for g in range(grid_start, h, GAPFILL_HOUR):
+                out.append(
+                    {"hour": pd.Timestamp(g, unit="s"), "n": 0,
+                     "locf_avg": None}
+                )
+        else:
+            avg = _round6_half_up(ticks / n / 1e6)
+            out.append(
+                {"hour": pd.Timestamp(open_hour, unit="s"), "n": n,
+                 "locf_avg": avg}
+            )
+            for g in range(open_hour + GAPFILL_HOUR, h, GAPFILL_HOUR):
+                out.append(
+                    {"hour": pd.Timestamp(g, unit="s"), "n": 0,
+                     "locf_avg": avg}
+                )
+        open_hour, n, ticks = h, bn, bt
+    return open_hour, n, ticks, out
+
+
+def stream_gapfill_locf(
+    events_stream: DataFrame, grid_start_epoch: int
+) -> DataFrame:
+    """Streaming gap-filled hourly rollup + LOCF — the stateful-stream
+    form of ``analytics_ext.events_gapfill_locf`` (replay-tested equal on
+    all closed hours). State per event_type is ONE open (hour, n, ticks)
+    triple; emission is close-driven, so output is batch-boundary
+    invariant and every emitted hour carries its complete count. Pass the
+    batch twin's grid origin (global min event hour, epoch seconds) so
+    leading gaps match the dense grid."""
+
+    def update(key, pdfs, state):
+        (open_hour, n, ticks) = (
+            state.get if state.exists else (-1, 0, 0)
+        )
+        open_hour, n, ticks, out = _fold_gapfill(
+            open_hour, n, ticks, pdfs, grid_start_epoch
+        )
+        state.update((open_hour, n, ticks))
+        for row in out:
+            row["event_type"] = key[0]
+        yield pd.DataFrame(
+            out, columns=["event_type", "hour", "n", "locf_avg"]
+        )
+
+    return (
+        events_stream.select("event_type", "ts", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=GAPFILL_OUTPUT_SCHEMA,
+            stateStructType=GAPFILL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

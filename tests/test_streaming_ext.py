@@ -790,3 +790,65 @@ def test_stream_audio_spectral_matches_batch(spark, tmp_path):
         for r in mm.QUERIES["audio_spectral_features"](spark, SF_ORACLE).collect()
     }
     assert got == expected and expected
+
+
+def test_stream_gapfill_locf_matches_batch_on_closed_hours(spark, tmp_path):
+    """Streaming gap-fill + LOCF: replay the full event history as three
+    time-ordered micro-batches; every CLOSED hour's row (count, gap rows,
+    carried averages) must equal the oracle-green batch twin. The stream
+    never emits a key's still-open last hour — expected = batch rows with
+    hour < that key's last observed hour."""
+    import glob
+
+    from big_data_toolkit_spark.catalog import load_table
+    from big_data_toolkit_spark.operators import analytics_ext as ax
+    from big_data_toolkit_spark.streaming import trending
+    from tests.conftest import SF_ORACLE
+
+    ev = load_table(spark, SF_ORACLE, "events").select(
+        "event_type", "ts", "value"
+    )
+    rows = ev.orderBy("ts", "event_type").collect()
+    src = str(tmp_path / "gapsrc")
+    third = len(rows) // 3
+    parts = [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+    for i, part in enumerate(parts):
+        spark.createDataFrame(part, ev.schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i:03d}")
+        )
+    assert len(glob.glob(os.path.join(src, "b*"))) == 3
+
+    import datetime as dt
+
+    min_ts = min(r["ts"] for r in rows)
+    grid_start = int(
+        min_ts.replace(minute=0, second=0, microsecond=0)
+        .replace(tzinfo=dt.timezone.utc)
+        .timestamp()
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "b*"))
+    )
+    _run_to_memory(
+        trending.stream_gapfill_locf(stream, grid_start),
+        "gapfill_stream",
+        tmp_path,
+    )
+    got = {
+        (r["event_type"], r["hour"], r["n"], r["locf_avg"])
+        for r in spark.sql("SELECT * FROM gapfill_stream").collect()
+    }
+    last_obs = {}
+    for r in rows:
+        h = r["ts"].replace(minute=0, second=0, microsecond=0)
+        k = r["event_type"]
+        last_obs[k] = max(last_obs.get(k, h), h)
+    expected = {
+        (r["event_type"], r["hour"], r["n"], r["locf_avg"])
+        for r in ax.events_gapfill_locf(spark, SF_ORACLE).collect()
+        if r["hour"] < last_obs[r["event_type"]]
+    }
+    assert got == expected
+    assert any(n == 0 for (_, _, n, _) in got), "gap rows must stream"
