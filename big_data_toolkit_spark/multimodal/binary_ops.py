@@ -310,13 +310,19 @@ def spectral_features_of(payloads: DataFrame) -> DataFrame:
                 k = np.arange(1, len(mag_q) + 1, dtype=np.int64)
                 num = int(rate) * int((k * mag_q).sum())
                 den = AUDIO_FFT_N * int(mag_q.sum())
-                centroid = round(num / den, 6) if den else 0.0
+                # UNROUNDED emission: num/den are exact ints < 2^53, so
+                # the single division is bit-identical to the oracle's;
+                # any round-6 here would have to match the oracle's
+                # rounding mode exactly (Python's is banker's, DuckDB's
+                # is binary-based, Spark's is shortest-repr HALF_UP —
+                # all three disagree on exact .5-at-7th-decimal values)
+                centroid = num / den if den else 0.0
                 sq = int((frame.astype(np.int64) ** 2).sum())
                 out["doc_id"].append(d)
                 out["sample_rate"].append(rate)
                 out["n_fft"].append(AUDIO_FFT_N)
                 out["spectral_centroid_hz"].append(centroid)
-                out["rms"].append(round(float(np.sqrt(sq / AUDIO_FFT_N)), 6))
+                out["rms"].append(float(np.sqrt(sq / AUDIO_FFT_N)))
             yield pd.DataFrame(out)
 
     return payloads.mapInPandas(feats, schema=SPECTRAL_SCHEMA)
@@ -575,10 +581,9 @@ ORACLE_SQL["audio_spectral_features"] = f"""
            CAST(c.rate AS INT) AS sample_rate,
            CAST({AUDIO_FFT_N} AS INT) AS n_fft,
            CASE WHEN c.m = 0 THEN 0.0
-                ELSE round((c.rate * c.km) / CAST({AUDIO_FFT_N} * c.m
-                                                  AS DOUBLE), 6)
+                ELSE (c.rate * c.km) / CAST({AUDIO_FFT_N} * c.m AS DOUBLE)
            END AS spectral_centroid_hz,
-           round(sqrt(s.ss / {AUDIO_FFT_N}.0), 6) AS rms
+           sqrt(s.ss / {AUDIO_FFT_N}.0) AS rms
     FROM cent c JOIN sq s ON c.doc_id = s.doc_id
 """
 

@@ -1462,8 +1462,13 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    bucket_avg = F.round(
-        F.col("ticks").cast("double") / F.col("n") / F.lit(1000000.0), 6
+    # NO round: both operands are exact BIGINTs, so the two divisions are
+    # bit-identical in Spark, DuckDB, and the stream twin's Python fold.
+    # Rounding would ADD risk — Spark's F.round (shortest-repr HALF_UP)
+    # and DuckDB's round (binary-value based) disagree on exact
+    # x.xxxxxx5 boundaries (e.g. 4011025.5/1e6), a fuzz-reachable hazard.
+    bucket_avg = (
+        F.col("ticks").cast("double") / F.col("n") / F.lit(1000000.0)
     )
     return (
         grid.join(hourly, ["event_type", "hour"], "left")
@@ -1505,7 +1510,8 @@ ORACLE_SQL["events_gapfill_locf"] = """
       SELECT g.event_type, g.hour,
              coalesce(h.n, 0) AS n,
              CASE WHEN h.n > 0
-                  THEN round(h.ticks / h.n / 1000000.0, 6) END AS avg_obs
+                  THEN CAST(h.ticks AS DOUBLE) / h.n / 1000000.0
+             END AS avg_obs
       FROM grid g LEFT JOIN hourly h
         ON g.event_type = h.event_type AND g.hour = h.hour
     )

@@ -870,15 +870,25 @@ _BLOOM_FILL_TARGET = 0.10  # fraction of set bits; fp = fill^k ~ 1e-5
 def bloom_m_for(n_fingerprints: int) -> int:
     """Bits for the corpus bitmap: smallest power of two keeping the
     expected fill ≤ 10% (fp = fill^k ≈ 1e-5), floored at 2^20 so tiny
-    corpora keep a cheap fixed-size bitmap and capped at 2^27 (16 MiB —
-    the largest bitmap worth shipping as a plain broadcast; see
-    ``BLOOM_M_MAX`` for the beyond-cap design)."""
+    corpora keep a cheap fixed-size bitmap. Raises past 2^27 (16 MiB —
+    the largest single bitmap worth shipping as a plain broadcast)
+    rather than silently saturating: the beyond-cap shapes are
+    ``dedup_incremental_bloom_sharded`` (more shards → smaller per-shard
+    n) or a torrent broadcast (see ``BLOOM_M_MAX``)."""
     # fill = 1 - e^(-kn/m) <= target  =>  m >= kn / -ln(1 - target)
     import math
 
     need = BLOOM_K * max(n_fingerprints, 1) / -math.log1p(-_BLOOM_FILL_TARGET)
+    if need > BLOOM_M_MAX:
+        raise ValueError(
+            f"{n_fingerprints} fingerprints need a Bloom bitmap past the "
+            f"2^27-bit single-broadcast cap (fill would exceed "
+            f"{_BLOOM_FILL_TARGET:.0%}); shard the filter "
+            "(dedup_incremental_bloom_sharded / bloom_shard_table with "
+            "more shards) instead of degrading silently"
+        )
     m = BLOOM_M_MIN
-    while m < need and m < BLOOM_M_MAX:
+    while m < need:
         m <<= 1
     return m
 
@@ -941,24 +951,29 @@ def bloom_bitmap_broadcast(
     return BloomBitmap(spark.sparkContext.broadcast(np.packbits(bitmap)), m)
 
 
+def _packed_bloom_test(packed_bytes: np.ndarray, mat: np.ndarray) -> np.ndarray:
+    """Membership over the PACKED bitmap directly — per position p, bit
+    (7 - p%8) of byte p//8 — so the m/8-byte array is the only copy that
+    ever exists (an unpacked bool array would be 8× larger, and caching
+    it per worker would pin 128 MiB at the 2^27 cap)."""
+    bits = (packed_bytes[mat >> 3] >> (7 - (mat & 7))) & 1
+    return bits.all(axis=1)
+
+
 def bloom_hit_udf(bloom: BloomBitmap):
-    """Arrow-batched membership test over JVM-computed position arrays.
-    The broadcast ships packed (m/8 bytes); each Python worker unpacks it
-    ONCE into a closure-level cache — not per Arrow batch (the unpacked
-    bool array is 8× the packed size and batch-invariant)."""
+    """Arrow-batched membership test over JVM-computed position arrays,
+    indexing the broadcast's packed bytes in place (no unpack, no
+    worker-lifetime cache)."""
     packed = bloom.packed
-    cache: dict[str, np.ndarray] = {}
 
     @pandas_udf("boolean")
     def bloom_hit(pos: pd.Series) -> pd.Series:
-        bits = cache.get("bits")
-        if bits is None:
-            bits = np.unpackbits(packed.value).astype(bool)
-            cache["bits"] = bits
         if pos.empty:
             return pd.Series([], dtype=bool)
         mat = np.stack([np.asarray(p, dtype=np.int64) for p in pos])
-        return pd.Series(bits[mat].all(axis=1))
+        return pd.Series(
+            _packed_bloom_test(np.asarray(packed.value), mat)
+        )
 
     return bloom_hit
 
@@ -1096,13 +1111,13 @@ def dedup_incremental_bloom_sharded(
         if right.empty:
             hit = np.zeros(len(left), dtype=bool)
         else:
-            bits = np.unpackbits(
-                np.frombuffer(right["bitmap"].iloc[0], dtype=np.uint8)
-            ).astype(bool)
+            packed = np.frombuffer(
+                right["bitmap"].iloc[0], dtype=np.uint8
+            )
             mat = np.stack(
                 [np.asarray(p, dtype=np.int64) for p in left["pos"]]
             )
-            hit = bits[mat].all(axis=1)
+            hit = _packed_bloom_test(packed, mat)
         return pd.DataFrame(
             {
                 "doc_id": left["doc_id"].to_numpy(),

@@ -799,20 +799,13 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_lut(
-    spark: SparkSession, sf_dir: str, donors: dict[int, list[int]], query_vec_id: int
+def _pq_lut_from_qv(
+    donors: dict[int, list[int]], qv: list[int]
 ) -> list[list[int]]:
     """The ADC lookup table: lut[s][j] = exact integer squared-L2 from the
-    query's subvector s to donor dids[j]'s subvector s — 8 x 16 driver-side
-    integers computed from ONE point-looked-up query vector."""
+    query's subvector s to donor dids[j]'s subvector s — 8 x 16 pure-Python
+    integers over an already-fetched quantized query vector."""
     dids = sorted(donors)
-    q = _quantize(load_table(spark, sf_dir, "embeddings"))
-    qrows = q.where(F.col("vec_id") == query_vec_id).select("qv").collect()
-    if not qrows:
-        raise ValueError(
-            f"query vector {query_vec_id} not found in embeddings table"
-        )
-    qv = [int(x) for x in qrows[0]["qv"]]
     return [
         [
             sum(
@@ -823,6 +816,25 @@ def _pq_lut(
         ]
         for s in range(PQ_SUBSPACES)
     ]
+
+
+def _pq_query_qv(
+    spark: SparkSession, sf_dir: str, query_vec_id: int
+) -> list[int]:
+    """ONE point lookup of the quantized query vector."""
+    q = _quantize(load_table(spark, sf_dir, "embeddings"))
+    qrows = q.where(F.col("vec_id") == query_vec_id).select("qv").collect()
+    if not qrows:
+        raise ValueError(
+            f"query vector {query_vec_id} not found in embeddings table"
+        )
+    return [int(x) for x in qrows[0]["qv"]]
+
+
+def _pq_lut(
+    spark: SparkSession, sf_dir: str, donors: dict[int, list[int]], query_vec_id: int
+) -> list[list[int]]:
+    return _pq_lut_from_qv(donors, _pq_query_qv(spark, sf_dir, query_vec_id))
 
 
 def knn_pq(
@@ -1021,6 +1033,29 @@ def pq_corpus_coded(
     )
 
 
+def _pq_ingest_sides(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(new, corpus): the two sides every ingest-ANN shape joins — the
+    delta slice with in-row cell + ADC LUT arrays, and the coded corpus.
+    One definition so the radius and kNN-join forms cannot diverge."""
+    from big_data_toolkit_spark.operators.dedup import NEW_BATCH_MOD
+
+    donors = _pq_codebook(spark, sf_dir)
+    cents_q = _quantized_centroids(spark, sf_dir)
+    corpus = pq_corpus_coded(spark, sf_dir, donors, cents_q)
+    new = (
+        _quantize(load_table(spark, sf_dir, "embeddings"))
+        .where(F.col("vec_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1)
+        .select(
+            "vec_id",
+            pq_cell_col(cents_q).alias("cell"),
+            *pq_lut_cols(donors),
+        )
+    )
+    return new, corpus
+
+
 def ann_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, match_id, adc_dist2): IVF-PQ radius matching of the
     incoming embedding batch (vec_id % NEW_BATCH_MOD == NEW_BATCH_MOD-1,
@@ -1045,20 +1080,7 @@ def ann_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle constants; production passes a k-means-trained quantizer of
     the right nlist through ``pq_corpus_coded``'s ``cents_q``.
     """
-    from big_data_toolkit_spark.operators.dedup import NEW_BATCH_MOD
-
-    donors = _pq_codebook(spark, sf_dir)
-    cents_q = _quantized_centroids(spark, sf_dir)
-    corpus = pq_corpus_coded(spark, sf_dir, donors, cents_q)
-    new = (
-        _quantize(load_table(spark, sf_dir, "embeddings"))
-        .where(F.col("vec_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1)
-        .select(
-            "vec_id",
-            pq_cell_col(cents_q).alias("cell"),
-            *pq_lut_cols(donors),
-        )
-    )
+    new, corpus = _pq_ingest_sides(spark, sf_dir)
     return (
         new.join(corpus, "cell")
         .select("vec_id", "match_id", _adc_from_lut_cols().alias("adc_dist2"))
@@ -1367,13 +1389,7 @@ def knn_ivfpq(
     """
     donors = _pq_codebook(spark, sf_dir)
     cents_q = _quantized_centroids(spark, sf_dir)
-    q = _quantize(load_table(spark, sf_dir, "embeddings"))
-    qrows = q.where(F.col("vec_id") == query_vec_id).select("qv").collect()
-    if not qrows:
-        raise ValueError(
-            f"query vector {query_vec_id} not found in embeddings table"
-        )
-    qv = [int(x) for x in qrows[0]["qv"]]
+    qv = _pq_query_qv(spark, sf_dir, query_vec_id)  # the one point lookup
     probe = sorted(
         sorted(cents_q),
         key=lambda c: (
@@ -1381,7 +1397,8 @@ def knn_ivfpq(
             c,
         ),
     )[:nprobe]
-    lut = _pq_lut(spark, sf_dir, donors, query_vec_id)
+    lut = _pq_lut_from_qv(donors, qv)
+    q = _quantize(load_table(spark, sf_dir, "embeddings"))
     coded = _with_pq_idx(
         q.where(F.col("vec_id") != query_vec_id), donors
     ).withColumn("cell", pq_cell_col(cents_q))
@@ -1422,20 +1439,7 @@ def knn_join_pq(
     at scale, raise nprobe exactly as in ``knn_ivfpq``). Exact integer
     ADC; ties break to the smaller match_id; oracle hash-matches.
     """
-    from big_data_toolkit_spark.operators.dedup import NEW_BATCH_MOD
-
-    donors = _pq_codebook(spark, sf_dir)
-    cents_q = _quantized_centroids(spark, sf_dir)
-    corpus = pq_corpus_coded(spark, sf_dir, donors, cents_q)
-    new = (
-        _quantize(load_table(spark, sf_dir, "embeddings"))
-        .where(F.col("vec_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1)
-        .select(
-            "vec_id",
-            pq_cell_col(cents_q).alias("cell"),
-            *pq_lut_cols(donors),
-        )
-    )
+    new, corpus = _pq_ingest_sides(spark, sf_dir)
     w = Window.partitionBy("vec_id").orderBy("adc_dist2", "match_id")
     return (
         new.join(corpus, "cell")
@@ -1445,13 +1449,14 @@ def knn_join_pq(
     )
 
 
-def _ann_pq_incremental_sql() -> str:
-    from big_data_toolkit_spark.operators.dedup import NEW_BATCH_MOD
-
-    cents = ", ".join(str(c) for c in CENTROID_IDS)
-    return f"""
-    WITH {_PQ_CTES},
-    cents AS (SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id IN ({cents})),
+# Shared IVF-PQ oracle CTEs: ONE definition of the cell assignment and
+# the cross-side candidate pairs, composed by all three query oracles —
+# a cell-tie-break or quantization change edits exactly one string (the
+# _PQ_CTES discipline extended to the IVF layer).
+_IVFPQ_CELL_CTES = f"""cents AS (
+      SELECT vec_id AS cid, qv AS cqv FROM q
+      WHERE vec_id IN ({', '.join(str(c) for c in CENTROID_IDS)})
+    ),
     cell AS (
       SELECT vec_id, cid AS cell FROM (
         SELECT v.vec_id, c.cid,
@@ -1460,8 +1465,15 @@ def _ann_pq_incremental_sql() -> str:
                       i -> (v.qv[i] - c.cqv[i]) * (v.qv[i] - c.cqv[i])))
                       AS BIGINT), c.cid) AS rk
         FROM q v, cents c) WHERE rk = 1
-    ),
-    pairs AS (
+    )"""
+
+
+def _ivfpq_pairs_adc_ctes() -> str:
+    """pairs (new × same-cell corpus) + per-pair ADC — the ingest shapes'
+    shared tail."""
+    from big_data_toolkit_spark.operators.dedup import NEW_BATCH_MOD
+
+    return f"""pairs AS (
       SELECT n.vec_id AS nid, m.vec_id AS mid
       FROM cell n JOIN cell m ON n.cell = m.cell
       WHERE n.vec_id % {NEW_BATCH_MOD} = {NEW_BATCH_MOD - 1}
@@ -1473,29 +1485,20 @@ def _ann_pq_incremental_sql() -> str:
       JOIN pq_code c ON c.vec_id = p.mid
       JOIN pq_dist l ON l.vec_id = p.nid AND l.s = c.s AND l.did = c.did
       GROUP BY p.nid, p.mid
-    )
+    )"""
+
+
+ORACLE_SQL["ann_pq_incremental"] = f"""
+    WITH {_PQ_CTES},
+    {_IVFPQ_CELL_CTES},
+    {_ivfpq_pairs_adc_ctes()}
     SELECT nid AS vec_id, mid AS match_id, adc_dist2
     FROM adc WHERE adc_dist2 <= {PQ_RADIUS}
 """
 
-
-ORACLE_SQL["ann_pq_incremental"] = _ann_pq_incremental_sql()
-
-
-def _knn_ivfpq_sql() -> str:
-    cents = ", ".join(str(c) for c in CENTROID_IDS)
-    return f"""
+ORACLE_SQL["knn_ivfpq"] = f"""
     WITH {_PQ_CTES},
-    cents AS (SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id IN ({cents})),
-    cell AS (
-      SELECT vec_id, cid AS cell FROM (
-        SELECT v.vec_id, c.cid,
-               row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                 CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1),
-                      i -> (v.qv[i] - c.cqv[i]) * (v.qv[i] - c.cqv[i])))
-                      AS BIGINT), c.cid) AS rk
-        FROM q v, cents c) WHERE rk = 1
-    ),
+    {_IVFPQ_CELL_CTES},
     probe AS (
       SELECT cid FROM (
         SELECT c.cid,
@@ -1517,39 +1520,10 @@ def _knn_ivfpq_sql() -> str:
     LIMIT {TOP_K}
 """
 
-
-ORACLE_SQL["knn_ivfpq"] = _knn_ivfpq_sql()
-
-
-def _knn_join_pq_sql() -> str:
-    from big_data_toolkit_spark.operators.dedup import NEW_BATCH_MOD
-
-    cents = ", ".join(str(c) for c in CENTROID_IDS)
-    return f"""
+ORACLE_SQL["knn_join_pq"] = f"""
     WITH {_PQ_CTES},
-    cents AS (SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id IN ({cents})),
-    cell AS (
-      SELECT vec_id, cid AS cell FROM (
-        SELECT v.vec_id, c.cid,
-               row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                 CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1),
-                      i -> (v.qv[i] - c.cqv[i]) * (v.qv[i] - c.cqv[i])))
-                      AS BIGINT), c.cid) AS rk
-        FROM q v, cents c) WHERE rk = 1
-    ),
-    pairs AS (
-      SELECT n.vec_id AS nid, m.vec_id AS mid
-      FROM cell n JOIN cell m ON n.cell = m.cell
-      WHERE n.vec_id % {NEW_BATCH_MOD} = {NEW_BATCH_MOD - 1}
-        AND m.vec_id % {NEW_BATCH_MOD} <> {NEW_BATCH_MOD - 1}
-    ),
-    adc AS (
-      SELECT p.nid, p.mid, CAST(sum(l.dist2) AS BIGINT) AS adc_dist2
-      FROM pairs p
-      JOIN pq_code c ON c.vec_id = p.mid
-      JOIN pq_dist l ON l.vec_id = p.nid AND l.s = c.s AND l.did = c.did
-      GROUP BY p.nid, p.mid
-    )
+    {_IVFPQ_CELL_CTES},
+    {_ivfpq_pairs_adc_ctes()}
     SELECT nid AS vec_id, mid AS match_id, adc_dist2,
            CAST(rank AS BIGINT) AS rank
     FROM (
@@ -1559,9 +1533,6 @@ def _knn_join_pq_sql() -> str:
       FROM adc
     ) WHERE rank <= {KNN_JOIN_K}
 """
-
-
-ORACLE_SQL["knn_join_pq"] = _knn_join_pq_sql()
 
 QUERIES = {
     "knn_brute_force": knn_brute_force,

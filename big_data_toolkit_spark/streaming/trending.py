@@ -338,14 +338,6 @@ GAPFILL_OUTPUT_SCHEMA = (
 GAPFILL_STATE_SCHEMA = "open_hour long, n long, ticks long"
 
 
-def _round6_half_up(x: float) -> float:
-    """Spark's ``round(x, 6)`` (HALF_UP, away from zero) — Python's
-    built-in ``round`` is banker's and would drift on exact halves."""
-    import math
-
-    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
-
-
 def _fold_gapfill(
     open_hour: int, n: int, ticks: int, pdfs, grid_start: int
 ) -> tuple:
@@ -398,7 +390,11 @@ def _fold_gapfill(
                      "locf_avg": None}
                 )
         else:
-            avg = _round6_half_up(ticks / n / 1e6)
+            # unrounded, like the batch twin: exact-BIGINT operands make
+            # the two divisions bit-identical across Python/Spark/DuckDB
+            # (no engine-rounding boundary to disagree on); float(ticks)
+            # first mirrors the twin's CAST(ticks AS DOUBLE) exactly
+            avg = float(ticks) / n / 1e6
             out.append(
                 {"hour": pd.Timestamp(open_hour, unit="s"), "n": n,
                  "locf_avg": avg}

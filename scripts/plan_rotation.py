@@ -63,7 +63,9 @@ def gather(repo_root: str = _REPO_ROOT):
 # Max rounds a query may sit outside the head since its newest driver row.
 # A query IN the head is exempt (it gets a fresh row that round), so the
 # steady-state rotation period is MAX_ROW_AGE + 1 = 4 rounds and capacity
-# is 50 slots x 4 = 200 registered queries (163 registered as of r10).
+# is 50 slots x 4 = 200 registered queries (169 registered at r10 close;
+# the live count is len(__spark_entry__.queries()) — trust that, not this
+# comment).
 MAX_ROW_AGE = 3
 
 
@@ -147,7 +149,9 @@ def main() -> int:
                     (k for k in q if k in sim_newest),
                     key=lambda k: (sim_newest[k], q.index(k)),
                 )
-                sim_head = list(dict.fromkeys(never + rest))[:50]
+                sim_head = list(dict.fromkeys(never + rest))[
+                    : args.head_size
+                ]
         print(
             json.dumps(
                 {
@@ -166,7 +170,10 @@ def main() -> int:
         )
         return (
             1
-            if bad or head_missing or len(entry._HEAD) > 50 or proj_bad
+            if bad
+            or head_missing
+            or len(entry._HEAD) > args.head_size
+            or proj_bad
             else 0
         )
 

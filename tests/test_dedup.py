@@ -481,20 +481,23 @@ def test_bloom_prefilter_actually_prunes(spark):
 def test_bloom_m_auto_sizing():
     """m grows with the corpus so fill stays <= 10% (fp ~ 1e-5): floor at
     2^20 for small corpora, next power of two covering k*n/-ln(0.9)
-    above, hard cap 2^27 (the single-broadcast limit)."""
+    above, and FAIL LOUD past the 2^27 single-broadcast cap (pointing at
+    the sharded form) — never a silent saturation."""
     import math
 
     assert dedup.bloom_m_for(0) == dedup.BLOOM_M_MIN
     assert dedup.bloom_m_for(10_000) == dedup.BLOOM_M_MIN
     for n in (50_000, 500_000, 2_000_000):
         m = dedup.bloom_m_for(n)
+        assert m <= dedup.BLOOM_M_MAX
         fill = 1 - math.exp(-dedup.BLOOM_K * n / m)
         assert fill <= 0.10 + 1e-9, (n, m, fill)
         # minimal: half the bitmap would overfill (unless at the floor)
         if m > dedup.BLOOM_M_MIN:
             half_fill = 1 - math.exp(-dedup.BLOOM_K * n / (m // 2))
             assert half_fill > 0.10, (n, m, half_fill)
-    assert dedup.bloom_m_for(10**9) == dedup.BLOOM_M_MAX
+    with pytest.raises(ValueError, match="sharded"):
+        dedup.bloom_m_for(10**9)
 
 
 def test_bloom_positions_respect_m(spark):

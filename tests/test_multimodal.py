@@ -381,8 +381,8 @@ def test_audio_spectral_features_numpy_replica(spark):
         rate = 16000 if d % 2 == 0 else 8000
         mag_q = np.floor(np.abs(np.fft.rfft(x))[1:] + 0.5).astype(np.int64)
         k = np.arange(1, len(mag_q) + 1, dtype=np.int64)
-        centroid = round(int(rate) * int((k * mag_q).sum()) / (N * int(mag_q.sum())), 6)
-        rms = round(float(np.sqrt(int((x.astype(np.int64) ** 2).sum()) / N)), 6)
+        centroid = int(rate) * int((k * mag_q).sum()) / (N * int(mag_q.sum()))
+        rms = float(np.sqrt(int((x.astype(np.int64) ** 2).sum()) / N))
         assert r["sample_rate"] == rate and r["n_fft"] == N, d
         assert r["spectral_centroid_hz"] == centroid, d
         assert r["rms"] == rms, d
