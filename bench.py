@@ -235,6 +235,7 @@ HEADLINE = {
     # read the per-search encode recompute saved.
     "mat_pq_build": materialize.bench_pq_build,
     "mat_knn_pq": materialize.bench_knn_pq_stored,
+    "mat_knn_ivfpq": materialize.bench_knn_ivfpq_stored,
     # Round-8 (session 2): the five remaining classic TPC-H shapes the
     # synthetic schema supports — outer-join histogram (Q13), correlated
     # scalar-avg subquery (Q17), max-over-view (Q15), HAVING-vs-global-

@@ -263,56 +263,100 @@ def bench_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PQ_CODES_DIR = "pq_codes"
 PQ_CODEBOOK_DIR = "pq_codebook"
+PQ_CENTROIDS_DIR = "pq_centroids"
+
+
+def _write_id_vec_table(path: str, ids: list[int], vecs: dict) -> None:
+    """Tiny driver-resident (id, qv ARRAY<BIGINT>) table via pyarrow —
+    the centroids-write pattern (a Spark job for 16 rows costs seconds)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    table = pa.table(
+        {
+            "id": pa.array(ids, type=pa.int64()),
+            "qv": pa.array([vecs[j] for j in ids], type=pa.list_(pa.int64())),
+        }
+    )
+    pq.write_table(table, os.path.join(path, "part-00000.parquet"))
 
 
 def build_pq_artifact(spark: SparkSession, sf_dir: str, workdir: str) -> dict[str, str]:
-    """One map-only corpus scan writes the wide code table (vec_id, 8
-    donor-id codes — dictionary-encoded bytes in parquet); the 16-row
-    codebook (donor id, quantized vector) persists alongside it so a
+    """One map-only corpus scan writes the code table (vec_id, 8 donor-id
+    codes — dictionary-encoded bytes in parquet), PARTITIONED BY the
+    coarse IVF cell so a probed search becomes directory pruning: an
+    nprobe/nlist query never opens the other cells' files. The 16-row
+    codebook and the 16-row coarse quantizer persist alongside, so a
     consumer needs the embeddings table ONLY for the query vector's
     point lookup."""
     from big_data_toolkit_spark.operators.similarity import (
         _pq_codebook,
+        _quantized_centroids,
+        pq_cell_col,
         pq_codes_wide,
     )
+    from pyspark.sql import functions as F  # noqa: PLC0415
 
     codes_path = os.path.join(workdir, PQ_CODES_DIR)
-    book_path = os.path.join(workdir, PQ_CODEBOOK_DIR)
     donors = _pq_codebook(spark, sf_dir)
-    pq_codes_wide(spark, sf_dir, donors=donors).write.mode(
-        "overwrite"
-    ).parquet(codes_path)
-
-    # 16 driver-resident rows — pyarrow direct write, like the centroids
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    os.makedirs(book_path, exist_ok=True)
-    table = pa.table(
-        {
-            "donor_id": pa.array(sorted(donors), type=pa.int64()),
-            "qv": pa.array(
-                [donors[j] for j in sorted(donors)],
-                type=pa.list_(pa.int64()),
-            ),
-        }
+    cents_q = _quantized_centroids(spark, sf_dir)
+    # pq_codes_wide keeps qv in scope of its select — recompute cell from
+    # the same _quantize frame so one scan emits codes + cell together
+    from big_data_toolkit_spark.catalog import load_table
+    from big_data_toolkit_spark.operators.similarity import (
+        PQ_SUBSPACES,
+        _quantize,
+        _with_pq_idx,
     )
-    pq.write_table(table, os.path.join(book_path, "part-00000.parquet"))
-    return {PQ_CODES_DIR: codes_path, PQ_CODEBOOK_DIR: book_path}
+
+    q = _quantize(load_table(spark, sf_dir, "embeddings"))
+    coded = _with_pq_idx(q, donors)
+    dids = sorted(donors)
+    did_arr = F.array(*[F.lit(j).cast("int") for j in dids])
+    codes = F.array(
+        *[
+            F.element_at(did_arr, F.col(f"_pq_idx_{s}"))
+            for s in range(PQ_SUBSPACES)
+        ]
+    )
+    coded.select(
+        "vec_id", codes.alias("codes"), pq_cell_col(cents_q).alias("cell")
+    ).write.mode("overwrite").partitionBy("cell").parquet(codes_path)
+
+    book_path = os.path.join(workdir, PQ_CODEBOOK_DIR)
+    cent_path = os.path.join(workdir, PQ_CENTROIDS_DIR)
+    _write_id_vec_table(book_path, sorted(donors), donors)
+    _write_id_vec_table(cent_path, sorted(cents_q), cents_q)
+    return {
+        PQ_CODES_DIR: codes_path,
+        PQ_CODEBOOK_DIR: book_path,
+        PQ_CENTROIDS_DIR: cent_path,
+    }
 
 
 def read_pq_codes(spark: SparkSession, workdir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(workdir, PQ_CODES_DIR))
 
 
-def read_pq_codebook(spark: SparkSession, workdir: str) -> dict[int, list[int]]:
-    rows = spark.read.parquet(os.path.join(workdir, PQ_CODEBOOK_DIR)).collect()
+def _read_id_vec_table(
+    spark: SparkSession, workdir: str, subdir: str
+) -> dict[int, list[int]]:
+    rows = spark.read.parquet(os.path.join(workdir, subdir)).collect()
     if not rows:
         raise ValueError(
-            f"read_pq_codebook: no rows under {workdir}/{PQ_CODEBOOK_DIR}"
-            " — PQ artifact build did not run or wrote an empty table"
+            f"no rows under {workdir}/{subdir} — PQ artifact build did "
+            "not run or wrote an empty table"
         )
-    return {int(r["donor_id"]): [int(x) for x in r["qv"]] for r in rows}
+    return {int(r["id"]): [int(x) for x in r["qv"]] for r in rows}
+
+
+def read_pq_codebook(spark: SparkSession, workdir: str) -> dict[int, list[int]]:
+    return _read_id_vec_table(spark, workdir, PQ_CODEBOOK_DIR)
+
+
+def read_pq_centroids(spark: SparkSession, workdir: str) -> dict[int, list[int]]:
+    return _read_id_vec_table(spark, workdir, PQ_CENTROIDS_DIR)
 
 
 def knn_pq_materialized(
@@ -325,6 +369,55 @@ def knn_pq_materialized(
         sf_dir,
         read_pq_codes(spark, workdir),
         read_pq_codebook(spark, workdir),
+    )
+
+
+def knn_ivfpq_materialized(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    query_vec_id: int | None = None,
+    k: int | None = None,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """IVFADC over the STORED index with real PARTITION PRUNING: probe
+    cells come from pure Python over the stored quantizer + the query's
+    point lookup, and the `.isin(probe)` filter on the partition column
+    means the scan opens nprobe/nlist of the code table's directories —
+    the other cells' files are never read (plan-asserted:
+    PartitionFilters carries the cell predicate). Bit-exact vs the
+    in-plan ``knn_ivfpq`` twin."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from big_data_toolkit_spark.operators.similarity import (
+        NPROBE_PQ,
+        QUERY_VEC_ID,
+        TOP_K,
+        _pq_query_qv,
+        knn_pq_from_codes,
+    )
+
+    query_vec_id = QUERY_VEC_ID if query_vec_id is None else query_vec_id
+    k = TOP_K if k is None else k
+    nprobe = NPROBE_PQ if nprobe is None else nprobe
+    donors = read_pq_codebook(spark, workdir)
+    cents_q = read_pq_centroids(spark, workdir)
+    qv = _pq_query_qv(spark, sf_dir, query_vec_id)
+    probe = sorted(
+        sorted(cents_q),
+        key=lambda c: (
+            sum((a - b) ** 2 for a, b in zip(qv, cents_q[c])),
+            c,
+        ),
+    )[:nprobe]
+    pruned = read_pq_codes(spark, workdir).where(
+        F.col("cell").isin([int(c) for c in probe])
+    )
+    # knn_pq_from_codes derives its ADC LUT from one more point lookup of
+    # the same query vector — cheap, and keeps the ADC machinery single-
+    # sourced rather than duplicated here
+    return knn_pq_from_codes(
+        spark, sf_dir, pruned, donors, query_vec_id, k
     )
 
 
@@ -366,3 +459,11 @@ def bench_knn_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost once the index exists (compare against the in-plan ``knn_pq``
     bench line, which re-encodes the corpus every run)."""
     return knn_pq_materialized(spark, sf_dir, _pq_bench_workdir(spark, sf_dir))
+
+
+def bench_knn_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC over the stored cell-partitioned index: partition pruning
+    makes the per-search scan nprobe/nlist of the code table."""
+    return knn_ivfpq_materialized(
+        spark, sf_dir, _pq_bench_workdir(spark, sf_dir)
+    )

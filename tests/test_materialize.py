@@ -86,7 +86,11 @@ def test_suite_summary_counts(spark):
 def pq_workdir(spark, tmp_path_factory):
     wd = str(tmp_path_factory.mktemp("pq-artifact"))
     paths = materialize.build_pq_artifact(spark, SF_SMOKE, wd)
-    assert set(paths) == {materialize.PQ_CODES_DIR, materialize.PQ_CODEBOOK_DIR}
+    assert set(paths) == {
+        materialize.PQ_CODES_DIR,
+        materialize.PQ_CODEBOOK_DIR,
+        materialize.PQ_CENTROIDS_DIR,
+    }
     return wd
 
 
@@ -126,3 +130,29 @@ def test_knn_pq_from_codes_no_embeddings_corpus_scan(spark, pq_workdir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "pq_codes" in plan
     assert "embeddings" not in plan, plan
+
+
+def test_pq_centroids_roundtrip_exact(spark, pq_workdir):
+    stored = materialize.read_pq_centroids(spark, pq_workdir)
+    inplan = similarity._quantized_centroids(spark, SF_SMOKE)
+    assert stored == inplan
+
+
+def test_knn_ivfpq_materialized_equals_inplan_and_prunes(spark, pq_workdir):
+    """IVFADC over the stored cell-partitioned index: bit-exact vs the
+    in-plan twin, AND the probed cells arrive via PARTITION pruning —
+    the scan's PartitionFilters carries the cell predicate, so the other
+    cells' files are never opened."""
+    df = materialize.knn_ivfpq_materialized(spark, SF_SMOKE, pq_workdir)
+    assert _rows(df) == _rows(similarity.knn_ivfpq(spark, SF_SMOKE))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters"
+    )[1][:200], plan
+    # full probe reproduces the flat stored-codes scan exactly
+    full = materialize.knn_ivfpq_materialized(
+        spark, SF_SMOKE, pq_workdir, nprobe=len(similarity.CENTROID_IDS)
+    )
+    assert _rows(full) == _rows(
+        materialize.knn_pq_materialized(spark, SF_SMOKE, pq_workdir)
+    )
