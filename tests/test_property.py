@@ -704,3 +704,123 @@ def test_bpe_rounds_match_python_replica(spark, words, rounds):
         r["word"]: list(r["syms"]) for r in got_words.collect()
     }
     assert got_vocab == vocab
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31),
+    dri=st.sampled_from([0, 0, 1, 3]),
+)
+def test_jpeg_codec_roundtrip_property(h, w, seed, dri):
+    """Arbitrary grayscale content under unit tables (optionally
+    restart-interval coded): decode(encode(x)) within the documented
+    |err| <= 4 coefficient-rounding bound at EVERY size, including
+    non-multiple-of-8 dims."""
+    import numpy as np
+
+    from big_data_toolkit_spark.multimodal import codecs
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    back = codecs.decode_jpeg(codecs.encode_jpeg(px, dri=dri))
+    assert back.shape == px.shape
+    assert np.abs(back.astype(int) - px.astype(int)).max() <= 4
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n_member=st.integers(min_value=0, max_value=300),
+    n_probe=st.integers(min_value=1, max_value=100),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_bloom_packed_test_no_false_negatives(spark, n_member, n_probe, seed):
+    """The Bloom contract on arbitrary fingerprint sets and the auto-sized
+    m: EVERY member tests positive against the packed bitmap (zero false
+    negatives — the property the exact output depends on), via the same
+    position exprs and packed-byte indexing the operators use."""
+    import numpy as np
+
+    from big_data_toolkit_spark.operators import dedup
+
+    rng = np.random.default_rng(seed)
+    members = [f"m{seed}-{i}-{rng.integers(1 << 30)}" for i in range(n_member)]
+    fp = spark.createDataFrame(
+        [(m,) for m in members] or [("placeholder",)], ["content_md5"]
+    )
+    if not members:
+        fp = fp.limit(0)
+    m = dedup.bloom_m_for(len(members))
+    bloom = dedup.bloom_bitmap_broadcast(spark, fp, m)
+    if members:
+        rows = fp.select(
+            dedup._bloom_position_array("content_md5", m).alias("pos")
+        ).collect()
+        mat = np.stack([np.asarray(r["pos"], dtype=np.int64) for r in rows])
+        hits = dedup._packed_bloom_test(np.asarray(bloom.packed.value), mat)
+        assert hits.all(), "false negative — Bloom contract broken"
+    else:
+        assert not np.asarray(bloom.packed.value).any()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    buckets=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),  # hour offset
+            st.integers(min_value=1, max_value=5),  # events in that hour
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=40), max_size=4),
+    lead=st.integers(min_value=0, max_value=3),  # leading-gap hours
+)
+def test_gapfill_fold_is_batch_split_invariant(buckets, cuts, lead):
+    """Folding one key's hour-ordered events through ANY time-ordered
+    batch partitioning emits the same closed-hour rows, gap rows, and
+    carried averages as a single-batch fold — the property that makes
+    stream_gapfill_locf equal its batch twin regardless of micro-batch
+    boundaries."""
+    import pandas as pd
+
+    from big_data_toolkit_spark.streaming.trending import (
+        GAPFILL_HOUR,
+        _fold_gapfill,
+    )
+
+    base = 18000 * 24  # epoch hours
+    grid_start = (base - lead) * GAPFILL_HOUR
+    hours = sorted({h for h, _ in buckets})
+    per_hour = {}
+    for h, c in buckets:
+        per_hour[h] = per_hour.get(h, 0) + c
+    rows = []
+    for h in hours:
+        for j in range(per_hour[h]):
+            rows.append(
+                (
+                    pd.Timestamp((base + h) * GAPFILL_HOUR, unit="s"),
+                    float(j) + 0.25,
+                )
+            )
+    whole = pd.DataFrame(
+        {"ts": pd.Series([r[0] for r in rows]),
+         "value": [r[1] for r in rows]}
+    )
+
+    *_, out_single = _fold_gapfill(-1, 0, 0, [whole], grid_start)
+
+    bounds = sorted({0, 41} | set(cuts))
+    state = (-1, 0, 0)
+    out_multi = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        mask = whole["ts"].apply(
+            lambda t: lo <= t.value // 10**9 // GAPFILL_HOUR - base < hi
+        )
+        part = whole[mask.values]
+        if len(part):
+            *state, out = _fold_gapfill(*state, [part], grid_start)
+            out_multi.extend(out)
+    assert out_multi == out_single
