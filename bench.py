@@ -59,6 +59,7 @@ HEADLINE = {
     "dedup_incremental": dedup.dedup_incremental,
     "dedup_incremental_bloom": dedup.dedup_incremental_bloom,
     "dedup_incremental_bloom_sharded": dedup.dedup_incremental_bloom_sharded,
+    "leakage_safe_split": dedup.leakage_safe_split,
     "dedup_minhash_incremental": dedup.dedup_minhash_incremental,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
     "dedup_components": dedup.dedup_components,

@@ -2089,6 +2089,64 @@ ORACLE_SQL["dedup_components"] = dedup_components_oracle_sql(CC_ITERS)
 # converged on this corpus — see dedup_star_components docstring).
 ORACLE_SQL["dedup_star_components"] = dedup_components_oracle_sql(CC_ITERS)
 
+
+SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 80, 90  # hash-space boundaries (of 100)
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component, split): deterministic train/val/test assignment
+    keyed on the NEAR-DUP COMPONENT, never the document — so two near-
+    duplicate documents cannot straddle a split boundary by construction
+    (the leakage that per-doc hash splits silently allow: a train doc's
+    near-twin lands in eval and the eval number is contaminated;
+    ``cross_source_leakage`` AUDITS that failure, this op PREVENTS it).
+
+    Docs outside the near-dup pair graph form singleton components
+    (component = own doc_id). The split is ``hash32(component) % 100``
+    against the 80/90 boundaries — the same md5-prefix hash32 the
+    sampling family pins cross-engine, so assignment is reproducible
+    from the corpus alone (no RNG, no state). One left join of the
+    corpus against the (pair-graph-sized ≪ corpus) component table; at
+    100 TB the component table is the materialized ``neardup_pairs``
+    artifact's closure, not a per-run recompute.
+    """
+    from big_data_toolkit_spark.operators.curation import _hash32
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = dedup_components(spark, sf_dir)
+    full = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+    )
+    h = _hash32(F.col("component")) % 100
+    split = (
+        F.when(h < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(h < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return full.select("doc_id", "component", split.alias("split"))
+
+
+def _leakage_safe_split_sql() -> str:
+    from big_data_toolkit_spark.operators.curation import _H32_SQL
+
+    h = _H32_SQL.format(col="component") + " % 100"
+    return f"""
+    WITH comp AS ({dedup_components_oracle_sql(CC_ITERS)}),
+    assigned AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, component,
+           CASE WHEN {h} < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN {h} < {SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+"""
+
+
+ORACLE_SQL["leakage_safe_split"] = _leakage_safe_split_sql()
+
 def cross_source_leakage(
     spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
 ) -> DataFrame:
@@ -2170,6 +2228,7 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_bloom": dedup_incremental_bloom,
     "dedup_incremental_bloom_sharded": dedup_incremental_bloom_sharded,
+    "leakage_safe_split": leakage_safe_split,
     "dedup_minhash_incremental": dedup_minhash_incremental,
     "span_dedup": span_dedup,
     "duplicate_ngram_spans": duplicate_ngram_spans,

@@ -586,3 +586,28 @@ def test_bloom_shard_table_shape(spark):
         ).astype(bool)
         assert len(bits) == m
         assert set(np.flatnonzero(bits).tolist()) == expected[r["shard"]]
+
+
+def test_leakage_safe_split_no_straddling_pairs(spark):
+    """The op's defining guarantee: NO near-dup pair straddles a split
+    boundary (both members share the component, components share the
+    split); every doc is assigned; fractions land near 80/10/10."""
+    split = {
+        r["doc_id"]: (r["component"], r["split"])
+        for r in dedup.leakage_safe_split(spark, SF_ORACLE).collect()
+    }
+    from big_data_toolkit_spark.catalog import load_table
+
+    n_docs = load_table(spark, SF_ORACLE, "documents").count()
+    assert len(split) == n_docs
+    pairs = dedup.dedup_minhash_lsh(spark, SF_ORACLE).collect()
+    assert pairs, "fixture must contain near-dup pairs"
+    for r in pairs:
+        c1, s1 = split[r["d1"]]
+        c2, s2 = split[r["d2"]]
+        assert c1 == c2 and s1 == s2, (r["d1"], r["d2"], s1, s2)
+    from collections import Counter
+
+    frac = Counter(s for _, s in split.values())
+    assert 0.6 * n_docs < frac["train"] < 0.95 * n_docs
+    assert frac["val"] > 0 and frac["test"] > 0
