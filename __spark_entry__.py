@@ -52,20 +52,21 @@ _MODULES = [
 # dict-insertion order (observed: CORRECTNESS keys == queries()[:50] every
 # round).  Coverage rotates so no query's newest driver row goes stale.
 # Round-10 rotation (re-emitted by `scripts/plan_rotation.py` after the
-# session's seven registered additions).  Priority per the recorded
-# evidence: (1) no red rows to retry (r9 was 50/50 clean); (2) the 7
+# session's eight registered additions).  Priority per the recorded
+# evidence: (1) no red rows to retry (r9 was 50/50 clean); (2) the 8
 # never-rowed round-10 additions get their FIRST driver rows
 # (`ann_pq_incremental`, `audio_spectral_features`,
 # `dedup_incremental_bloom_sharded`, `knn_ivfpq`, `knn_join_pq`,
-# `events_gapfill_locf`, `leakage_safe_split`); (3) staleness
+# `events_gapfill_locf`, `leakage_safe_split`,
+# `dedup_keep_canonical`); (3) staleness
 # refreshes, oldest newest-row first: the 14 queries whose newest row
 # is r6 (age 4 at next_round=10 — they MUST be in this head or the
-# ci.sh 0/4 gate fails), then 29 of the 49 r7-rowed queries.  The 20
+# ci.sh 0/4 gate fails), then 28 of the 49 r7-rowed queries.  The 21
 # remaining r7 queries lead the r11 head at age 4-in-head, which the
 # gate's head-exemption permits: the steady-state rotation period is 4
 # rounds (50 slots x 4 = 200 >= registry size; max out-of-head age 3),
 # the policy recorded in BASELINE.md's r10 rotation-capacity note —
-# `--check --project 4` verifies r10-r14 projections clean at 170
+# `--check --project 4` verifies r10-r14 projections clean at 171
 # registered queries.
 _HEAD = [
     "ann_pq_incremental",
@@ -75,6 +76,7 @@ _HEAD = [
     "knn_join_pq",
     "events_gapfill_locf",
     "leakage_safe_split",
+    "dedup_keep_canonical",
     "knn_brute_force",
     "quality_score",
     "asof_purchase_attribution",
@@ -117,7 +119,6 @@ _HEAD = [
     "vocab_coverage",
     "orders_rollup",
     "events_cube",
-    "order_fulfillment_percentiles",
 ]
 
 # Deferred queries, ordered by staleness (newest driver row round ascending,
@@ -128,6 +129,7 @@ _HEAD = [
 # mid-round and absent from both lists fall to the very tail (the r10
 # never-rowed queue, which plan_rotation prioritizes ahead of refreshes).
 _DEFERRED = [
+    "order_fulfillment_percentiles",
     "session_paths",
     "orders_grouping_sets",
     "customer_order_timeline",

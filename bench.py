@@ -60,6 +60,7 @@ HEADLINE = {
     "dedup_incremental_bloom": dedup.dedup_incremental_bloom,
     "dedup_incremental_bloom_sharded": dedup.dedup_incremental_bloom_sharded,
     "leakage_safe_split": dedup.leakage_safe_split,
+    "dedup_keep_canonical": dedup.dedup_keep_canonical,
     "dedup_minhash_incremental": dedup.dedup_minhash_incremental,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
     "dedup_components": dedup.dedup_components,

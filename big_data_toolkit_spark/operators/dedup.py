@@ -2090,6 +2090,43 @@ ORACLE_SQL["dedup_components"] = dedup_components_oracle_sql(CC_ITERS)
 ORACLE_SQL["dedup_star_components"] = dedup_components_oracle_sql(CC_ITERS)
 
 
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component, kept): the SURVIVOR decision — the step that
+    actually shrinks the corpus. Every doc carries its near-dup component
+    (singleton = own doc_id) and a kept flag: TRUE iff it is its
+    component's canonical member (minimum doc_id — deterministic, no
+    quality heuristics baked in; a production variant orders by quality
+    score the same way). Downstream training reads ``WHERE kept``;
+    emitting the full flag table instead of just survivors keeps the
+    decision auditable (why was THIS doc dropped → its component's
+    canonical row). One left join corpus × (pair-graph-sized) component
+    table; the kept flag is a comparison, not another aggregation —
+    component already IS the group minimum by the propagation invariant.
+    Converged-labels assumption: exactly-one-kept-per-component holds
+    when CC_ITERS ≥ cluster diameter (tested true on this corpus; for
+    pathological chains swap in ``star_components``, which verifies its
+    own fixed point).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = dedup_components(spark, sf_dir)
+    return docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+        (
+            F.coalesce("component", F.col("doc_id")) == F.col("doc_id")
+        ).alias("kept"),
+    )
+
+
+ORACLE_SQL["dedup_keep_canonical"] = f"""
+    WITH comp AS ({dedup_components_oracle_sql(CC_ITERS)})
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS component,
+           coalesce(c.component, d.doc_id) = d.doc_id AS kept
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
 SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 80, 90  # hash-space boundaries (of 100)
 
 
@@ -2229,6 +2266,7 @@ QUERIES = {
     "dedup_incremental_bloom": dedup_incremental_bloom,
     "dedup_incremental_bloom_sharded": dedup_incremental_bloom_sharded,
     "leakage_safe_split": leakage_safe_split,
+    "dedup_keep_canonical": dedup_keep_canonical,
     "dedup_minhash_incremental": dedup_minhash_incremental,
     "span_dedup": span_dedup,
     "duplicate_ngram_spans": duplicate_ngram_spans,

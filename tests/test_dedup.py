@@ -611,3 +611,25 @@ def test_leakage_safe_split_no_straddling_pairs(spark):
     frac = Counter(s for _, s in split.values())
     assert 0.6 * n_docs < frac["train"] < 0.95 * n_docs
     assert frac["val"] > 0 and frac["test"] > 0
+
+
+def test_keep_canonical_exactly_one_per_component(spark):
+    """Survivor semantics: every doc assigned, EXACTLY one kept member
+    per component, the kept member is the component minimum, and every
+    near-dup pair loses at least one member."""
+    rows = dedup.dedup_keep_canonical(spark, SF_ORACLE).collect()
+    from big_data_toolkit_spark.catalog import load_table
+
+    assert len(rows) == load_table(spark, SF_ORACLE, "documents").count()
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        kept = [r for r in members if r["kept"]]
+        assert len(kept) == 1, (comp, members)
+        assert kept[0]["doc_id"] == comp == min(r["doc_id"] for r in members)
+    flags = {r["doc_id"]: r["kept"] for r in rows}
+    pairs = dedup.dedup_minhash_lsh(spark, SF_ORACLE).collect()
+    assert pairs
+    for p in pairs:
+        assert not (flags[p["d1"]] and flags[p["d2"]]), (p["d1"], p["d2"])
