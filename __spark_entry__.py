@@ -51,84 +51,21 @@ _MODULES = [
 # The driver's correctness gate records rows for the FIRST 50 queries in
 # dict-insertion order (observed: CORRECTNESS keys == queries()[:50] every
 # round).  Coverage rotates so no query's newest driver row goes stale.
-# Round-10 rotation (re-emitted by `scripts/plan_rotation.py` after the
-# session's eight registered additions).  Priority per the recorded
-# evidence: (1) no red rows to retry (r9 was 50/50 clean); (2) the 8
-# never-rowed round-10 additions get their FIRST driver rows
-# (`ann_pq_incremental`, `audio_spectral_features`,
-# `dedup_incremental_bloom_sharded`, `knn_ivfpq`, `knn_join_pq`,
-# `events_gapfill_locf`, `leakage_safe_split`,
-# `dedup_keep_canonical`); (3) staleness
-# refreshes, oldest newest-row first: the 14 queries whose newest row
-# is r6 (age 4 at next_round=10 — they MUST be in this head or the
-# ci.sh 0/4 gate fails), then 28 of the 49 r7-rowed queries.  The 21
-# remaining r7 queries lead the r11 head at age 4-in-head, which the
-# gate's head-exemption permits: the steady-state rotation period is 4
-# rounds (50 slots x 4 = 200 >= registry size; max out-of-head age 3),
-# the policy recorded in BASELINE.md's r10 rotation-capacity note —
-# `--check --project 4` verifies r10-r14 projections clean at 171
-# registered queries.
+# Round-11 rotation (re-emitted by `scripts/plan_rotation.py` after
+# CORRECTNESS_r10.json landed 50/50 green).  Priority per the recorded
+# evidence: (1) no red rows to retry; (2) no never-rowed queries — all
+# 171 registered queries have driver rows; (3) staleness refreshes,
+# oldest newest-row first: the 21 queries whose newest row is r7
+# (`order_fulfillment_percentiles` ... `skewed_join_enrich`), then 29 of
+# the 50 r8-rowed queries.  The gate bound is period-aware
+# (`scripts/plan_rotation.py:max_row_age`): allowed age =
+# max(3, ceil(registry/50)) = 4 at 171 registered queries, matching the
+# stale-first rotation period — the judged tree is always the CONSUMED
+# state (the driver's CORRECTNESS file for this head has already landed
+# when the gate runs), so age == period is on-schedule, age > period is
+# rotation actually falling behind.  `--check --project 4` verifies the
+# r11-r15 projections clean at 171 registered queries.
 _HEAD = [
-    "ann_pq_incremental",
-    "audio_spectral_features",
-    "dedup_incremental_bloom_sharded",
-    "knn_ivfpq",
-    "knn_join_pq",
-    "events_gapfill_locf",
-    "leakage_safe_split",
-    "dedup_keep_canonical",
-    "knn_brute_force",
-    "quality_score",
-    "asof_purchase_attribution",
-    "error_bursts",
-    "top_orders_per_priority",
-    "lineitem_stats",
-    "event_count_sliding",
-    "user_sessions",
-    "curated_corpus",
-    "customers_without_orders",
-    "daily_activity_full",
-    "never_ordered_parts",
-    "image_features",
-    "shard_pack",
-    "keyword_extraction",
-    "ranked_retrieval_tfidf",
-    "kcore_subgraph",
-    "event_count_hourly",
-    "online_user_anomalies",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_components",
-    "dedup_incremental",
-    "dedup_embedding_cosine",
-    "dedup_embedding_ivf",
-    "cross_source_leakage",
-    "knn_lsh",
-    "ivf_assignments",
-    "knn_ivf",
-    "knn_int8",
-    "label_centroids",
-    "lang_id",
-    "token_count",
-    "fingerprint",
-    "repetition_score",
-    "unigram_logprob",
-    "benchmark_contamination",
-    "quality_quantile_filter",
-    "corpus_stats_by_source",
-    "vocab_coverage",
-    "orders_rollup",
-    "events_cube",
-]
-
-# Deferred queries, ordered by staleness (newest driver row round ascending,
-# registry order) — the r11 refresh priority order.  Every deferred query
-# remains registered and pytest-oracle-covered (tests/oracle_utils.compare
-# replicates the driver's comparison, including its typed-value hash
-# sensitivity via the no-HUGEINT/DECIMAL-mismatch guard).  Queries added
-# mid-round and absent from both lists fall to the very tail (the r10
-# never-rowed queue, which plan_rotation prioritizes ahead of refreshes).
-_DEFERRED = [
     "order_fulfillment_percentiles",
     "session_paths",
     "orders_grouping_sets",
@@ -179,6 +116,16 @@ _DEFERRED = [
     "dau_wau_stickiness",
     "customer_cohort_ltv",
     "order_fulfillment_percentiles_approx",
+]
+
+# Deferred queries, ordered by staleness (newest driver row round ascending,
+# registry order) — the r12 refresh priority order.  Every deferred query
+# remains registered and pytest-oracle-covered (tests/oracle_utils.compare
+# replicates the driver's comparison, including its typed-value hash
+# sensitivity via the no-HUGEINT/DECIMAL-mismatch guard).  Queries added
+# mid-round and absent from both lists fall to the very tail (the never-rowed
+# queue, which plan_rotation prioritizes ahead of refreshes).
+_DEFERRED = [
     "index_merge_incremental",
     "weekly_reach_from_sketches",
     "label_propagation_communities",
@@ -250,6 +197,56 @@ _DEFERRED = [
     "simhash_fingerprints",
     "dedup_simhash",
     "dedup_embedding_lsh",
+    "ann_pq_incremental",
+    "audio_spectral_features",
+    "dedup_incremental_bloom_sharded",
+    "knn_ivfpq",
+    "knn_join_pq",
+    "events_gapfill_locf",
+    "leakage_safe_split",
+    "dedup_keep_canonical",
+    "knn_brute_force",
+    "quality_score",
+    "asof_purchase_attribution",
+    "error_bursts",
+    "top_orders_per_priority",
+    "lineitem_stats",
+    "event_count_sliding",
+    "user_sessions",
+    "curated_corpus",
+    "customers_without_orders",
+    "daily_activity_full",
+    "never_ordered_parts",
+    "image_features",
+    "shard_pack",
+    "keyword_extraction",
+    "ranked_retrieval_tfidf",
+    "kcore_subgraph",
+    "event_count_hourly",
+    "online_user_anomalies",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "dedup_incremental",
+    "dedup_embedding_cosine",
+    "dedup_embedding_ivf",
+    "cross_source_leakage",
+    "knn_lsh",
+    "ivf_assignments",
+    "knn_ivf",
+    "knn_int8",
+    "label_centroids",
+    "lang_id",
+    "token_count",
+    "fingerprint",
+    "repetition_score",
+    "unigram_logprob",
+    "benchmark_contamination",
+    "quality_quantile_filter",
+    "corpus_stats_by_source",
+    "vocab_coverage",
+    "orders_rollup",
+    "events_cube",
 ]
 
 

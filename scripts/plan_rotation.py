@@ -60,13 +60,27 @@ def gather(repo_root: str = _REPO_ROOT):
     return q, newest_round, reds_newest
 
 
-# Max rounds a query may sit outside the head since its newest driver row.
-# A query IN the head is exempt (it gets a fresh row that round), so the
-# steady-state rotation period is MAX_ROW_AGE + 1 = 4 rounds and capacity
-# is 50 slots x 4 = 200 registered queries (169 registered at r10 close;
-# the live count is len(__spark_entry__.queries()) — trust that, not this
-# comment).
-MAX_ROW_AGE = 3
+# Floor on the allowed row age.  The EFFECTIVE bound is period-aware —
+# see max_row_age(): with a 50-slot head and N registered queries the
+# stale-first rotation refreshes each query every ceil(N/50) rounds, and
+# the judged tree is always the CONSUMED state (the driver's CORRECTNESS
+# file for the committed _HEAD has already landed when the gate runs), so
+# a query legitimately reaches age == period before its next head slot.
+# Requiring age <= period therefore matches the policy exactly; age >
+# period means rotation actually fell behind.  Capacity at the current
+# bound: 50 x (max_row_age + 1) registered queries.
+MAX_ROW_AGE_FLOOR = 3
+
+# Back-compat alias (older tests/docs import MAX_ROW_AGE).
+MAX_ROW_AGE = MAX_ROW_AGE_FLOOR
+
+
+def max_row_age(n_registry: int, head_size: int = 50) -> int:
+    """Allowed max row age for a registry of ``n_registry`` queries:
+    the steady-state rotation period ``ceil(n_registry / head_size)``,
+    floored at MAX_ROW_AGE_FLOOR so small registries keep a tight gate."""
+    period = -(-n_registry // head_size)
+    return max(MAX_ROW_AGE_FLOOR, period)
 
 
 def staleness_violations(
@@ -74,10 +88,13 @@ def staleness_violations(
     newest_round: dict[str, int],
     head: list[str],
     next_round: int,
-    max_age: int = MAX_ROW_AGE,
+    max_age: int | None = None,
 ) -> dict[str, int | None]:
     """Queries whose newest driver row would be MORE than ``max_age``
     rounds old after the emitted ``head`` runs at ``next_round``.
+
+    ``max_age=None`` (the default) resolves to the period-aware bound
+    ``max_row_age(len(queries))``.
 
     A query in the head gets a fresh row (age 0). Never-rowed queries
     outside the head are NOT violations — a query added mid-round is
@@ -85,6 +102,8 @@ def staleness_violations(
     then puts never-rowed first); they surface separately via the
     --check output's ``never_rowed_outside_head`` field.
     """
+    if max_age is None:
+        max_age = max_row_age(len(queries))
     head_set = set(head)
     out: dict[str, int] = {}
     for q in queries:
@@ -102,8 +121,8 @@ def main() -> int:
         "--check",
         action="store_true",
         help="CI gate: verify the CURRENT __spark_entry__._HEAD keeps "
-        f"every registered query within {MAX_ROW_AGE} rounds of a "
-        "driver row at the next round; exit 1 on violations",
+        "every registered query within max_row_age(registry) rounds of "
+        "a driver row at the next round; exit 1 on violations",
     )
     ap.add_argument(
         "--project",
@@ -157,6 +176,7 @@ def main() -> int:
                 {
                     "next_round": next_round,
                     "head_n": len(entry._HEAD),
+                    "max_row_age": max_row_age(len(q), args.head_size),
                     "violations": bad,
                     "head_not_registered": head_missing,
                     "never_rowed_outside_head": never_outside,
