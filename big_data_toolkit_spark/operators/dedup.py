@@ -893,10 +893,14 @@ def bloom_m_for(n_fingerprints: int) -> int:
     return m
 
 
-def _bloom_position_array(fp_col: str, m: int = BLOOM_M_MIN) -> "F.Column":
+def _bloom_position_array(fp_col: str, m: int) -> "F.Column":
     """array<long> of the k Bloom bit positions for a fingerprint column,
     computed JVM-side so the build and check sides share one definition by
-    construction.  Kirsch–Mitzenmacher double hashing over the two 60-bit
+    construction.  ``m`` is required (no default): bitmaps auto-size past
+    the 2^20 floor, and a caller defaulting m against a larger bitmap
+    would compute positions mod the wrong m — silent Bloom false
+    negatives, i.e. non-exact dedup output.
+    Kirsch–Mitzenmacher double hashing over the two 60-bit
     md5 halves — position_i = (h1 + i·h2odd) mod m — so any power-of-two m
     up to 2^60 works (the old 24-bit-slice form capped m at 2^24).
     h1 + (k-1)·h2odd < 5·2^60 < 2^63, so the arithmetic stays in LongType.
@@ -931,9 +935,19 @@ def bloom_bitmap_broadcast(
     count to keep fill ≤ 10% / fp ≤ ~1e-5 unless pinned by the caller.
     The distinct position set is ≤ min(kn, m) longs at the driver; the
     shipped bitmap is m/8 bytes (128 KiB floor, 16 MiB cap — enough for
-    ~2.8M fingerprints at target fill; see ``BLOOM_M_MAX`` beyond)."""
+    ~2.8M fingerprints at target fill; see ``BLOOM_M_MAX`` beyond).
+
+    Auto-sizing costs ONE scan, not two: the count pass and the
+    positions pass both read ``fp_df`` through a shared cache
+    (persist → count → positions → unpersist), so the upstream
+    fingerprint pipeline (tokenize + md5 + distinct shuffle) runs once.
+    The cached frame is one 32-hex-char column per fingerprint —
+    ~45 MiB at the 2.8M-fingerprint single-broadcast cap."""
+    cached = None
     if m is None:
-        m = bloom_m_for(fp_df.count())
+        cached = fp_df.persist()
+        m = bloom_m_for(cached.count())
+        fp_df = cached
     set_positions = np.array(
         [
             r["p"]
@@ -945,6 +959,8 @@ def bloom_bitmap_broadcast(
         ],
         dtype=np.int64,
     )
+    if cached is not None:
+        cached.unpersist()
     bitmap = np.zeros(m, dtype=bool)
     if set_positions.size:
         bitmap[set_positions] = True
@@ -1008,8 +1024,24 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content_md5"),
     )
     is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
-    existing = fp.where(~is_new).select("content_md5").distinct()
-    bloom = bloom_bitmap_broadcast(spark, existing)
+    # Size m from the TABLE row count, not the distinct-fingerprint
+    # count: row count is an upper bound on distinct fingerprints, so
+    # the fill target is never undersized, and counting a bare parquet
+    # scan is metadata-speed (no-column scan) where the exact distinct
+    # count would be a full tokenize+md5+shuffle pass — the difference
+    # between a footer read and a table pass at 100 TB.  Cost: a
+    # heavily-duplicated corpus gets a bitmap up to one dup-ratio
+    # larger than needed (bounded by the 2^27 cap check erring eager;
+    # callers near the cap should pass an exact count or shard).
+    m = bloom_m_for(docs.count())
+    # Persisted because both the bitmap-positions collect and the final
+    # anti-join read this frame; without the cache the fingerprint
+    # pipeline would run twice.  Left persisted (no unpersist) because
+    # the anti-join executes lazily after this function returns; the
+    # cache is one 32-char column (~45 MiB at the 2.8M single-broadcast
+    # cap) and Spark evicts it LRU.
+    existing = fp.where(~is_new).select("content_md5").distinct().persist()
+    bloom = bloom_bitmap_broadcast(spark, existing, m)
     bloom_hit = bloom_hit_udf(bloom)
     new = fp.where(is_new).withColumn(
         "_hit", bloom_hit(bloom.positions_of("content_md5"))
@@ -1092,9 +1124,17 @@ def dedup_incremental_bloom_sharded(
         ).alias("content_md5"),
     )
     is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
-    existing = fp.where(~is_new).select("content_md5").distinct()
-    # per-shard sizing: same fill/fp targets over the expected shard load
-    m_shard = bloom_m_for(-(-existing.count() // BLOOM_SHARDS))
+    # Persisted for the two readers: the shard-table build and the
+    # final anti-join.
+    existing = fp.where(~is_new).select("content_md5").distinct().persist()
+    # Per-shard sizing from the table row count (metadata-speed upper
+    # bound — same rationale as the broadcast form) over the per-shard
+    # load, with a 20% skew margin: md5 sharding is near-uniform but
+    # not exact, and an over-mean shard past the fill target would
+    # degrade its false-positive rate (extra anti-join work; output
+    # stays exact either way).  The margin at most doubles m_shard
+    # (power-of-two rounding), which 16 shards amortize.
+    m_shard = bloom_m_for(-(-(docs.count() * 6) // (5 * BLOOM_SHARDS)))
     shards = bloom_shard_table(spark, existing, m_shard)
     new = fp.where(is_new).select(
         "doc_id",
