@@ -40,6 +40,30 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Row count from the parquet FOOTERS, driver-side — no Spark job.
+
+    The statistics lookup a table catalog (metastore/Delta/Iceberg)
+    serves for free at cluster scale: parquet stores num_rows per file
+    footer, so the count costs one metadata read per file regardless of
+    table bytes. Used where an operator needs only a sizing bound (e.g.
+    the Bloom bitmap's m), where launching even a no-column count job
+    would dominate the operator's own work."""
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        files = [
+            os.path.join(root, f)
+            for root, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+    else:
+        files = [path]
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one TESTDATA table as a DataFrame.
 

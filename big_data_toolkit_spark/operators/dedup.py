@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from big_data_toolkit_spark.catalog import load_table
+from big_data_toolkit_spark.catalog import load_table, table_row_count
 from big_data_toolkit_spark.functions.text import DUCKDB_TOKENS, tokenize
 
 SHINGLE_N = 3
@@ -602,7 +602,9 @@ def _symmetrize(pairs: DataFrame) -> DataFrame:
     ).select("e.d1", "e.d2")
 
 
-def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_components(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, component): connected components over MinHash near-dup pairs.
 
     The step that turns pairwise dedup output into actionable clusters
@@ -616,8 +618,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-executed per round; each round is one join + aggregate on the
     (tiny relative to corpus) pair set. At larger graph scale swap in
     large-star/small-star; the per-round plan shape is unchanged.
+
+    ``pairs`` (optional): pre-materialized near-dup pair table (d1, d2),
+    see ``plans.materialize`` — skips the in-plan MinHash pass.
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    if pairs is None:
+        pairs = dedup_minhash_lsh(spark, sf_dir)
+    pairs = pairs.select("d1", "d2")
     # Symmetrize IN-ROW (explode both orientations) — a
     # pairs.union(pairs.reversed) references the whole un-checkpointed
     # MinHash chain twice, and exchange reuse does NOT reliably dedupe the
@@ -1024,23 +1031,18 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content_md5"),
     )
     is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
-    # Size m from the TABLE row count, not the distinct-fingerprint
-    # count: row count is an upper bound on distinct fingerprints, so
-    # the fill target is never undersized, and counting a bare parquet
-    # scan is metadata-speed (no-column scan) where the exact distinct
-    # count would be a full tokenize+md5+shuffle pass — the difference
-    # between a footer read and a table pass at 100 TB.  Cost: a
+    # Size m from the TABLE row count read off the parquet footers
+    # (``table_row_count`` — a driver-side metadata read, zero Spark
+    # jobs; at cluster scale this is a catalog statistics lookup), not
+    # the distinct-fingerprint count: row count is an upper bound on
+    # distinct fingerprints, so the fill target is never undersized,
+    # while the exact distinct count would be a full
+    # tokenize+md5+shuffle pass before any real work.  Cost: a
     # heavily-duplicated corpus gets a bitmap up to one dup-ratio
     # larger than needed (bounded by the 2^27 cap check erring eager;
     # callers near the cap should pass an exact count or shard).
-    m = bloom_m_for(docs.count())
-    # Persisted because both the bitmap-positions collect and the final
-    # anti-join read this frame; without the cache the fingerprint
-    # pipeline would run twice.  Left persisted (no unpersist) because
-    # the anti-join executes lazily after this function returns; the
-    # cache is one 32-char column (~45 MiB at the 2.8M single-broadcast
-    # cap) and Spark evicts it LRU.
-    existing = fp.where(~is_new).select("content_md5").distinct().persist()
+    m = bloom_m_for(table_row_count(sf_dir, "documents"))
+    existing = fp.where(~is_new).select("content_md5").distinct()
     bloom = bloom_bitmap_broadcast(spark, existing, m)
     bloom_hit = bloom_hit_udf(bloom)
     new = fp.where(is_new).withColumn(
@@ -1124,17 +1126,17 @@ def dedup_incremental_bloom_sharded(
         ).alias("content_md5"),
     )
     is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
-    # Persisted for the two readers: the shard-table build and the
-    # final anti-join.
-    existing = fp.where(~is_new).select("content_md5").distinct().persist()
-    # Per-shard sizing from the table row count (metadata-speed upper
-    # bound — same rationale as the broadcast form) over the per-shard
-    # load, with a 20% skew margin: md5 sharding is near-uniform but
-    # not exact, and an over-mean shard past the fill target would
-    # degrade its false-positive rate (extra anti-join work; output
-    # stays exact either way).  The margin at most doubles m_shard
-    # (power-of-two rounding), which 16 shards amortize.
-    m_shard = bloom_m_for(-(-(docs.count() * 6) // (5 * BLOOM_SHARDS)))
+    existing = fp.where(~is_new).select("content_md5").distinct()
+    # Per-shard sizing from the table row count read off the parquet
+    # footers (driver-side metadata, zero Spark jobs — same rationale
+    # as the broadcast form) over the per-shard load, with a 20% skew
+    # margin: md5 sharding is near-uniform but not exact, and an
+    # over-mean shard past the fill target would degrade its
+    # false-positive rate (extra anti-join work; output stays exact
+    # either way).  The margin at most doubles m_shard (power-of-two
+    # rounding), which 16 shards amortize.
+    n_upper = table_row_count(sf_dir, "documents")
+    m_shard = bloom_m_for(-(-(n_upper * 6) // (5 * BLOOM_SHARDS)))
     shards = bloom_shard_table(spark, existing, m_shard)
     new = fp.where(is_new).select(
         "doc_id",
@@ -2130,7 +2132,9 @@ ORACLE_SQL["dedup_components"] = dedup_components_oracle_sql(CC_ITERS)
 ORACLE_SQL["dedup_star_components"] = dedup_components_oracle_sql(CC_ITERS)
 
 
-def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_keep_canonical(
+    spark: SparkSession, sf_dir: str, comp: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, component, kept): the SURVIVOR decision — the step that
     actually shrinks the corpus. Every doc carries its near-dup component
     (singleton = own doc_id) and a kept flag: TRUE iff it is its
@@ -2146,9 +2150,14 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     when CC_ITERS ≥ cluster diameter (tested true on this corpus; for
     pathological chains swap in ``star_components``, which verifies its
     own fixed point).
+
+    ``comp`` (optional): pre-materialized component table
+    (doc_id, component) — the ``plans.materialize`` closure artifact;
+    skips the in-plan MinHash pass + propagation rounds entirely.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    comp = dedup_components(spark, sf_dir)
+    if comp is None:
+        comp = dedup_components(spark, sf_dir)
     return docs.join(comp, "doc_id", "left").select(
         "doc_id",
         F.coalesce("component", F.col("doc_id")).alias("component"),
@@ -2170,7 +2179,9 @@ ORACLE_SQL["dedup_keep_canonical"] = f"""
 SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 80, 90  # hash-space boundaries (of 100)
 
 
-def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def leakage_safe_split(
+    spark: SparkSession, sf_dir: str, comp: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, component, split): deterministic train/val/test assignment
     keyed on the NEAR-DUP COMPONENT, never the document — so two near-
     duplicate documents cannot straddle a split boundary by construction
@@ -2185,12 +2196,15 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the corpus alone (no RNG, no state). One left join of the
     corpus against the (pair-graph-sized ≪ corpus) component table; at
     100 TB the component table is the materialized ``neardup_pairs``
-    artifact's closure, not a per-run recompute.
+    artifact's closure (pass it as ``comp`` — see
+    ``plans.materialize.leakage_safe_split_materialized``), not a
+    per-run recompute.
     """
     from big_data_toolkit_spark.operators.curation import _hash32
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    comp = dedup_components(spark, sf_dir)
+    if comp is None:
+        comp = dedup_components(spark, sf_dir)
     full = docs.join(comp, "doc_id", "left").select(
         "doc_id",
         F.coalesce("component", F.col("doc_id")).alias("component"),
