@@ -221,16 +221,24 @@ HEADLINE = {
     # The artifact-sharing pipeline, reported as SEPARATE lines (r7 judge
     # item 8 — the old single `materialized_suite` aggregate obscured
     # per-consumer regressions; BASELINE.md maps old onto new): one
-    # artifact build (pair graph + centroids, timed fresh) + the five
-    # consumers reading the stored artifacts. Compare mat_* against the
-    # in-plan forms (triangle_count, kcore_subgraph, cross_source_leakage,
-    # semantic_dedup, knn_ivf_trained) to read the recompute saved.
+    # artifact build (pair graph + centroids + component closure, timed
+    # fresh) + the consumers reading the stored artifacts. Compare mat_*
+    # against the in-plan forms (triangle_count, kcore_subgraph,
+    # cross_source_leakage, semantic_dedup, knn_ivf_trained,
+    # dedup_keep_canonical, leakage_safe_split) to read the recompute
+    # saved.
     "mat_artifact_build": materialize.bench_artifact_build,
     "mat_triangle_count": materialize.bench_triangle_count,
     "mat_kcore_subgraph": materialize.bench_kcore_subgraph,
     "mat_cross_source_leakage": materialize.bench_cross_source_leakage,
     "mat_semantic_dedup": materialize.bench_semantic_dedup,
     "mat_knn_ivf_trained": materialize.bench_knn_ivf_trained,
+    # Round-11: the component-closure artifact consumers — survivor
+    # selection and the leakage-safe split read the stored closure, so
+    # each is one corpus × tiny left join (no MinHash pass, no
+    # propagation rounds per run).
+    "mat_dedup_keep_canonical": materialize.bench_dedup_keep_canonical,
+    "mat_leakage_safe_split": materialize.bench_leakage_safe_split,
     # Round-10: the PQ index as a stored artifact — build once (encode
     # scan + codebook write), then ADC searches read 8 bytes/vector from
     # the store. Compare mat_knn_pq against the in-plan knn_pq line to
@@ -238,6 +246,12 @@ HEADLINE = {
     "mat_pq_build": materialize.bench_pq_build,
     "mat_knn_pq": materialize.bench_knn_pq_stored,
     "mat_knn_ivfpq": materialize.bench_knn_ivfpq_stored,
+    # Round-11: the ingest-ANN shapes over the stored index — the delta
+    # joins 8-byte stored codes instead of re-encoding the corpus per
+    # run. Compare against the in-plan ann_pq_incremental / knn_join_pq
+    # lines to read the amortized encode.
+    "mat_ann_pq_incremental": materialize.bench_ann_pq_incremental_stored,
+    "mat_knn_join_pq": materialize.bench_knn_join_pq_stored,
     # Round-8 (session 2): the five remaining classic TPC-H shapes the
     # synthetic schema supports — outer-join histogram (Q13), correlated
     # scalar-avg subquery (Q17), max-over-view (Q15), HAVING-vs-global-

@@ -885,17 +885,24 @@ def pq_codes_wide(
     without ever rescanning the embeddings."""
     if donors is None:
         donors = _pq_codebook(spark, sf_dir)
-    dids = sorted(donors)
     q = _quantize(load_table(spark, sf_dir, "embeddings"))
     coded = _with_pq_idx(q, donors)
-    did_arr = F.array(*[F.lit(j).cast("int") for j in dids])
-    codes = F.array(
+    return coded.select("vec_id", pq_codes_col(donors).alias("codes"))
+
+
+def pq_codes_col(donors: dict[int, list[int]]) -> Column:
+    """ARRAY<INT>[8] of donor-id codes from a frame's ``_pq_idx_s``
+    columns — the ONE definition of the stored wide-code layout, shared
+    by ``pq_codes_wide`` and the ``plans.materialize`` artifact writer
+    (and inverted by ``pq_corpus_from_codes``), so the persisted format
+    cannot drift from the in-plan encode."""
+    did_arr = F.array(*[F.lit(j).cast("int") for j in sorted(donors)])
+    return F.array(
         *[
             F.element_at(did_arr, F.col(f"_pq_idx_{s}"))
             for s in range(PQ_SUBSPACES)
         ]
     )
-    return coded.select("vec_id", codes.alias("codes"))
 
 
 def knn_pq_from_codes(
@@ -1033,17 +1040,62 @@ def pq_corpus_coded(
     )
 
 
+def pq_corpus_from_codes(
+    codes_df: DataFrame, donors: dict[int, list[int]]
+) -> DataFrame:
+    """(match_id, cell, _pq_idx_0.._pq_idx_7) from a STORED wide code
+    table (vec_id, codes ARRAY<INT> of donor ids, cell) — the adapter
+    that lets the ingest-ANN shapes read the ``plans.materialize`` PQ
+    artifact instead of re-encoding the corpus in-plan. Donor id →
+    1-based LUT position via ``array_position`` into the sorted donor-id
+    literal array (an index constant), so the result is bit-identical to
+    ``pq_corpus_coded``'s encode output: the stored codes ARE the encode
+    (parquet ints round-trip exactly) and the position mapping is the
+    inverse of the build's ``element_at``. Excludes the delta slice —
+    the stored snapshot covers the full corpus, the ingest join must see
+    only the existing side."""
+    from big_data_toolkit_spark.operators.dedup import NEW_BATCH_MOD
+
+    did_arr = F.array(*[F.lit(j).cast("int") for j in sorted(donors)])
+    return codes_df.where(
+        F.col("vec_id") % NEW_BATCH_MOD != NEW_BATCH_MOD - 1
+    ).select(
+        F.col("vec_id").alias("match_id"),
+        "cell",
+        *[
+            F.array_position(did_arr, F.element_at("codes", s + 1))
+            .cast("int")
+            .alias(f"_pq_idx_{s}")
+            for s in range(PQ_SUBSPACES)
+        ],
+    )
+
+
 def _pq_ingest_sides(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    corpus: DataFrame | None = None,
+    donors: dict[int, list[int]] | None = None,
+    cents_q: dict[int, list[int]] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(new, corpus): the two sides every ingest-ANN shape joins — the
     delta slice with in-row cell + ADC LUT arrays, and the coded corpus.
-    One definition so the radius and kNN-join forms cannot diverge."""
+    One definition so the radius and kNN-join forms cannot diverge.
+
+    ``corpus``/``donors``/``cents_q`` (optional): the stored PQ index
+    (code table adapted via ``pq_corpus_from_codes``, codebook, coarse
+    quantizer — see ``plans.materialize``). With all three supplied the
+    only embeddings access left is the delta slice's own scan: the
+    corpus side reads 8 bytes/vector from the store and the index
+    constants come off the stored 16-row tables."""
     from big_data_toolkit_spark.operators.dedup import NEW_BATCH_MOD
 
-    donors = _pq_codebook(spark, sf_dir)
-    cents_q = _quantized_centroids(spark, sf_dir)
-    corpus = pq_corpus_coded(spark, sf_dir, donors, cents_q)
+    if donors is None:
+        donors = _pq_codebook(spark, sf_dir)
+    if cents_q is None:
+        cents_q = _quantized_centroids(spark, sf_dir)
+    if corpus is None:
+        corpus = pq_corpus_coded(spark, sf_dir, donors, cents_q)
     new = (
         _quantize(load_table(spark, sf_dir, "embeddings"))
         .where(F.col("vec_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1)
@@ -1056,7 +1108,13 @@ def _pq_ingest_sides(
     return new, corpus
 
 
-def ann_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_pq_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    corpus: DataFrame | None = None,
+    donors: dict[int, list[int]] | None = None,
+    cents_q: dict[int, list[int]] | None = None,
+) -> DataFrame:
     """(vec_id, match_id, adc_dist2): IVF-PQ radius matching of the
     incoming embedding batch (vec_id % NEW_BATCH_MOD == NEW_BATCH_MOD-1,
     the shared delta convention) against the existing corpus — the ANN
@@ -1079,8 +1137,13 @@ def ann_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     n²/nlist, so nlist must GROW ∝ √n — the 16 fixture cells are
     oracle constants; production passes a k-means-trained quantizer of
     the right nlist through ``pq_corpus_coded``'s ``cents_q``.
+
+    ``corpus``/``donors``/``cents_q`` (optional): the stored PQ index —
+    see ``_pq_ingest_sides`` / ``plans.materialize
+    .ann_pq_incremental_materialized``; skips the per-run corpus
+    re-encode entirely.
     """
-    new, corpus = _pq_ingest_sides(spark, sf_dir)
+    new, corpus = _pq_ingest_sides(spark, sf_dir, corpus, donors, cents_q)
     return (
         new.join(corpus, "cell")
         .select("vec_id", "match_id", _adc_from_lut_cols().alias("adc_dist2"))
@@ -1421,7 +1484,12 @@ KNN_JOIN_K = 5  # neighbors returned per incoming vector by the kNN join
 
 
 def knn_join_pq(
-    spark: SparkSession, sf_dir: str, k: int = KNN_JOIN_K
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KNN_JOIN_K,
+    corpus: DataFrame | None = None,
+    donors: dict[int, list[int]] | None = None,
+    cents_q: dict[int, list[int]] | None = None,
 ) -> DataFrame:
     """(vec_id, match_id, adc_dist2, rank): the batch ANN **kNN JOIN** —
     the k nearest corpus vectors for EVERY incoming vector (the delta
@@ -1438,8 +1506,11 @@ def knn_join_pq(
     rows return fewer matches (single-probe semantics, deterministic —
     at scale, raise nprobe exactly as in ``knn_ivfpq``). Exact integer
     ADC; ties break to the smaller match_id; oracle hash-matches.
+
+    ``corpus``/``donors``/``cents_q`` (optional): the stored PQ index —
+    see ``_pq_ingest_sides``; skips the per-run corpus re-encode.
     """
-    new, corpus = _pq_ingest_sides(spark, sf_dir)
+    new, corpus = _pq_ingest_sides(spark, sf_dir, corpus, donors, cents_q)
     w = Window.partitionBy("vec_id").orderBy("adc_dist2", "match_id")
     return (
         new.join(corpus, "cell")

@@ -22,6 +22,12 @@ Artifacts:
   ARRAY<DOUBLE>), K rows. Doubles round-trip parquet bit-exactly, so a
   consumer of the stored centroids produces results IDENTICAL to the
   in-plan training path (tests assert equality).
+* ``neardup_components`` — the connected-component closure over the pair
+  table (doc_id, component), derived from the STORED pairs (no extra
+  corpus pass), key-sorted on doc_id. The cluster-level artifact that
+  ``dedup_keep_canonical`` / ``leakage_safe_split`` key on: survivor
+  selection and train/val/test assignment are then ONE corpus × tiny
+  left join each, with zero MinHash or propagation work per run.
 
 ``materialized_graph_suite`` is the bench form: one artifact build + all
 five consumers, demonstrating the saved recompute vs running the five
@@ -39,27 +45,47 @@ from big_data_toolkit_spark.sources.writers import write_sorted_bucketed
 
 PAIRS_DIR = "neardup_pairs"
 CENTROIDS_DIR = "centroids"
+COMPONENTS_DIR = "neardup_components"
 
 
 def build_artifacts(spark: SparkSession, sf_dir: str, workdir: str) -> dict[str, str]:
-    """Compute and persist both shared artifacts; returns name → path.
+    """Compute and persist the shared artifacts; returns name → path.
 
     One corpus pass builds the pair graph, ``KMEANS_ITERS`` passes train
-    the centroids — after this, NO consumer touches the raw text again
-    (the centroid consumers still scan the embeddings table, which is the
-    data they analyze, not an artifact recompute).
+    the centroids, and the component closure derives from the STORED
+    pair table (pair-graph-sized joins, zero extra corpus passes) —
+    after this, NO consumer touches the raw text again (the centroid
+    consumers still scan the embeddings table, which is the data they
+    analyze, not an artifact recompute).
     """
-    from big_data_toolkit_spark.operators.dedup import dedup_minhash_lsh
+    from big_data_toolkit_spark.operators.dedup import (
+        dedup_components,
+        dedup_minhash_lsh,
+    )
     from big_data_toolkit_spark.operators.similarity import _lloyd
 
     pairs_path = os.path.join(workdir, PAIRS_DIR)
     cents_path = os.path.join(workdir, CENTROIDS_DIR)
+    comps_path = os.path.join(workdir, COMPONENTS_DIR)
 
     # localCheckpoint before the sorted write: repartitionByRange SAMPLES
     # its child to pick range bounds, which would otherwise recompute the
     # whole tokenize+shingle+band+verify pipeline a second time.
     write_sorted_bucketed(
         dedup_minhash_lsh(spark, sf_dir).localCheckpoint(), pairs_path, "d1"
+    )
+
+    # Component closure FROM the stored pairs: the propagation rounds
+    # run over the just-written (pair-graph-sized ≪ corpus) table, so
+    # this adds no corpus pass — it turns the pairwise artifact into the
+    # cluster-level one that the survivor-selection and split consumers
+    # key on (their docstrings name this as the at-scale path).
+    write_sorted_bucketed(
+        dedup_components(
+            spark, sf_dir, pairs=spark.read.parquet(pairs_path)
+        ),
+        comps_path,
+        "doc_id",
     )
 
     _, cents = _lloyd(spark, sf_dir)
@@ -86,11 +112,19 @@ def build_artifacts(spark: SparkSession, sf_dir: str, workdir: str) -> dict[str,
         }
     )
     pq.write_table(table, os.path.join(cents_path, "part-00000.parquet"))
-    return {PAIRS_DIR: pairs_path, CENTROIDS_DIR: cents_path}
+    return {
+        PAIRS_DIR: pairs_path,
+        CENTROIDS_DIR: cents_path,
+        COMPONENTS_DIR: comps_path,
+    }
 
 
 def read_neardup_pairs(spark: SparkSession, workdir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(workdir, PAIRS_DIR))
+
+
+def read_neardup_components(spark: SparkSession, workdir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(workdir, COMPONENTS_DIR))
 
 
 def read_centroids(spark: SparkSession, workdir: str) -> dict[int, list[float]]:
@@ -148,12 +182,34 @@ def knn_ivf_trained_materialized(
     return knn_ivf_trained(spark, sf_dir, cents=read_centroids(spark, workdir))
 
 
+def dedup_keep_canonical_materialized(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> DataFrame:
+    from big_data_toolkit_spark.operators.dedup import dedup_keep_canonical
+
+    return dedup_keep_canonical(
+        spark, sf_dir, comp=read_neardup_components(spark, workdir)
+    )
+
+
+def leakage_safe_split_materialized(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> DataFrame:
+    from big_data_toolkit_spark.operators.dedup import leakage_safe_split
+
+    return leakage_safe_split(
+        spark, sf_dir, comp=read_neardup_components(spark, workdir)
+    )
+
+
 _CONSUMERS = (
     triangle_count_materialized,
     kcore_subgraph_materialized,
     cross_source_leakage_materialized,
     semantic_dedup_materialized,
     knn_ivf_trained_materialized,
+    dedup_keep_canonical_materialized,
+    leakage_safe_split_materialized,
 )
 
 
@@ -221,9 +277,14 @@ def bench_artifact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     workdir = _bench_workdir(spark, sf_dir)
     pairs_n = read_neardup_pairs(spark, workdir).count()
     cents_n = len(read_centroids(spark, workdir))
+    comps_n = read_neardup_components(spark, workdir).count()
     return local_table(
         spark,
-        [(PAIRS_DIR, pairs_n), (CENTROIDS_DIR, cents_n)],
+        [
+            (PAIRS_DIR, pairs_n),
+            (CENTROIDS_DIR, cents_n),
+            (COMPONENTS_DIR, comps_n),
+        ],
         "artifact string, n_rows long",
     )
 
@@ -248,6 +309,18 @@ def bench_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bench_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf_trained_materialized(spark, sf_dir, _bench_workdir(spark, sf_dir))
+
+
+def bench_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_keep_canonical_materialized(
+        spark, sf_dir, _bench_workdir(spark, sf_dir)
+    )
+
+
+def bench_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return leakage_safe_split_materialized(
+        spark, sf_dir, _bench_workdir(spark, sf_dir)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -290,38 +363,28 @@ def build_pq_artifact(spark: SparkSession, sf_dir: str, workdir: str) -> dict[st
     codebook and the 16-row coarse quantizer persist alongside, so a
     consumer needs the embeddings table ONLY for the query vector's
     point lookup."""
+    from big_data_toolkit_spark.catalog import load_table
     from big_data_toolkit_spark.operators.similarity import (
         _pq_codebook,
+        _quantize,
         _quantized_centroids,
+        _with_pq_idx,
         pq_cell_col,
-        pq_codes_wide,
+        pq_codes_col,
     )
-    from pyspark.sql import functions as F  # noqa: PLC0415
 
     codes_path = os.path.join(workdir, PQ_CODES_DIR)
     donors = _pq_codebook(spark, sf_dir)
     cents_q = _quantized_centroids(spark, sf_dir)
     # pq_codes_wide keeps qv in scope of its select — recompute cell from
     # the same _quantize frame so one scan emits codes + cell together
-    from big_data_toolkit_spark.catalog import load_table
-    from big_data_toolkit_spark.operators.similarity import (
-        PQ_SUBSPACES,
-        _quantize,
-        _with_pq_idx,
-    )
-
+    # (the codes column itself is the shared pq_codes_col definition).
     q = _quantize(load_table(spark, sf_dir, "embeddings"))
     coded = _with_pq_idx(q, donors)
-    dids = sorted(donors)
-    did_arr = F.array(*[F.lit(j).cast("int") for j in dids])
-    codes = F.array(
-        *[
-            F.element_at(did_arr, F.col(f"_pq_idx_{s}"))
-            for s in range(PQ_SUBSPACES)
-        ]
-    )
     coded.select(
-        "vec_id", codes.alias("codes"), pq_cell_col(cents_q).alias("cell")
+        "vec_id",
+        pq_codes_col(donors).alias("codes"),
+        pq_cell_col(cents_q).alias("cell"),
     ).write.mode("overwrite").partitionBy("cell").parquet(codes_path)
 
     book_path = os.path.join(workdir, PQ_CODEBOOK_DIR)
@@ -421,6 +484,54 @@ def knn_ivfpq_materialized(
     )
 
 
+def _stored_pq_corpus(spark: SparkSession, workdir: str):
+    """(corpus, donors, cents_q): the stored-index triple the ingest-ANN
+    shapes take — code table adapted to the join layout, codebook, and
+    coarse quantizer, all read from the artifact."""
+    from big_data_toolkit_spark.operators.similarity import (
+        pq_corpus_from_codes,
+    )
+
+    donors = read_pq_codebook(spark, workdir)
+    cents_q = read_pq_centroids(spark, workdir)
+    corpus = pq_corpus_from_codes(read_pq_codes(spark, workdir), donors)
+    return corpus, donors, cents_q
+
+
+def ann_pq_incremental_materialized(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> DataFrame:
+    """``ann_pq_incremental`` over the STORED index: the corpus side is
+    8 bytes/vector read from the cell-partitioned code table (the delta
+    exclusion is a stored-column filter), the codebook and quantizer are
+    the stored 16-row tables, and the only embeddings access left is the
+    delta slice's own scan — per-ingest cost never re-encodes the
+    corpus. Bit-exact vs the in-plan twin (parquet ints round-trip
+    exactly; the donor-id→position adapter inverts the build's mapping).
+    """
+    from big_data_toolkit_spark.operators.similarity import (
+        ann_pq_incremental,
+    )
+
+    corpus, donors, cents_q = _stored_pq_corpus(spark, workdir)
+    return ann_pq_incremental(
+        spark, sf_dir, corpus=corpus, donors=donors, cents_q=cents_q
+    )
+
+
+def knn_join_pq_materialized(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> DataFrame:
+    """``knn_join_pq`` over the STORED index — same stored-corpus wiring
+    as ``ann_pq_incremental_materialized``."""
+    from big_data_toolkit_spark.operators.similarity import knn_join_pq
+
+    corpus, donors, cents_q = _stored_pq_corpus(spark, workdir)
+    return knn_join_pq(
+        spark, sf_dir, corpus=corpus, donors=donors, cents_q=cents_q
+    )
+
+
 _PQ_BENCH_WORKDIRS: dict[str, str] = {}
 
 
@@ -465,5 +576,23 @@ def bench_knn_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC over the stored cell-partitioned index: partition pruning
     makes the per-search scan nprobe/nlist of the code table."""
     return knn_ivfpq_materialized(
+        spark, sf_dir, _pq_bench_workdir(spark, sf_dir)
+    )
+
+
+def bench_ann_pq_incremental_stored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ingest-ANN radius matching over the stored index: per-ingest cost
+    with the corpus encode amortized into the one-time build (compare
+    against the in-plan ``ann_pq_incremental`` line)."""
+    return ann_pq_incremental_materialized(
+        spark, sf_dir, _pq_bench_workdir(spark, sf_dir)
+    )
+
+
+def bench_knn_join_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN kNN JOIN over the stored index — same amortization story."""
+    return knn_join_pq_materialized(
         spark, sf_dir, _pq_bench_workdir(spark, sf_dir)
     )

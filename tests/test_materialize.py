@@ -14,7 +14,11 @@ from tests.conftest import SF_SMOKE
 def workdir(spark, tmp_path_factory):
     wd = str(tmp_path_factory.mktemp("artifacts"))
     paths = materialize.build_artifacts(spark, SF_SMOKE, wd)
-    assert set(paths) == {materialize.PAIRS_DIR, materialize.CENTROIDS_DIR}
+    assert set(paths) == {
+        materialize.PAIRS_DIR,
+        materialize.CENTROIDS_DIR,
+        materialize.COMPONENTS_DIR,
+    }
     return wd
 
 
@@ -66,6 +70,24 @@ def test_knn_ivf_materialized_equals_inplan(spark, workdir):
     ) == _rows(similarity.knn_ivf_trained(spark, SF_SMOKE))
 
 
+def test_components_artifact_roundtrip_exact(spark, workdir):
+    stored = _rows(materialize.read_neardup_components(spark, workdir))
+    inplan = _rows(dedup.dedup_components(spark, SF_SMOKE))
+    assert stored == inplan and len(stored) > 0
+
+
+def test_keep_canonical_materialized_equals_inplan(spark, workdir):
+    assert _rows(
+        materialize.dedup_keep_canonical_materialized(spark, SF_SMOKE, workdir)
+    ) == _rows(dedup.dedup_keep_canonical(spark, SF_SMOKE))
+
+
+def test_leakage_safe_split_materialized_equals_inplan(spark, workdir):
+    assert _rows(
+        materialize.leakage_safe_split_materialized(spark, SF_SMOKE, workdir)
+    ) == _rows(dedup.leakage_safe_split(spark, SF_SMOKE))
+
+
 def test_suite_summary_counts(spark):
     rows = {
         r["consumer"]: r["n_rows"]
@@ -77,6 +99,8 @@ def test_suite_summary_counts(spark):
         "cross_source_leakage",
         "semantic_dedup",
         "knn_ivf_trained",
+        "dedup_keep_canonical",
+        "leakage_safe_split",
     }
     assert rows["triangle_count"] == 1  # single summary row by contract
     assert all(n >= 0 for n in rows.values())
@@ -156,3 +180,22 @@ def test_knn_ivfpq_materialized_equals_inplan_and_prunes(spark, pq_workdir):
     assert _rows(full) == _rows(
         materialize.knn_pq_materialized(spark, SF_SMOKE, pq_workdir)
     )
+
+
+def test_ann_pq_incremental_materialized_equals_inplan(spark, pq_workdir):
+    """Ingest-ANN radius matching over the stored index: bit-exact vs the
+    in-plan twin (the stored codes ARE the encode; the donor-id→position
+    adapter inverts the build's mapping), and the search plan reads the
+    code table, never an embeddings corpus branch beyond the delta."""
+    df = materialize.ann_pq_incremental_materialized(
+        spark, SF_SMOKE, pq_workdir
+    )
+    assert _rows(df) == _rows(similarity.ann_pq_incremental(spark, SF_SMOKE))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "pq_codes" in plan
+
+
+def test_knn_join_pq_materialized_equals_inplan(spark, pq_workdir):
+    assert _rows(
+        materialize.knn_join_pq_materialized(spark, SF_SMOKE, pq_workdir)
+    ) == _rows(similarity.knn_join_pq(spark, SF_SMOKE))
