@@ -53,10 +53,11 @@ _MODULES = [
 # round).  Coverage rotates so no query's newest driver row goes stale.
 # Round-11 rotation (re-emitted by `scripts/plan_rotation.py` after
 # CORRECTNESS_r10.json landed 50/50 green).  Priority per the recorded
-# evidence: (1) no red rows to retry; (2) no never-rowed queries — all
-# 171 registered queries have driver rows; (3) staleness refreshes,
-# oldest newest-row first: the 21 queries whose newest row is r7
-# (`order_fulfillment_percentiles` ... `skewed_join_enrich`), then 29 of
+# evidence: (1) no red rows to retry; (2) the two never-rowed round-11
+# additions get their FIRST driver rows (`dedup_keep_best`,
+# `training_manifest`); (3) staleness refreshes, oldest newest-row
+# first: the 21 queries whose newest row is r7
+# (`order_fulfillment_percentiles` ... `skewed_join_enrich`), then 27 of
 # the 50 r8-rowed queries.  The gate bound is period-aware
 # (`scripts/plan_rotation.py:max_row_age`): allowed age =
 # max(3, ceil(registry/50)) = 4 at 171 registered queries, matching the
@@ -66,6 +67,8 @@ _MODULES = [
 # rotation actually falling behind.  `--check --project 4` verifies the
 # r11-r15 projections clean at 171 registered queries.
 _HEAD = [
+    "dedup_keep_best",
+    "training_manifest",
     "order_fulfillment_percentiles",
     "session_paths",
     "orders_grouping_sets",
@@ -114,8 +117,6 @@ _HEAD = [
     "batch_gd_train",
     "batch_gd_score",
     "dau_wau_stickiness",
-    "customer_cohort_ltv",
-    "order_fulfillment_percentiles_approx",
 ]
 
 # Deferred queries, ordered by staleness (newest driver row round ascending,
@@ -126,6 +127,8 @@ _HEAD = [
 # mid-round and absent from both lists fall to the very tail (the never-rowed
 # queue, which plan_rotation prioritizes ahead of refreshes).
 _DEFERRED = [
+    "customer_cohort_ltv",
+    "order_fulfillment_percentiles_approx",
     "index_merge_incremental",
     "weekly_reach_from_sketches",
     "label_propagation_communities",

@@ -61,6 +61,8 @@ HEADLINE = {
     "dedup_incremental_bloom_sharded": dedup.dedup_incremental_bloom_sharded,
     "leakage_safe_split": dedup.leakage_safe_split,
     "dedup_keep_canonical": dedup.dedup_keep_canonical,
+    "dedup_keep_best": dedup.dedup_keep_best,
+    "training_manifest": curation.training_manifest,
     "dedup_minhash_incremental": dedup.dedup_minhash_incremental,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
     "dedup_components": dedup.dedup_components,

@@ -265,6 +265,118 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def training_manifest(
+    spark: SparkSession, sf_dir: str, budget: int = SHARD_TOKENS
+) -> DataFrame:
+    """(doc_id, component, split, quality, ws_tokens, shard_id): the
+    END-TO-END curated-corpus emission — near-dup survivor selection,
+    leakage-safe train/val/test assignment, and token-budget shard
+    packing composed into ONE oracle-checked plan. This is the manifest
+    a training job actually reads: every surviving doc with its split
+    and its shard, nothing else needed.
+
+    Stages (each is the already-gated op's exact logic, composed, so
+    the pipeline cannot drift from its pieces):
+
+    1. **Survive** (``dedup_keep_best`` semantics): each near-dup
+       component keeps its highest-quality member (rounded-score order,
+       ties to the smaller doc_id); singletons survive trivially.
+    2. **Split** (``leakage_safe_split`` semantics): the split keys on
+       the COMPONENT hash, so a survivor and its dropped near-twins all
+       belonged to one split — no eval contamination by construction.
+       (Survivor selection never moves a doc across splits: one
+       component → one split → one survivor inside it.)
+    3. **Pack** (``shard_pack`` semantics, partitioned per split):
+       distributed exclusive prefix sum over hash buckets WITHIN each
+       split, so shard_id is a per-split global token offset DIV
+       ``budget``. The heavy windows stay partitioned by (split,
+       bucket); only the 3×``N_BUCKETS``-row offset table is
+       per-split ordered, and it broadcasts back.
+
+    Scale notes: quality + token counts are one map-only pass over the
+    corpus scan; the component closure is pair-graph-sized (at 100 TB,
+    the materialized ``neardup_components`` artifact replaces the
+    in-plan closure). The survivors frame is ``localCheckpoint``ed
+    before packing: the prefix-sum structure reads it twice (per-row
+    window + offsets aggregate), and without the checkpoint the entire
+    survive+split subplan doubles into both branches (measured 52
+    exchanges in one plan; with the checkpoint the survive+split stage
+    runs once and the packing plan is 4). A real pipeline stages the
+    survivor manifest to storage at exactly this boundary anyway.
+    """
+    from big_data_toolkit_spark.operators.dedup import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+        dedup_components,
+    )
+    from big_data_toolkit_spark.operators.quality import quality_expressions
+
+    docs = load_table(spark, sf_dir, "documents")
+    e = quality_expressions()
+    ws = F.size(F.filter(F.split("text", " +"), lambda t: t != F.lit("")))
+    scored = docs.select(
+        "doc_id",
+        F.round(e["score"], 6).alias("quality"),
+        ws.cast("long").alias("ws_tokens"),
+    )
+    comp = dedup_components(spark, sf_dir)
+    w_best = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    best = (
+        comp.join(scored.select("doc_id", "quality"), "doc_id")
+        .withColumn("_rk", F.row_number().over(w_best))
+        .where(F.col("_rk") == 1)
+        .select("component", F.col("doc_id").alias("_best_doc"))
+    )
+    h_split = _hash32(F.col("component")) % 100
+    split = (
+        F.when(h_split < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(h_split < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    kept = (
+        scored.join(comp, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+        .join(best, "component", "left")
+        .where(
+            F.col("_best_doc").isNull()
+            | (F.col("doc_id") == F.col("_best_doc"))
+        )
+        .withColumn("split", split)
+        .withColumn("h", _hash32(F.col("doc_id")))
+        .withColumn("bucket", F.col("h") % N_BUCKETS)
+        .localCheckpoint()
+    )
+    w_in = (
+        Window.partitionBy("split", "bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = kept.withColumn(
+        "pre", F.coalesce(F.sum("ws_tokens").over(w_in), F.lit(0))
+    )
+    w_off = (
+        Window.partitionBy("split")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        kept.groupBy("split", "bucket")
+        .agg(F.sum("ws_tokens").alias("btot"))
+        .withColumn("off", F.coalesce(F.sum("btot").over(w_off), F.lit(0)))
+        .select("split", "bucket", "off")
+    )
+    return pre.join(F.broadcast(offsets), ["split", "bucket"]).select(
+        "doc_id",
+        "component",
+        "split",
+        "quality",
+        "ws_tokens",
+        F.expr(f"(pre + off) DIV {budget}").alias("shard_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -436,6 +548,87 @@ ORACLE_SQL["priority_sample"] = f"""
     LIMIT {PRIORITY_SAMPLE_N}
 """
 
+def _training_manifest_sql() -> str:
+    """Composed from the gated pieces' own SQL fragments (component
+    CTEs, quality score expression, the shard_pack prefix-sum shape) so
+    the pipeline oracle cannot drift from the stage oracles."""
+    from big_data_toolkit_spark.operators.dedup import (
+        CC_ITERS,
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+        dedup_components_oracle_sql,
+    )
+    from big_data_toolkit_spark.operators.quality import (
+        QUALITY_FEATURES_SQL,
+        QUALITY_SCORE_EXPR_SQL,
+    )
+
+    h_comp = _H32_SQL.format(col="component") + " % 100"
+    return f"""
+    WITH comp AS ({dedup_components_oracle_sql(CC_ITERS)}),
+    q AS (
+      SELECT doc_id, round({QUALITY_SCORE_EXPR_SQL}, 6) AS quality
+      FROM ({QUALITY_FEATURES_SQL})
+    ),
+    tok AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, ' +'),
+                             t -> t <> ''))::BIGINT AS ws_tokens
+      FROM documents
+    ),
+    best AS (
+      SELECT component, doc_id AS best_doc FROM (
+        SELECT c.component, c.doc_id,
+               row_number() OVER (PARTITION BY c.component
+                 ORDER BY q.quality DESC, c.doc_id) AS rk
+        FROM comp c JOIN q ON q.doc_id = c.doc_id
+      ) WHERE rk = 1
+    ),
+    kept AS (
+      SELECT d.doc_id,
+             coalesce(c.component, d.doc_id) AS component,
+             q.quality, tok.ws_tokens
+      FROM documents d
+      JOIN q ON q.doc_id = d.doc_id
+      JOIN tok ON tok.doc_id = d.doc_id
+      LEFT JOIN comp c ON c.doc_id = d.doc_id
+      LEFT JOIN best b ON b.component = coalesce(c.component, d.doc_id)
+      WHERE b.best_doc IS NULL OR d.doc_id = b.best_doc
+    ),
+    kb AS (
+      SELECT *,
+             CASE WHEN {h_comp} < {SPLIT_TRAIN_PCT} THEN 'train'
+                  WHEN {h_comp} < {SPLIT_VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split,
+             {_H} AS h, {_H} % {N_BUCKETS} AS bucket
+      FROM kept
+    ),
+    pre AS (
+      -- BIGINT pins per the window-HUGEINT protocol (see shard_pack)
+      SELECT *,
+             CAST(COALESCE(SUM(ws_tokens) OVER (
+               PARTITION BY split, bucket ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS pre
+      FROM kb
+    ),
+    offsets AS (
+      SELECT split, bucket,
+             CAST(COALESCE(SUM(SUM(ws_tokens)) OVER (
+               PARTITION BY split ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+      FROM kb GROUP BY split, bucket
+    )
+    SELECT p.doc_id, p.component, p.split, p.quality, p.ws_tokens,
+           (p.pre + o.off) // {SHARD_TOKENS} AS shard_id
+    FROM pre p
+    JOIN offsets o ON o.split = p.split AND o.bucket = p.bucket
+"""
+
+
+ORACLE_SQL["training_manifest"] = _training_manifest_sql()
+
 QUERIES = {
     "hash_sample": hash_sample,
     "stratified_sample": stratified_sample,
@@ -444,6 +637,7 @@ QUERIES = {
     "shard_pack": shard_pack,
     "chunk_documents": chunk_documents,
     "priority_sample": priority_sample,
+    "training_manifest": training_manifest,
 }
 
 

@@ -2176,6 +2176,103 @@ ORACLE_SQL["dedup_keep_canonical"] = f"""
 """
 
 
+def dedup_keep_best(
+    spark: SparkSession, sf_dir: str, comp: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, component, quality, kept): QUALITY-ORDERED survivor
+    selection — ``dedup_keep_canonical``'s production variant. Each
+    near-dup component keeps its HIGHEST-quality member (the blended
+    ``quality_score``; ties break to the smaller doc_id, so the choice
+    is deterministic), instead of the structurally-arbitrary minimum
+    doc_id: when a crawl yields five near-copies, training should keep
+    the cleanest one, not the first-crawled one. The emitted quality
+    column keeps the decision auditable (why was THIS doc dropped → a
+    higher-quality component-mate exists).
+
+    Plan shape, scale-ordered: quality is a map-only column over the
+    corpus scan (no shuffle); the best-per-component window runs over
+    components ∩ quality — the PAIR-GRAPH-sized slice, never the corpus
+    (singletons are trivially their own best and never enter the
+    window's shuffle); the verdict then reaches the corpus through one
+    left join against the (component, best_doc) table. Ordering uses
+    the 6-decimal-rounded score — the same value the ``quality_score``
+    oracle hash-matches — so both engines rank identically (the
+    round-6 cross-engine rule, BASELINE.md r10).
+
+    ``comp`` (optional): the materialized component closure
+    (``plans.materialize``) — same wiring as ``dedup_keep_canonical``.
+    """
+    from big_data_toolkit_spark.operators.quality import (
+        quality_expressions,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    if comp is None:
+        comp = dedup_components(spark, sf_dir)
+    quality = docs.select(
+        "doc_id", F.round(quality_expressions()["score"], 6).alias("quality")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    best = (
+        comp.join(quality, "doc_id")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("component", F.col("doc_id").alias("_best_doc"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(quality, "doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+        .join(best, "component", "left")
+        .select(
+            "doc_id",
+            "component",
+            "quality",
+            (
+                F.col("_best_doc").isNull()
+                | (F.col("doc_id") == F.col("_best_doc"))
+            ).alias("kept"),
+        )
+    )
+
+
+def _dedup_keep_best_sql() -> str:
+    from big_data_toolkit_spark.operators.quality import (
+        QUALITY_FEATURES_SQL,
+        QUALITY_SCORE_EXPR_SQL,
+    )
+
+    return f"""
+    WITH comp AS ({dedup_components_oracle_sql(CC_ITERS)}),
+    q AS (
+      SELECT doc_id, round({QUALITY_SCORE_EXPR_SQL}, 6) AS quality
+      FROM ({QUALITY_FEATURES_SQL})
+    ),
+    best AS (
+      SELECT component, doc_id AS best_doc FROM (
+        SELECT c.component, c.doc_id,
+               row_number() OVER (PARTITION BY c.component
+                 ORDER BY q.quality DESC, c.doc_id) AS rk
+        FROM comp c JOIN q ON q.doc_id = c.doc_id
+      ) WHERE rk = 1
+    )
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS component,
+           q.quality,
+           (b.best_doc IS NULL OR d.doc_id = b.best_doc) AS kept
+    FROM documents d
+    JOIN q ON q.doc_id = d.doc_id
+    LEFT JOIN comp c ON c.doc_id = d.doc_id
+    LEFT JOIN best b ON b.component = coalesce(c.component, d.doc_id)
+"""
+
+
+ORACLE_SQL["dedup_keep_best"] = _dedup_keep_best_sql()
+
+
 SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 80, 90  # hash-space boundaries (of 100)
 
 
@@ -2321,6 +2418,7 @@ QUERIES = {
     "dedup_incremental_bloom_sharded": dedup_incremental_bloom_sharded,
     "leakage_safe_split": leakage_safe_split,
     "dedup_keep_canonical": dedup_keep_canonical,
+    "dedup_keep_best": dedup_keep_best,
     "dedup_minhash_incremental": dedup_minhash_incremental,
     "span_dedup": span_dedup,
     "duplicate_ngram_spans": duplicate_ngram_spans,

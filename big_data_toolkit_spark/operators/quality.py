@@ -553,6 +553,33 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T = DUCKDB_TOKENS.format(col="text")
 _SW = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
 
+# The quality-feature subquery and blended-score expression — ONE SQL
+# definition mirroring quality_expressions(), composed by the
+# quality_score oracle here and by consumers in other modules
+# (dedup.dedup_keep_best orders survivors by it), so the score formula
+# cannot drift between oracles.
+QUALITY_FEATURES_SQL = f"""
+          SELECT doc_id,
+                 len(t) AS n_tokens,
+                 len(list_distinct(t)) AS n_types,
+                 CASE WHEN len(t) > 0 THEN len(list_distinct(t))::DOUBLE / len(t) ELSE 0.0 END AS ttr,
+                 CASE WHEN len(t) > 0
+                      THEN len(list_filter(t, w -> list_contains({_SW}, w)))::DOUBLE / len(t)
+                      ELSE 0.0 END AS stop_ratio,
+                 CASE WHEN len(t) > 0 THEN letters::DOUBLE / len(t) ELSE 0.0 END AS avg_len
+          FROM (
+            SELECT doc_id, text, {_T} AS t,
+                   length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS letters
+            FROM documents
+          )"""
+
+QUALITY_SCORE_EXPR_SQL = (
+    "least(n_tokens / 50.0, 1.0) * 0.25"
+    " + least(stop_ratio / 0.1, 1.0) * 0.25"
+    " + ttr * 0.25"
+    " + least(avg_len / 5.0, 1.0) * 0.25"
+)
+
 ORACLE_SQL: dict[str, str] = {
     "lang_id": f"""
         WITH x AS (
@@ -570,31 +597,13 @@ ORACLE_SQL: dict[str, str] = {
         FROM r
     """,
     "quality_score": f"""
-        WITH x AS (
-          SELECT doc_id, text, {_T} AS t,
-                 length(text) AS n_chars,
-                 length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS letters
-          FROM documents
-        ),
-        f AS (
-          SELECT doc_id,
-                 len(t) AS n_tokens,
-                 len(list_distinct(t)) AS n_types,
-                 CASE WHEN len(t) > 0 THEN len(list_distinct(t))::DOUBLE / len(t) ELSE 0.0 END AS ttr,
-                 CASE WHEN len(t) > 0
-                      THEN len(list_filter(t, w -> list_contains({_SW}, w)))::DOUBLE / len(t)
-                      ELSE 0.0 END AS stop_ratio,
-                 CASE WHEN len(t) > 0 THEN letters::DOUBLE / len(t) ELSE 0.0 END AS avg_len
-          FROM x
+        WITH f AS ({QUALITY_FEATURES_SQL}
         )
         SELECT doc_id, n_tokens, n_types,
                round(ttr, 6) AS type_token_ratio,
                round(stop_ratio, 6) AS stopword_ratio,
                round(avg_len, 6) AS avg_token_len,
-               round(least(n_tokens / 50.0, 1.0) * 0.25
-                     + least(stop_ratio / 0.1, 1.0) * 0.25
-                     + ttr * 0.25
-                     + least(avg_len / 5.0, 1.0) * 0.25, 6) AS quality
+               round({QUALITY_SCORE_EXPR_SQL}, 6) AS quality
         FROM f
     """,
     "token_count": f"""

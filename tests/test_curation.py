@@ -238,3 +238,45 @@ def test_corpus_shuffle_single_exchange(spark):
     )
     assert plan.count("Exchange") == 1
     assert plan.count("Scan parquet") == 1
+
+
+def test_training_manifest_composes_its_stages(spark):
+    """The end-to-end manifest must agree with its three gated stages:
+    survivors == dedup_keep_best's kept set, splits == leakage_safe_split
+    restricted to survivors, and per-(split, shard) token sums respect
+    the budget contract (every shard except each split's last holds
+    >= budget tokens at the point its next doc would overflow — i.e.
+    shard ids are a contiguous 0..max range per split)."""
+    from big_data_toolkit_spark.operators import curation, dedup
+    from tests.conftest import SF_ORACLE
+
+    rows = curation.training_manifest(spark, SF_ORACLE).collect()
+    kept_best = {
+        r["doc_id"]: r
+        for r in dedup.dedup_keep_best(spark, SF_ORACLE).collect()
+        if r["kept"]
+    }
+    assert {r["doc_id"] for r in rows} == set(kept_best)
+    split_of = {
+        r["doc_id"]: r["split"]
+        for r in dedup.leakage_safe_split(spark, SF_ORACLE).collect()
+    }
+    for r in rows:
+        assert r["split"] == split_of[r["doc_id"]], r
+        assert r["component"] == kept_best[r["doc_id"]]["component"]
+        assert r["quality"] == kept_best[r["doc_id"]]["quality"]
+    by_split: dict = {}
+    for r in rows:
+        by_split.setdefault(r["split"], []).append(r)
+    assert set(by_split) == {"train", "val", "test"}
+    for split, members in by_split.items():
+        shard_ids = sorted({r["shard_id"] for r in members})
+        assert shard_ids == list(range(len(shard_ids))), (split, shard_ids)
+        total = sum(r["ws_tokens"] for r in members)
+        # offsets partition the split's token line into budget-sized
+        # shards: count matches the token total
+        assert shard_ids[-1] == total // curation.SHARD_TOKENS, (
+            split,
+            total,
+            shard_ids[-1],
+        )

@@ -633,3 +633,35 @@ def test_keep_canonical_exactly_one_per_component(spark):
     assert pairs
     for p in pairs:
         assert not (flags[p["d1"]] and flags[p["d2"]]), (p["d1"], p["d2"])
+
+
+def test_keep_best_keeps_highest_quality_per_component(spark):
+    """Quality-ordered survivor semantics: every doc assigned, exactly
+    one kept member per component, the kept member has the component's
+    MAX rounded quality (ties to the smaller doc_id), and every near-dup
+    pair loses at least one member. On a corpus with real near-dup
+    clusters the best member must differ from the canonical minimum for
+    at least one cluster somewhere — otherwise the op degenerates."""
+    rows = dedup.dedup_keep_best(spark, SF_ORACLE).collect()
+    from big_data_toolkit_spark.catalog import load_table
+
+    assert len(rows) == load_table(spark, SF_ORACLE, "documents").count()
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        kept = [r for r in members if r["kept"]]
+        assert len(kept) == 1, (comp, members)
+        best = min(members, key=lambda r: (-r["quality"], r["doc_id"]))
+        assert kept[0]["doc_id"] == best["doc_id"], (comp, members)
+    flags = {r["doc_id"]: r["kept"] for r in rows}
+    pairs = dedup.dedup_minhash_lsh(spark, SF_ORACLE).collect()
+    assert pairs
+    for p in pairs:
+        assert not (flags[p["d1"]] and flags[p["d2"]]), (p["d1"], p["d2"])
+    # same component structure as the canonical variant, kept counts equal
+    canon = dedup.dedup_keep_canonical(spark, SF_ORACLE).collect()
+    assert {r["doc_id"]: r["component"] for r in canon} == {
+        r["doc_id"]: r["component"] for r in rows
+    }
+    assert sum(r["kept"] for r in canon) == sum(r["kept"] for r in rows)
