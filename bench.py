@@ -241,6 +241,8 @@ HEADLINE = {
     # propagation rounds per run).
     "mat_dedup_keep_canonical": materialize.bench_dedup_keep_canonical,
     "mat_leakage_safe_split": materialize.bench_leakage_safe_split,
+    "mat_dedup_keep_best": materialize.bench_dedup_keep_best,
+    "mat_training_manifest": materialize.bench_training_manifest,
     # Round-10: the PQ index as a stored artifact — build once (encode
     # scan + codebook write), then ADC searches read 8 bytes/vector from
     # the store. Compare mat_knn_pq against the in-plan knn_pq line to

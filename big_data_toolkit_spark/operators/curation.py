@@ -266,7 +266,10 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def training_manifest(
-    spark: SparkSession, sf_dir: str, budget: int = SHARD_TOKENS
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = SHARD_TOKENS,
+    comp: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, component, split, quality, ws_tokens, shard_id): the
     END-TO-END curated-corpus emission — near-dup survivor selection,
@@ -319,7 +322,8 @@ def training_manifest(
         F.round(e["score"], 6).alias("quality"),
         ws.cast("long").alias("ws_tokens"),
     )
-    comp = dedup_components(spark, sf_dir)
+    if comp is None:
+        comp = dedup_components(spark, sf_dir)
     w_best = Window.partitionBy("component").orderBy(
         F.col("quality").desc(), F.col("doc_id")
     )

@@ -202,6 +202,29 @@ def leakage_safe_split_materialized(
     )
 
 
+def dedup_keep_best_materialized(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> DataFrame:
+    from big_data_toolkit_spark.operators.dedup import dedup_keep_best
+
+    return dedup_keep_best(
+        spark, sf_dir, comp=read_neardup_components(spark, workdir)
+    )
+
+
+def training_manifest_materialized(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> DataFrame:
+    """The full pipeline over the stored closure: survive + split + pack
+    with ZERO MinHash or propagation work per run — the shape a nightly
+    corpus snapshot actually emits."""
+    from big_data_toolkit_spark.operators.curation import training_manifest
+
+    return training_manifest(
+        spark, sf_dir, comp=read_neardup_components(spark, workdir)
+    )
+
+
 _CONSUMERS = (
     triangle_count_materialized,
     kcore_subgraph_materialized,
@@ -210,6 +233,8 @@ _CONSUMERS = (
     knn_ivf_trained_materialized,
     dedup_keep_canonical_materialized,
     leakage_safe_split_materialized,
+    dedup_keep_best_materialized,
+    training_manifest_materialized,
 )
 
 
@@ -319,6 +344,18 @@ def bench_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bench_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split_materialized(
+        spark, sf_dir, _bench_workdir(spark, sf_dir)
+    )
+
+
+def bench_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_keep_best_materialized(
+        spark, sf_dir, _bench_workdir(spark, sf_dir)
+    )
+
+
+def bench_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return training_manifest_materialized(
         spark, sf_dir, _bench_workdir(spark, sf_dir)
     )
 

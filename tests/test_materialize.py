@@ -88,6 +88,20 @@ def test_leakage_safe_split_materialized_equals_inplan(spark, workdir):
     ) == _rows(dedup.leakage_safe_split(spark, SF_SMOKE))
 
 
+def test_keep_best_materialized_equals_inplan(spark, workdir):
+    assert _rows(
+        materialize.dedup_keep_best_materialized(spark, SF_SMOKE, workdir)
+    ) == _rows(dedup.dedup_keep_best(spark, SF_SMOKE))
+
+
+def test_training_manifest_materialized_equals_inplan(spark, workdir):
+    from big_data_toolkit_spark.operators import curation
+
+    assert _rows(
+        materialize.training_manifest_materialized(spark, SF_SMOKE, workdir)
+    ) == _rows(curation.training_manifest(spark, SF_SMOKE))
+
+
 def test_suite_summary_counts(spark):
     rows = {
         r["consumer"]: r["n_rows"]
@@ -101,6 +115,8 @@ def test_suite_summary_counts(spark):
         "knn_ivf_trained",
         "dedup_keep_canonical",
         "leakage_safe_split",
+        "dedup_keep_best",
+        "training_manifest",
     }
     assert rows["triangle_count"] == 1  # single summary row by contract
     assert all(n >= 0 for n in rows.values())
