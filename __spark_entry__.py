@@ -53,12 +53,12 @@ _MODULES = [
 # round).  Coverage rotates so no query's newest driver row goes stale.
 # Round-11 rotation (re-emitted by `scripts/plan_rotation.py` after
 # CORRECTNESS_r10.json landed 50/50 green).  Priority per the recorded
-# evidence: (1) no red rows to retry; (2) the two never-rowed round-11
-# additions get their FIRST driver rows (`dedup_keep_best`,
-# `training_manifest`); (3) staleness refreshes, oldest newest-row
-# first: the 21 queries whose newest row is r7
-# (`order_fulfillment_percentiles` ... `skewed_join_enrich`), then 27 of
-# the 50 r8-rowed queries.  The gate bound is period-aware
+# evidence: (1) no red rows to retry; (2) the three never-rowed
+# round-11 additions get their FIRST driver rows (`dedup_keep_best`,
+# `training_manifest`, `manifest_ingest_delta`); (3) staleness
+# refreshes, oldest newest-row first: the 21 queries whose newest row
+# is r7 (`order_fulfillment_percentiles` ... `skewed_join_enrich`),
+# then 26 of the 50 r8-rowed queries.  The gate bound is period-aware
 # (`scripts/plan_rotation.py:max_row_age`): allowed age =
 # max(3, ceil(registry/50)) = 4 at 171 registered queries, matching the
 # stale-first rotation period — the judged tree is always the CONSUMED
@@ -69,6 +69,7 @@ _MODULES = [
 _HEAD = [
     "dedup_keep_best",
     "training_manifest",
+    "manifest_ingest_delta",
     "order_fulfillment_percentiles",
     "session_paths",
     "orders_grouping_sets",
@@ -116,7 +117,6 @@ _HEAD = [
     "q5_local_supplier_volume",
     "batch_gd_train",
     "batch_gd_score",
-    "dau_wau_stickiness",
 ]
 
 # Deferred queries, ordered by staleness (newest driver row round ascending,
@@ -127,6 +127,7 @@ _HEAD = [
 # mid-round and absent from both lists fall to the very tail (the never-rowed
 # queue, which plan_rotation prioritizes ahead of refreshes).
 _DEFERRED = [
+    "dau_wau_stickiness",
     "customer_cohort_ltv",
     "order_fulfillment_percentiles_approx",
     "index_merge_incremental",

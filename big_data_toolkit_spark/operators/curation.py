@@ -381,6 +381,166 @@ def training_manifest(
     )
 
 
+def manifest_ingest_delta(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = SHARD_TOKENS,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, component, split, quality, ws_tokens, kept, shard_id):
+    the INTRA-DAY complement of ``training_manifest`` — manifest rows
+    for an arriving delta batch (the shared ``doc_id % NEW_BATCH_MOD``
+    convention), corpus-relative: the nightly manifest is immutable,
+    the delta appends.
+
+    Per new doc:
+
+    * **kept** = no MinHash near-dup in the EXISTING corpus (the
+      ``dedup_minhash_incremental`` check — arrival order wins: the
+      corpus' member is already the manifest's survivor). Within-batch
+      pairs are deliberately out of scope, per the incremental-dedup
+      family's corpus-relative contract — the next nightly rebuild
+      settles them.
+    * **component** = for a dropped doc, the minimum existing component
+      among its matches (so the audit row points INTO the nightly
+      manifest); for a kept doc, itself (a genuinely new singleton).
+      The corpus closure here is CORPUS-ONLY pairs (both endpoints
+      outside the delta) — the closure the nightly manifest ran,
+      not one contaminated by the arriving batch.
+    * **split** = the component hash — a dropped doc therefore shows
+      the SPLIT ITS NEAR-TWIN LIVES IN, and a kept doc's assignment
+      uses the same rule the nightly manifest will apply, so the
+      append never violates the no-straddle invariant.
+    * **shard_id** = delta-local token-budget packing of the KEPT docs
+      per split (the ``shard_pack`` prefix-sum shape): the delta opens
+      NEW shards starting at 0 — stored shards are immutable, an
+      append never rewrites one. NULL for dropped docs.
+
+    ``pairs`` (optional): the FULL stored near-dup pair table
+    (``plans.materialize``'s ``neardup_pairs``) — both the corpus-only
+    closure and the cross matches then derive from the store and the
+    in-plan MinHash passes disappear.
+    """
+    from big_data_toolkit_spark.operators.dedup import (
+        NEW_BATCH_MOD,
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+        dedup_components,
+        dedup_minhash_incremental,
+        dedup_minhash_lsh,
+    )
+    from big_data_toolkit_spark.operators.quality import quality_expressions
+
+    def _is_new(col):
+        return col % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+
+    if pairs is None:
+        all_pairs = dedup_minhash_lsh(spark, sf_dir)
+    else:
+        all_pairs = pairs
+    corpus_pairs = all_pairs.where(
+        ~_is_new(F.col("d1")) & ~_is_new(F.col("d2"))
+    )
+    comp = dedup_components(spark, sf_dir, pairs=corpus_pairs)
+    if pairs is None:
+        matches = dedup_minhash_incremental(spark, sf_dir).select(
+            "doc_id", "dup_of"
+        )
+    else:
+        # the stored pair table holds every verified pair (d1 < d2);
+        # the cross slice in either orientation IS the incremental
+        # check's match set (same banding, same threshold — equality-
+        # tested in tests/test_materialize.py)
+        matches = (
+            all_pairs.where(_is_new(F.col("d1")) & ~_is_new(F.col("d2")))
+            .select(F.col("d1").alias("doc_id"), F.col("d2").alias("dup_of"))
+            .unionByName(
+                all_pairs.where(
+                    _is_new(F.col("d2")) & ~_is_new(F.col("d1"))
+                ).select(
+                    F.col("d2").alias("doc_id"), F.col("d1").alias("dup_of")
+                )
+            )
+        )
+    match_comp = (
+        matches.join(
+            comp.select(F.col("doc_id").alias("dup_of"), "component"),
+            "dup_of",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("dup_of")).alias("component"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("component").alias("_mcomp"))
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    e = quality_expressions()
+    ws = F.size(F.filter(F.split("text", " +"), lambda t: t != F.lit("")))
+    delta = docs.where(_is_new(F.col("doc_id"))).select(
+        "doc_id",
+        F.round(e["score"], 6).alias("quality"),
+        ws.cast("long").alias("ws_tokens"),
+    )
+    h_split = _hash32(F.col("component")) % 100
+    split = (
+        F.when(h_split < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(h_split < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    kb = (
+        delta.join(match_comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "quality",
+            "ws_tokens",
+            F.coalesce("_mcomp", F.col("doc_id")).alias("component"),
+            F.col("_mcomp").isNull().alias("kept"),
+        )
+        .withColumn("split", split)
+        .withColumn("h", _hash32(F.col("doc_id")))
+        .withColumn("bucket", F.col("h") % N_BUCKETS)
+        # same stage boundary as training_manifest: the packing reads
+        # the kept slice twice; checkpoint so the MinHash branches run
+        # once
+        .localCheckpoint()
+    )
+    kept_only = kb.where("kept")
+    w_in = (
+        Window.partitionBy("split", "bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = kept_only.withColumn(
+        "pre", F.coalesce(F.sum("ws_tokens").over(w_in), F.lit(0))
+    )
+    w_off = (
+        Window.partitionBy("split")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        kept_only.groupBy("split", "bucket")
+        .agg(F.sum("ws_tokens").alias("btot"))
+        .withColumn("off", F.coalesce(F.sum("btot").over(w_off), F.lit(0)))
+        .select("split", "bucket", "off")
+    )
+    packed = pre.join(F.broadcast(offsets), ["split", "bucket"]).select(
+        "doc_id", F.expr(f"(pre + off) DIV {budget}").alias("shard_id")
+    )
+    return kb.join(packed, "doc_id", "left").select(
+        "doc_id",
+        "component",
+        "split",
+        "quality",
+        "ws_tokens",
+        "kept",
+        "shard_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -633,6 +793,103 @@ def _training_manifest_sql() -> str:
 
 ORACLE_SQL["training_manifest"] = _training_manifest_sql()
 
+
+def _manifest_ingest_delta_sql() -> str:
+    """Composed from the same gated fragments as the pipeline oracle:
+    the full MinHash pair CTEs (``mh``), the components chain with the
+    corpus-only ``pair_filter``, the shared quality-score SQL, and the
+    shard_pack prefix-sum shape over the kept slice."""
+    from big_data_toolkit_spark.operators.dedup import (
+        CC_ITERS,
+        NEW_BATCH_MOD,
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+        _MINHASH_CTES,
+        dedup_components_oracle_sql,
+    )
+    from big_data_toolkit_spark.operators.quality import (
+        QUALITY_FEATURES_SQL,
+        QUALITY_SCORE_EXPR_SQL,
+    )
+
+    new = f"% {NEW_BATCH_MOD} = {NEW_BATCH_MOD - 1}"
+    old = f"% {NEW_BATCH_MOD} <> {NEW_BATCH_MOD - 1}"
+    corpus_only = f"WHERE d1 {old} AND d2 {old}"
+    h_comp = _H32_SQL.format(col="component") + " % 100"
+    return f"""
+    WITH {_MINHASH_CTES},
+    comp AS ({dedup_components_oracle_sql(CC_ITERS, corpus_only)}),
+    matches AS (
+      SELECT d1 AS doc_id, d2 AS dup_of FROM mh
+      WHERE d1 {new} AND d2 {old}
+      UNION ALL
+      SELECT d2 AS doc_id, d1 AS dup_of FROM mh
+      WHERE d2 {new} AND d1 {old}
+    ),
+    mc AS (
+      SELECT m.doc_id,
+             min(coalesce(c.component, m.dup_of)) AS mcomp
+      FROM matches m LEFT JOIN comp c ON c.doc_id = m.dup_of
+      GROUP BY m.doc_id
+    ),
+    q AS (
+      SELECT doc_id, round({QUALITY_SCORE_EXPR_SQL}, 6) AS quality
+      FROM ({QUALITY_FEATURES_SQL})
+    ),
+    tok AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, ' +'),
+                             t -> t <> ''))::BIGINT AS ws_tokens
+      FROM documents
+    ),
+    kb AS (
+      SELECT d.doc_id,
+             coalesce(mc.mcomp, d.doc_id) AS component,
+             (mc.doc_id IS NULL) AS kept,
+             q.quality, tok.ws_tokens,
+             {_H32_SQL.format(col="d.doc_id")} AS h,
+             {_H32_SQL.format(col="d.doc_id")} % {N_BUCKETS} AS bucket
+      FROM documents d
+      JOIN q ON q.doc_id = d.doc_id
+      JOIN tok ON tok.doc_id = d.doc_id
+      LEFT JOIN mc ON mc.doc_id = d.doc_id
+      WHERE d.doc_id {new}
+    ),
+    kb2 AS (
+      SELECT *,
+             CASE WHEN {h_comp} < {SPLIT_TRAIN_PCT} THEN 'train'
+                  WHEN {h_comp} < {SPLIT_VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM kb
+    ),
+    pre AS (
+      SELECT *,
+             CAST(COALESCE(SUM(ws_tokens) OVER (
+               PARTITION BY split, bucket ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS pre
+      FROM kb2 WHERE kept
+    ),
+    offsets AS (
+      SELECT split, bucket,
+             CAST(COALESCE(SUM(SUM(ws_tokens)) OVER (
+               PARTITION BY split ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+      FROM kb2 WHERE kept GROUP BY split, bucket
+    ),
+    packed AS (
+      SELECT p.doc_id, (p.pre + o.off) // {SHARD_TOKENS} AS shard_id
+      FROM pre p JOIN offsets o ON o.split = p.split AND o.bucket = p.bucket
+    )
+    SELECT k.doc_id, k.component, k.split, k.quality, k.ws_tokens, k.kept,
+           pk.shard_id
+    FROM kb2 k LEFT JOIN packed pk ON pk.doc_id = k.doc_id
+"""
+
+
+ORACLE_SQL["manifest_ingest_delta"] = _manifest_ingest_delta_sql()
+
 QUERIES = {
     "hash_sample": hash_sample,
     "stratified_sample": stratified_sample,
@@ -642,6 +899,7 @@ QUERIES = {
     "chunk_documents": chunk_documents,
     "priority_sample": priority_sample,
     "training_manifest": training_manifest,
+    "manifest_ingest_delta": manifest_ingest_delta,
 }
 
 

@@ -1646,17 +1646,23 @@ ORACLE_SQL["dedup_minhash_lsh"] = f"""
 """
 
 
-def dedup_components_oracle_sql(iters: int) -> str:
+def dedup_components_oracle_sql(iters: int, pair_filter: str = "") -> str:
     """Unrolled min-label-propagation replica of ``dedup_components``.
 
     Like the PageRank oracle, a fixed iteration count is just an
     ``iters``-deep CTE chain: l0 = identity labels, l{{i+1}}(v) =
     least(l{{i}}(v), min over neighbours' l{{i}}) — the exact relational
     form of each Spark iteration, so integer labels compare exactly.
+
+    ``pair_filter`` (optional SQL ``WHERE ...`` over mh's d1/d2):
+    restricts the edge set before the closure — the corpus-only closure
+    the ingest-delta manifest keys on (Spark twin: the ``pairs``
+    argument to ``dedup_components``).
     """
     sql = f"""WITH {_MINHASH_CTES},
     edges AS MATERIALIZED (
-      SELECT d1, d2 FROM mh UNION ALL SELECT d2 AS d1, d1 AS d2 FROM mh
+      SELECT d1, d2 FROM mh {pair_filter}
+      UNION ALL SELECT d2 AS d1, d1 AS d2 FROM mh {pair_filter}
     ),
     nodes AS (SELECT DISTINCT d1 AS doc_id FROM edges),
     l0 AS (SELECT doc_id, doc_id AS comp FROM nodes)"""

@@ -225,6 +225,22 @@ def training_manifest_materialized(
     )
 
 
+def manifest_ingest_delta_materialized(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> DataFrame:
+    """The delta append over the stored PAIR table: both the corpus-only
+    closure and the cross matches derive from ``neardup_pairs``, so the
+    per-delta cost is the closure over stored pairs + the delta's own
+    map-only scan — no MinHash pass at all."""
+    from big_data_toolkit_spark.operators.curation import (
+        manifest_ingest_delta,
+    )
+
+    return manifest_ingest_delta(
+        spark, sf_dir, pairs=read_neardup_pairs(spark, workdir)
+    )
+
+
 _CONSUMERS = (
     triangle_count_materialized,
     kcore_subgraph_materialized,
@@ -356,6 +372,12 @@ def bench_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bench_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_manifest_materialized(
+        spark, sf_dir, _bench_workdir(spark, sf_dir)
+    )
+
+
+def bench_manifest_ingest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return manifest_ingest_delta_materialized(
         spark, sf_dir, _bench_workdir(spark, sf_dir)
     )
 

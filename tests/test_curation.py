@@ -280,3 +280,62 @@ def test_training_manifest_composes_its_stages(spark):
             total,
             shard_ids[-1],
         )
+
+
+def test_manifest_ingest_delta_semantics(spark):
+    """Delta-append contract: covers exactly the delta slice; kept ==
+    no-corpus-near-dup (the dedup_minhash_incremental match set);
+    a dropped doc's component points into the corpus-only closure (its
+    twin's component) and its split is that component's split; kept
+    docs get contiguous per-split delta-local shard ids, dropped get
+    NULL."""
+    from big_data_toolkit_spark.operators import curation, dedup
+    from big_data_toolkit_spark.operators.dedup import NEW_BATCH_MOD
+    from tests.conftest import SF_ORACLE
+
+    rows = curation.manifest_ingest_delta(spark, SF_ORACLE).collect()
+    from big_data_toolkit_spark.catalog import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    delta_ids = {
+        r["doc_id"]
+        for r in docs.where(
+            f"doc_id % {NEW_BATCH_MOD} = {NEW_BATCH_MOD - 1}"
+        ).collect()
+    }
+    assert {r["doc_id"] for r in rows} == delta_ids
+    matched = {
+        r["doc_id"]
+        for r in dedup.dedup_minhash_incremental(spark, SF_ORACLE).collect()
+    }
+    assert matched, "fixture must plant cross near-dups"
+    by_split_hash = {}
+    from big_data_toolkit_spark.operators.dedup import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+    )
+    import hashlib
+
+    def h32(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+
+    for r in rows:
+        assert r["kept"] == (r["doc_id"] not in matched), r
+        hh = h32(r["component"]) % 100
+        want = (
+            "train"
+            if hh < SPLIT_TRAIN_PCT
+            else ("val" if hh < SPLIT_VAL_PCT else "test")
+        )
+        assert r["split"] == want, r
+        if r["kept"]:
+            assert r["component"] == r["doc_id"]
+            assert r["shard_id"] is not None and r["shard_id"] >= 0
+        else:
+            assert r["component"] != r["doc_id"]
+            assert r["shard_id"] is None
+    for split in {r["split"] for r in rows if r["kept"]}:
+        ids = sorted(
+            {r["shard_id"] for r in rows if r["kept"] and r["split"] == split}
+        )
+        assert ids == list(range(len(ids))), (split, ids)

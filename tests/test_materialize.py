@@ -215,3 +215,16 @@ def test_knn_join_pq_materialized_equals_inplan(spark, pq_workdir):
     assert _rows(
         materialize.knn_join_pq_materialized(spark, SF_SMOKE, pq_workdir)
     ) == _rows(similarity.knn_join_pq(spark, SF_SMOKE))
+
+
+def test_manifest_ingest_delta_materialized_equals_inplan(spark, workdir):
+    """The stored-pairs path derives BOTH the corpus-only closure and the
+    cross matches from neardup_pairs; bit-equality proves the stored
+    cross slice IS the incremental check's match set."""
+    from big_data_toolkit_spark.operators import curation
+
+    assert _rows(
+        materialize.manifest_ingest_delta_materialized(
+            spark, SF_SMOKE, workdir
+        )
+    ) == _rows(curation.manifest_ingest_delta(spark, SF_SMOKE))
