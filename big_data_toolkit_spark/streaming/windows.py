@@ -440,6 +440,123 @@ def stream_ann_pq(
     )
 
 
+def manifest_delta_microbatch(
+    batch_df: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_shingles: DataFrame,
+    comp: DataFrame,
+) -> DataFrame:
+    """(doc_id, component, split, quality, ws_tokens, kept): ONE
+    micro-batch of the streaming ingest-manifest — the ``foreachBatch``
+    body behind ``stream_manifest_ingest_delta`` and the per-batch form
+    of ``curation.manifest_ingest_delta`` minus the shard column
+    (shard packing is arrival-ordered append state, which the batch
+    delta op owns; the streaming manifest emits the survive/split
+    verdicts a downstream packer consumes).
+
+    Why ``foreachBatch`` rather than a pure stream transform: the
+    dropped-doc component is min() over a doc's verified corpus matches
+    — a per-doc aggregation, which append-mode streaming disallows
+    without event time. Every band hit of an arriving doc lands in its
+    own micro-batch (the ``stream_dedup_minhash_lsh`` property), so the
+    per-batch groupBy is exact and replay-invariant: each doc is
+    processed exactly once, in whichever batch it arrives, against the
+    same static corpus sides.
+    """
+    from big_data_toolkit_spark.operators.curation import _hash32
+    from big_data_toolkit_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+        with_minhash_inrow,
+    )
+    from big_data_toolkit_spark.operators.quality import quality_expressions
+
+    hits = (
+        with_minhash_inrow(batch_df, "text", keep=["doc_id"])
+        .withColumnRenamed("sh", "sh_new")
+        .select("doc_id", "sh_new", F.explode("bands").alias("band"))
+        .join(corpus_bands, "band")
+        .join(corpus_shingles, "dup_of")
+    )
+    inter = F.size(F.array_intersect("sh_new", "sh_corpus"))
+    matches = hits.select(
+        "doc_id",
+        "dup_of",
+        F.round(
+            inter / (F.size("sh_new") + F.size("sh_corpus") - inter), 6
+        ).alias("jac"),
+    ).where(F.col("jac") >= JACCARD_THRESHOLD)
+    mc = (
+        matches.join(
+            comp.select(F.col("doc_id").alias("dup_of"), "component"),
+            "dup_of",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("dup_of")).alias("component"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("component").alias("_mcomp"))
+    )
+    e = quality_expressions()
+    ws = F.size(F.filter(F.split("text", " +"), lambda t: t != F.lit("")))
+    base = batch_df.select(
+        "doc_id",
+        F.round(e["score"], 6).alias("quality"),
+        ws.cast("long").alias("ws_tokens"),
+    )
+    h_split = _hash32(F.col("component")) % 100
+    split = (
+        F.when(h_split < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(h_split < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        base.join(mc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_mcomp", F.col("doc_id")).alias("component"),
+            F.col("_mcomp").isNull().alias("kept"),
+            "quality",
+            "ws_tokens",
+        )
+        .withColumn("split", split)
+        .select(
+            "doc_id", "component", "split", "quality", "ws_tokens", "kept"
+        )
+    )
+
+
+def stream_manifest_ingest_delta(
+    new_docs_stream: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_shingles: DataFrame,
+    comp: DataFrame,
+    path: str,
+    checkpoint: str,
+):
+    """Streaming ingest-manifest writer: each arriving micro-batch of
+    documents gets survive/split verdicts against the static corpus
+    (``manifest_delta_microbatch``) and appends batch-stamped parquet
+    (the ST8 convention) — the continuous form of the nightly-manifest
+    + delta-append story. Returns the DataStreamWriter (caller calls
+    ``.trigger(...).start()``)."""
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        out = manifest_delta_microbatch(
+            batch_df, corpus_bands, corpus_shingles, comp
+        )
+        out.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(path)
+
+    return new_docs_stream.writeStream.foreachBatch(emit).option(
+        "checkpointLocation", checkpoint
+    )
+
+
 def stream_click_purchase_join(
     clicks: DataFrame,
     purchases: DataFrame,

@@ -852,3 +852,87 @@ def test_stream_gapfill_locf_matches_batch_on_closed_hours(spark, tmp_path):
     }
     assert got == expected
     assert any(n == 0 for (_, _, n, _) in got), "gap rows must stream"
+
+
+def test_stream_manifest_ingest_delta_matches_batch(spark, tmp_path):
+    """Replay the snapshot delta as two micro-batches through the
+    foreachBatch ingest-manifest; the streamed verdicts must equal the
+    oracle-checked batch twin (manifest_ingest_delta) minus its
+    delta-local shard column, every row batch-stamped."""
+    import glob
+
+    from big_data_toolkit_spark.catalog import load_table
+    from big_data_toolkit_spark.operators import curation, dedup
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    is_new = (F.col("doc_id") % dedup.NEW_BATCH_MOD) == dedup.NEW_BATCH_MOD - 1
+    new_docs = docs.where(is_new).orderBy("doc_id").collect()
+    src = str(tmp_path / "mansrc")
+    half = len(new_docs) // 2
+    for i, part in enumerate([new_docs[:half], new_docs[half:]]):
+        spark.createDataFrame(part, docs.schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i:03d}")
+        )
+    assert len(glob.glob(os.path.join(src, "b*"))) == 2
+
+    corpus_pd = dedup.minhash_per_doc(docs.where(~is_new))
+    corpus_bands = dedup.minhash_bands(corpus_pd).withColumnRenamed(
+        "doc_id", "dup_of"
+    )
+    corpus_shingles = corpus_pd.select(
+        F.col("doc_id").alias("dup_of"), F.col("sh").alias("sh_corpus")
+    )
+    corpus_pairs = dedup.dedup_minhash_lsh(spark, SF_ORACLE).where(
+        f"d1 % {dedup.NEW_BATCH_MOD} <> {dedup.NEW_BATCH_MOD - 1} AND "
+        f"d2 % {dedup.NEW_BATCH_MOD} <> {dedup.NEW_BATCH_MOD - 1}"
+    )
+    comp = dedup.dedup_components(spark, SF_ORACLE, pairs=corpus_pairs)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "b*"))
+    )
+    out = str(tmp_path / "manifest_out")
+    q = (
+        windows.stream_manifest_ingest_delta(
+            stream,
+            corpus_bands,
+            corpus_shingles,
+            comp,
+            out,
+            str(tmp_path / "ckpt_manifest"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got_rows = spark.read.parquet(out).collect()
+    assert {r["_batch_id"] for r in got_rows} == {0, 1}  # batch-stamped
+    got = {
+        (
+            r["doc_id"],
+            r["component"],
+            r["split"],
+            r["quality"],
+            r["ws_tokens"],
+            r["kept"],
+        )
+        for r in got_rows
+    }
+    expected = {
+        (
+            r["doc_id"],
+            r["component"],
+            r["split"],
+            r["quality"],
+            r["ws_tokens"],
+            r["kept"],
+        )
+        for r in curation.manifest_ingest_delta(spark, SF_ORACLE).collect()
+    }
+    assert got == expected
+    assert any(not k for (_, _, _, _, _, k) in expected), (
+        "fixture must drop at least one near-dup delta doc"
+    )
