@@ -60,12 +60,12 @@ _MODULES = [
 # is r7 (`order_fulfillment_percentiles` ... `skewed_join_enrich`),
 # then 26 of the 50 r8-rowed queries.  The gate bound is period-aware
 # (`scripts/plan_rotation.py:max_row_age`): allowed age =
-# max(3, ceil(registry/50)) = 4 at 171 registered queries, matching the
+# max(3, ceil(registry/50)) = 4 at 174 registered queries, matching the
 # stale-first rotation period — the judged tree is always the CONSUMED
 # state (the driver's CORRECTNESS file for this head has already landed
 # when the gate runs), so age == period is on-schedule, age > period is
 # rotation actually falling behind.  `--check --project 4` verifies the
-# r11-r15 projections clean at 171 registered queries.
+# r11-r15 projections clean at 174 registered queries.
 _HEAD = [
     "dedup_keep_best",
     "training_manifest",

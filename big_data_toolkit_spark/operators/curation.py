@@ -137,19 +137,53 @@ def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def with_shard_id(
+    b: DataFrame, budget: int, part: list[str] | None = None
+) -> DataFrame:
+    """``b`` + ``shard_id``: the distributed-exclusive-prefix-sum shard
+    assignment — THE single definition of the packing shape, shared by
+    ``shard_pack`` (global) and the manifest ops (``part=["split"]``).
+
+    ``b`` must carry (doc_id, ws_tokens, h, bucket, *part). Per
+    partition group: a window partitioned by (*part, bucket) computes
+    the within-bucket exclusive running token sum (hash order);
+    per-bucket totals (``N_BUCKETS`` rows per group) get a per-group
+    exclusive prefix and broadcast back. shard_id = token offset DIV
+    budget — integer arithmetic end to end. The heavy windows stay
+    partitioned by bucket at any scale; only the tiny offset table is
+    per-group ordered."""
+    part = part or []
+    w_in = (
+        Window.partitionBy(*part, "bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = b.withColumn(
+        "pre", F.coalesce(F.sum("ws_tokens").over(w_in), F.lit(0))
+    )
+    w_off = (
+        Window.partitionBy(*part)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        b.groupBy(*part, "bucket")
+        .agg(F.sum("ws_tokens").alias("btot"))
+        .withColumn("off", F.coalesce(F.sum("btot").over(w_off), F.lit(0)))
+        .select(*part, "bucket", "off")
+    )
+    return (
+        pre.join(F.broadcast(offsets), [*part, "bucket"])
+        .withColumn("shard_id", F.expr(f"(pre + off) DIV {budget}"))
+        .drop("pre", "off")
+    )
+
+
 def shard_pack(
     spark: SparkSession, sf_dir: str, budget: int = SHARD_TOKENS
 ) -> DataFrame:
-    """Assign each doc to a ~``budget``-token training shard.
-
-    Distributed prefix sum: docs land in ``N_BUCKETS`` hash buckets; a
-    window partitioned by bucket computes the within-bucket exclusive
-    running token sum (hash order); per-bucket totals (N_BUCKETS rows) get
-    a global exclusive prefix and broadcast back. shard_id = global token
-    offset DIV budget — integer arithmetic end to end. At 100 TB the heavy
-    windows stay partitioned by bucket; only the 32-row offset table is
-    globally ordered.
-    """
+    """Assign each doc to a ~``budget``-token training shard — the global
+    form of ``with_shard_id`` (see there for the prefix-sum shape)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.size(F.filter(F.split("text", " +"), lambda t: t != F.lit("")))
     b = docs.select(
@@ -157,32 +191,7 @@ def shard_pack(
         toks.cast("long").alias("ws_tokens"),
         _hash32(F.col("doc_id")).alias("h"),
     ).withColumn("bucket", F.col("h") % N_BUCKETS)
-
-    w_in = (
-        Window.partitionBy("bucket")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    pre = b.withColumn(
-        "pre", F.coalesce(F.sum("ws_tokens").over(w_in), F.lit(0))
-    )
-
-    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        b.groupBy("bucket")
-        .agg(F.sum("ws_tokens").alias("btot"))
-        .withColumn("off", F.coalesce(F.sum("btot").over(w_off), F.lit(0)))
-        .select("bucket", "off")
-    )
-
-    return (
-        pre.join(F.broadcast(offsets), "bucket")
-        .select(
-            "doc_id",
-            "ws_tokens",
-            F.expr(f"(pre + off) DIV {budget}").alias("shard_id"),
-        )
-    )
+    return with_shard_id(b, budget).select("doc_id", "ws_tokens", "shard_id")
 
 
 TEMPERATURE_BUDGET_DIV = 2  # keep total DIV 2 docs across the mixed corpus
@@ -308,20 +317,24 @@ def training_manifest(
     survivor manifest to storage at exactly this boundary anyway.
     """
     from big_data_toolkit_spark.operators.dedup import (
-        SPLIT_TRAIN_PCT,
-        SPLIT_VAL_PCT,
         dedup_components,
+        split_col,
     )
     from big_data_toolkit_spark.operators.quality import quality_expressions
 
     docs = load_table(spark, sf_dir, "documents")
     e = quality_expressions()
     ws = F.size(F.filter(F.split("text", " +"), lambda t: t != F.lit("")))
+    # Checkpointed: the best-per-component branch and the output branch
+    # both read this frame, and map-only branches have no exchange to
+    # reuse — without the checkpoint the regex-heavy quality scan
+    # evaluates twice. Three narrow columns per doc, the cheap thing to
+    # stage vs re-reading text.
     scored = docs.select(
         "doc_id",
         F.round(e["score"], 6).alias("quality"),
         ws.cast("long").alias("ws_tokens"),
-    )
+    ).localCheckpoint()
     if comp is None:
         comp = dedup_components(spark, sf_dir)
     w_best = Window.partitionBy("component").orderBy(
@@ -333,12 +346,6 @@ def training_manifest(
         .where(F.col("_rk") == 1)
         .select("component", F.col("doc_id").alias("_best_doc"))
     )
-    h_split = _hash32(F.col("component")) % 100
-    split = (
-        F.when(h_split < SPLIT_TRAIN_PCT, F.lit("train"))
-        .when(h_split < SPLIT_VAL_PCT, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     kept = (
         scored.join(comp, "doc_id", "left")
         .withColumn("component", F.coalesce("component", F.col("doc_id")))
@@ -347,37 +354,13 @@ def training_manifest(
             F.col("_best_doc").isNull()
             | (F.col("doc_id") == F.col("_best_doc"))
         )
-        .withColumn("split", split)
+        .withColumn("split", split_col(F.col("component")))
         .withColumn("h", _hash32(F.col("doc_id")))
         .withColumn("bucket", F.col("h") % N_BUCKETS)
         .localCheckpoint()
     )
-    w_in = (
-        Window.partitionBy("split", "bucket")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    pre = kept.withColumn(
-        "pre", F.coalesce(F.sum("ws_tokens").over(w_in), F.lit(0))
-    )
-    w_off = (
-        Window.partitionBy("split")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        kept.groupBy("split", "bucket")
-        .agg(F.sum("ws_tokens").alias("btot"))
-        .withColumn("off", F.coalesce(F.sum("btot").over(w_off), F.lit(0)))
-        .select("split", "bucket", "off")
-    )
-    return pre.join(F.broadcast(offsets), ["split", "bucket"]).select(
-        "doc_id",
-        "component",
-        "split",
-        "quality",
-        "ws_tokens",
-        F.expr(f"(pre + off) DIV {budget}").alias("shard_id"),
+    return with_shard_id(kept, budget, part=["split"]).select(
+        "doc_id", "component", "split", "quality", "ws_tokens", "shard_id"
     )
 
 
@@ -423,11 +406,9 @@ def manifest_ingest_delta(
     """
     from big_data_toolkit_spark.operators.dedup import (
         NEW_BATCH_MOD,
-        SPLIT_TRAIN_PCT,
-        SPLIT_VAL_PCT,
         dedup_components,
-        dedup_minhash_incremental,
         dedup_minhash_lsh,
+        split_col,
     )
     from big_data_toolkit_spark.operators.quality import quality_expressions
 
@@ -435,33 +416,28 @@ def manifest_ingest_delta(
         return col % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
 
     if pairs is None:
-        all_pairs = dedup_minhash_lsh(spark, sf_dir)
-    else:
-        all_pairs = pairs
-    corpus_pairs = all_pairs.where(
-        ~_is_new(F.col("d1")) & ~_is_new(F.col("d2"))
-    )
+        # ONE MinHash pass: the full verified pair table is checkpointed
+        # and BOTH the corpus-only closure and the cross matches filter
+        # it — running dedup_minhash_incremental as a separate branch
+        # would re-execute the whole shingle+signature pipeline a second
+        # time for a subset of the pairs this table already holds.
+        pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
+    corpus_pairs = pairs.where(~_is_new(F.col("d1")) & ~_is_new(F.col("d2")))
     comp = dedup_components(spark, sf_dir, pairs=corpus_pairs)
-    if pairs is None:
-        matches = dedup_minhash_incremental(spark, sf_dir).select(
-            "doc_id", "dup_of"
-        )
-    else:
-        # the stored pair table holds every verified pair (d1 < d2);
-        # the cross slice in either orientation IS the incremental
-        # check's match set (same banding, same threshold — equality-
-        # tested in tests/test_materialize.py)
-        matches = (
-            all_pairs.where(_is_new(F.col("d1")) & ~_is_new(F.col("d2")))
-            .select(F.col("d1").alias("doc_id"), F.col("d2").alias("dup_of"))
-            .unionByName(
-                all_pairs.where(
-                    _is_new(F.col("d2")) & ~_is_new(F.col("d1"))
-                ).select(
-                    F.col("d2").alias("doc_id"), F.col("d1").alias("dup_of")
-                )
+    # The pair table holds every verified pair (d1 < d2); the cross
+    # slice in either orientation IS the incremental check's match set
+    # (same banding, same threshold — asserted against
+    # dedup_minhash_incremental in the semantics test, and bit-equal
+    # through the stored-pairs form in tests/test_materialize.py).
+    matches = (
+        pairs.where(_is_new(F.col("d1")) & ~_is_new(F.col("d2")))
+        .select(F.col("d1").alias("doc_id"), F.col("d2").alias("dup_of"))
+        .unionByName(
+            pairs.where(_is_new(F.col("d2")) & ~_is_new(F.col("d1"))).select(
+                F.col("d2").alias("doc_id"), F.col("d1").alias("dup_of")
             )
         )
+    )
     match_comp = (
         matches.join(
             comp.select(F.col("doc_id").alias("dup_of"), "component"),
@@ -484,12 +460,6 @@ def manifest_ingest_delta(
         F.round(e["score"], 6).alias("quality"),
         ws.cast("long").alias("ws_tokens"),
     )
-    h_split = _hash32(F.col("component")) % 100
-    split = (
-        F.when(h_split < SPLIT_TRAIN_PCT, F.lit("train"))
-        .when(h_split < SPLIT_VAL_PCT, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     kb = (
         delta.join(match_comp, "doc_id", "left")
         .select(
@@ -499,36 +469,15 @@ def manifest_ingest_delta(
             F.coalesce("_mcomp", F.col("doc_id")).alias("component"),
             F.col("_mcomp").isNull().alias("kept"),
         )
-        .withColumn("split", split)
+        .withColumn("split", split_col(F.col("component")))
         .withColumn("h", _hash32(F.col("doc_id")))
         .withColumn("bucket", F.col("h") % N_BUCKETS)
         # same stage boundary as training_manifest: the packing reads
-        # the kept slice twice; checkpoint so the MinHash branches run
-        # once
+        # the kept slice twice; checkpoint so the upstream runs once
         .localCheckpoint()
     )
-    kept_only = kb.where("kept")
-    w_in = (
-        Window.partitionBy("split", "bucket")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    pre = kept_only.withColumn(
-        "pre", F.coalesce(F.sum("ws_tokens").over(w_in), F.lit(0))
-    )
-    w_off = (
-        Window.partitionBy("split")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        kept_only.groupBy("split", "bucket")
-        .agg(F.sum("ws_tokens").alias("btot"))
-        .withColumn("off", F.coalesce(F.sum("btot").over(w_off), F.lit(0)))
-        .select("split", "bucket", "off")
-    )
-    packed = pre.join(F.broadcast(offsets), ["split", "bucket"]).select(
-        "doc_id", F.expr(f"(pre + off) DIV {budget}").alias("shard_id")
+    packed = with_shard_id(kb.where("kept"), budget, part=["split"]).select(
+        "doc_id", "shard_id"
     )
     return kb.join(packed, "doc_id", "left").select(
         "doc_id",

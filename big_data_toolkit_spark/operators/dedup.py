@@ -1001,9 +1001,18 @@ def bloom_hit_udf(bloom: BloomBitmap):
     return bloom_hit
 
 
-def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_incremental_bloom(
+    spark: SparkSession, sf_dir: str, n_fingerprints: int | None = None
+) -> DataFrame:
     """(doc_id, content_md5): EXACTLY ``dedup_incremental``'s output, via a
     Bloom-prefiltered plan — the memory-bounded ingestion-dedup pattern.
+
+    ``n_fingerprints`` (optional): exact (or better-bounded) distinct
+    corpus-fingerprint count for sizing m. The default sizes from the
+    TABLE row count (see below), which is an upper bound — on a corpus
+    whose row count exceeds the 2^27 cap's ~2.8M but whose distinct
+    fingerprint count fits (heavy duplication), pass the real count
+    here instead of letting the conservative bound raise.
 
     Build: the existing corpus' fingerprint positions (k md5-derived bits
     each) fold into one m-bit bitmap collected to the driver (the distinct
@@ -1040,8 +1049,10 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize+md5+shuffle pass before any real work.  Cost: a
     # heavily-duplicated corpus gets a bitmap up to one dup-ratio
     # larger than needed (bounded by the 2^27 cap check erring eager;
-    # callers near the cap should pass an exact count or shard).
-    m = bloom_m_for(table_row_count(sf_dir, "documents"))
+    # callers near the cap pass ``n_fingerprints`` or shard).
+    if n_fingerprints is None:
+        n_fingerprints = table_row_count(sf_dir, "documents")
+    m = bloom_m_for(n_fingerprints)
     existing = fp.where(~is_new).select("content_md5").distinct()
     bloom = bloom_bitmap_broadcast(spark, existing, m)
     bloom_hit = bloom_hit_udf(bloom)
@@ -1100,11 +1111,16 @@ def bloom_shard_table(
 
 
 def dedup_incremental_bloom_sharded(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, n_fingerprints: int | None = None
 ) -> DataFrame:
     """(doc_id, content_md5): EXACTLY ``dedup_incremental``'s output via a
     PARTITIONED Bloom prefilter — the shape that holds past the broadcast
     cap, where the single bitmap (``dedup_incremental_bloom``) stops.
+
+    ``n_fingerprints`` (optional): exact distinct-fingerprint count for
+    per-shard sizing; the default sizes from the table row count (upper
+    bound, never undersized — same escape hatch as the broadcast form
+    for corpora whose dup ratio makes the bound raise spuriously).
 
     Build: per-shard bitmaps, distributed end to end (``bloom_shard_table``
     — no driver collect, no broadcast). Check: the incoming batch shuffles
@@ -1135,8 +1151,9 @@ def dedup_incremental_bloom_sharded(
     # false-positive rate (extra anti-join work; output stays exact
     # either way).  The margin at most doubles m_shard (power-of-two
     # rounding), which 16 shards amortize.
-    n_upper = table_row_count(sf_dir, "documents")
-    m_shard = bloom_m_for(-(-(n_upper * 6) // (5 * BLOOM_SHARDS)))
+    if n_fingerprints is None:
+        n_fingerprints = table_row_count(sf_dir, "documents")
+    m_shard = bloom_m_for(-(-(n_fingerprints * 6) // (5 * BLOOM_SHARDS)))
     shards = bloom_shard_table(spark, existing, m_shard)
     new = fp.where(is_new).select(
         "doc_id",
@@ -2214,10 +2231,16 @@ def dedup_keep_best(
 
     docs = load_table(spark, sf_dir, "documents")
     if comp is None:
-        comp = dedup_components(spark, sf_dir)
+        # Checkpointed (pair-graph-sized): the best branch and the
+        # output branch both read the closure, and without the
+        # checkpoint the whole propagation subplan doubles into both.
+        comp = dedup_components(spark, sf_dir).localCheckpoint()
+    # Checkpointed for the same two-reader reason: without it the
+    # regex-heavy quality scan evaluates twice (map-only branches have
+    # no exchange to reuse). Two narrow columns per doc.
     quality = docs.select(
         "doc_id", F.round(quality_expressions()["score"], 6).alias("quality")
-    )
+    ).localCheckpoint()
     w = Window.partitionBy("component").orderBy(
         F.col("quality").desc(), F.col("doc_id")
     )
@@ -2282,6 +2305,22 @@ ORACLE_SQL["dedup_keep_best"] = _dedup_keep_best_sql()
 SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 80, 90  # hash-space boundaries (of 100)
 
 
+def split_col(component: "F.Column") -> "F.Column":
+    """train/val/test assignment from a component column — THE single
+    definition of the leakage-safe split rule (pinned hash32 of the
+    component mod 100 against the 80/90 boundaries), shared by
+    ``leakage_safe_split``, both manifest ops, and the streaming
+    ingest-manifest twin so the rule cannot drift between them."""
+    from big_data_toolkit_spark.operators.curation import _hash32
+
+    h = _hash32(component) % 100
+    return (
+        F.when(h < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(h < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def leakage_safe_split(
     spark: SparkSession, sf_dir: str, comp: DataFrame | None = None
 ) -> DataFrame:
@@ -2303,8 +2342,6 @@ def leakage_safe_split(
     ``plans.materialize.leakage_safe_split_materialized``), not a
     per-run recompute.
     """
-    from big_data_toolkit_spark.operators.curation import _hash32
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     if comp is None:
         comp = dedup_components(spark, sf_dir)
@@ -2312,13 +2349,9 @@ def leakage_safe_split(
         "doc_id",
         F.coalesce("component", F.col("doc_id")).alias("component"),
     )
-    h = _hash32(F.col("component")) % 100
-    split = (
-        F.when(h < SPLIT_TRAIN_PCT, F.lit("train"))
-        .when(h < SPLIT_VAL_PCT, F.lit("val"))
-        .otherwise(F.lit("test"))
+    return full.select(
+        "doc_id", "component", split_col(F.col("component")).alias("split")
     )
-    return full.select("doc_id", "component", split.alias("split"))
 
 
 def _leakage_safe_split_sql() -> str:

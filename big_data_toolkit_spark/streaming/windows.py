@@ -360,32 +360,49 @@ def stream_dedup_minhash_lsh(
     ``dropDuplicates`` (unbounded seen-pair state; fine for replays and
     bounded backfills, pass a ts for production streams).
     """
+    keep = ["doc_id"] + ([ts_col] if ts_col else [])
+    scored = _minhash_match_corpus(
+        new_docs_stream, corpus_bands, corpus_shingles, keep
+    )
+    if ts_col:
+        return scored.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["doc_id", "dup_of"]
+        )
+    return scored.dropDuplicates(["doc_id", "dup_of"])
+
+
+def _minhash_match_corpus(
+    df: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_shingles: DataFrame,
+    keep: list[str],
+) -> DataFrame:
+    """(*keep, dup_of, jaccard): in-row MinHash of ``df`` band-joined
+    against the static corpus sides and exact-Jaccard verified at the
+    shared threshold — THE one match-verify definition behind
+    ``stream_dedup_minhash_lsh`` and ``manifest_delta_microbatch``, so
+    a banding or rounding change cannot desync the two streaming
+    consumers from the oracle-gated batch forms."""
     from big_data_toolkit_spark.operators.dedup import (
         JACCARD_THRESHOLD,
         with_minhash_inrow,
     )
 
-    keep = ["doc_id"] + ([ts_col] if ts_col else [])
     hits = (
-        with_minhash_inrow(new_docs_stream, "text", keep=keep)
+        with_minhash_inrow(df, "text", keep=keep)
         .withColumnRenamed("sh", "sh_new")
         .select(*keep, "sh_new", F.explode("bands").alias("band"))
         .join(corpus_bands, "band")
         .join(corpus_shingles, "dup_of")
     )
     inter = F.size(F.array_intersect("sh_new", "sh_corpus"))
-    scored = hits.select(
+    return hits.select(
         *keep,
         "dup_of",
         F.round(
             inter / (F.size("sh_new") + F.size("sh_corpus") - inter), 6
         ).alias("jaccard"),
     ).where(F.col("jaccard") >= JACCARD_THRESHOLD)
-    if ts_col:
-        return scored.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-            ["doc_id", "dup_of"]
-        )
-    return scored.dropDuplicates(["doc_id", "dup_of"])
 
 
 def stream_ann_pq(
@@ -463,30 +480,12 @@ def manifest_delta_microbatch(
     processed exactly once, in whichever batch it arrives, against the
     same static corpus sides.
     """
-    from big_data_toolkit_spark.operators.curation import _hash32
-    from big_data_toolkit_spark.operators.dedup import (
-        JACCARD_THRESHOLD,
-        SPLIT_TRAIN_PCT,
-        SPLIT_VAL_PCT,
-        with_minhash_inrow,
-    )
+    from big_data_toolkit_spark.operators.dedup import split_col
     from big_data_toolkit_spark.operators.quality import quality_expressions
 
-    hits = (
-        with_minhash_inrow(batch_df, "text", keep=["doc_id"])
-        .withColumnRenamed("sh", "sh_new")
-        .select("doc_id", "sh_new", F.explode("bands").alias("band"))
-        .join(corpus_bands, "band")
-        .join(corpus_shingles, "dup_of")
+    matches = _minhash_match_corpus(
+        batch_df, corpus_bands, corpus_shingles, ["doc_id"]
     )
-    inter = F.size(F.array_intersect("sh_new", "sh_corpus"))
-    matches = hits.select(
-        "doc_id",
-        "dup_of",
-        F.round(
-            inter / (F.size("sh_new") + F.size("sh_corpus") - inter), 6
-        ).alias("jac"),
-    ).where(F.col("jac") >= JACCARD_THRESHOLD)
     mc = (
         matches.join(
             comp.select(F.col("doc_id").alias("dup_of"), "component"),
@@ -507,12 +506,6 @@ def manifest_delta_microbatch(
         F.round(e["score"], 6).alias("quality"),
         ws.cast("long").alias("ws_tokens"),
     )
-    h_split = _hash32(F.col("component")) % 100
-    split = (
-        F.when(h_split < SPLIT_TRAIN_PCT, F.lit("train"))
-        .when(h_split < SPLIT_VAL_PCT, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     return (
         base.join(mc, "doc_id", "left")
         .select(
@@ -522,7 +515,7 @@ def manifest_delta_microbatch(
             "quality",
             "ws_tokens",
         )
-        .withColumn("split", split)
+        .withColumn("split", split_col(F.col("component")))
         .select(
             "doc_id", "component", "split", "quality", "ws_tokens", "kept"
         )

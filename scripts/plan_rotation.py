@@ -140,7 +140,12 @@ def main() -> int:
     if args.check:
         q, newest_round, _ = gather()
         next_round = max(newest_round.values(), default=0) + 1
-        bad = staleness_violations(q, newest_round, entry._HEAD, next_round)
+        # one bound everywhere: violations, the simulation, and the
+        # printed max_row_age all honor --head-size
+        bound = max_row_age(len(q), args.head_size)
+        bad = staleness_violations(
+            q, newest_round, entry._HEAD, next_round, bound
+        )
         head_missing = [k for k in entry._HEAD if k not in q]
         never_outside = [
             k
@@ -155,7 +160,9 @@ def main() -> int:
             sim_newest = dict(newest_round)
             sim_head = list(entry._HEAD)
             for rnd in range(next_round, next_round + args.project + 1):
-                viol = staleness_violations(q, sim_newest, sim_head, rnd)
+                viol = staleness_violations(
+                    q, sim_newest, sim_head, rnd, bound
+                )
                 projections[f"r{rnd}"] = {
                     "head_n": len(sim_head),
                     "violations": viol,
@@ -176,7 +183,7 @@ def main() -> int:
                 {
                     "next_round": next_round,
                     "head_n": len(entry._HEAD),
-                    "max_row_age": max_row_age(len(q), args.head_size),
+                    "max_row_age": bound,
                     "violations": bad,
                     "head_not_registered": head_missing,
                     "never_rowed_outside_head": never_outside,

@@ -269,17 +269,29 @@ def test_training_manifest_composes_its_stages(spark):
     for r in rows:
         by_split.setdefault(r["split"], []).append(r)
     assert set(by_split) == {"train", "val", "test"}
+    import hashlib
+
+    def h32(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+
     for split, members in by_split.items():
         shard_ids = sorted({r["shard_id"] for r in members})
         assert shard_ids == list(range(len(shard_ids))), (split, shard_ids)
-        total = sum(r["ws_tokens"] for r in members)
-        # offsets partition the split's token line into budget-sized
-        # shards: count matches the token total
-        assert shard_ids[-1] == total // curation.SHARD_TOKENS, (
-            split,
-            total,
-            shard_ids[-1],
+        # replicate the packing exactly: global order per split is
+        # bucket-major (offsets accumulate by bucket ascending), then
+        # (h, doc_id) within bucket; shard = EXCLUSIVE prefix // budget
+        order = sorted(
+            members,
+            key=lambda r: (
+                h32(r["doc_id"]) % curation.N_BUCKETS,
+                h32(r["doc_id"]),
+                r["doc_id"],
+            ),
         )
+        running = 0
+        for r in order:
+            assert r["shard_id"] == running // curation.SHARD_TOKENS, r
+            running += r["ws_tokens"]
 
 
 def test_manifest_ingest_delta_semantics(spark):
