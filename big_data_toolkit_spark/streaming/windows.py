@@ -550,6 +550,90 @@ def stream_manifest_ingest_delta(
     )
 
 
+SHARD_APPEND_OUTPUT = (
+    "split string, doc_id long, ws_tokens long, shard_id long"
+)
+SHARD_APPEND_STATE = "next_offset long"
+
+
+def stream_shard_append(kept_stream: DataFrame, budget: int | None = None):
+    """(split, doc_id, ws_tokens, shard_id): the STATEFUL continuation
+    of the delta shard packer — arriving kept manifest rows append to
+    each split's token line, which persists in keyed state across
+    micro-batches so shard ids keep counting instead of resetting per
+    batch. This is the piece ``manifest_ingest_delta`` leaves to the
+    stream: an append-only packer whose only state is ONE offset per
+    split (bounded regardless of corpus size — the state-store survival
+    property).
+
+    Within a batch, a split's rows pack in (hash32(doc_id), doc_id)
+    order — the same deterministic hash order the batch packers use —
+    so a given batch-cut sequence is fully reproducible. ACROSS cuts
+    the assignment is arrival-ordered by contract (an appender cannot
+    reorder what already shipped), unlike the nightly
+    ``training_manifest``, which repacks the whole corpus bucket-major;
+    the invariant that holds under ANY cut sequence is the token-line
+    law: concatenating the batches (each internally hash-ordered) and
+    taking the exclusive running token sum DIV budget reproduces every
+    shard id exactly (replay-tested), and shard ids per split are dense
+    from 0. ``budget`` defaults to ``curation.SHARD_TOKENS``.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from big_data_toolkit_spark.operators.curation import (
+        SHARD_TOKENS,
+        _hash32,
+    )
+
+    b = SHARD_TOKENS if budget is None else budget
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        offset = state.get[0] if state.exists else 0
+        parts = [p for p in pdf_iter if len(p)]
+        if not parts:
+            state.update((offset,))
+            yield pd.DataFrame(
+                {
+                    "split": pd.Series([], dtype=str),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "ws_tokens": pd.Series([], dtype="int64"),
+                    "shard_id": pd.Series([], dtype="int64"),
+                }
+            )
+            return
+        pdf = pd.concat(parts).sort_values(["h", "doc_id"])
+        pre = pdf["ws_tokens"].cumsum().shift(fill_value=0) + offset
+        out = pd.DataFrame(
+            {
+                "split": pdf["split"].to_numpy(),
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "ws_tokens": pdf["ws_tokens"].to_numpy(),
+                "shard_id": (pre // b).astype("int64").to_numpy(),
+            }
+        )
+        state.update((int(offset + pdf["ws_tokens"].sum()),))
+        yield out
+
+    return (
+        kept_stream.select(
+            "split",
+            "doc_id",
+            "ws_tokens",
+            _hash32(F.col("doc_id")).alias("h"),
+        )
+        .groupBy("split")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SHARD_APPEND_OUTPUT,
+            stateStructType=SHARD_APPEND_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_click_purchase_join(
     clicks: DataFrame,
     purchases: DataFrame,

@@ -936,3 +936,69 @@ def test_stream_manifest_ingest_delta_matches_batch(spark, tmp_path):
     assert any(not k for (_, _, _, _, _, k) in expected), (
         "fixture must drop at least one near-dup delta doc"
     )
+
+
+def test_stream_shard_append_token_line_across_batches(spark, tmp_path):
+    """The appender's contract under any batch-cut sequence: per split,
+    concatenating the batches (each internally (hash32, doc_id)-ordered)
+    and taking the exclusive running token sum DIV budget reproduces
+    every emitted shard id exactly — i.e. state CONTINUES the token
+    line across micro-batches instead of resetting — and shard ids are
+    dense from 0."""
+    import glob
+    import hashlib
+
+    from big_data_toolkit_spark.catalog import load_table
+    from big_data_toolkit_spark.operators import curation, dedup
+    from tests.conftest import SF_ORACLE
+
+    kept = [
+        r
+        for r in curation.manifest_ingest_delta(spark, SF_ORACLE).collect()
+        if r["kept"]
+    ]
+    assert kept
+    schema = "split string, doc_id long, ws_tokens long"
+    rows = [(r["split"], r["doc_id"], r["ws_tokens"]) for r in kept]
+    src = str(tmp_path / "shardsrc")
+    half = len(rows) // 2
+    for i, part in enumerate([rows[:half], rows[half:]]):
+        spark.createDataFrame(part, schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i:03d}")
+        )
+    assert len(glob.glob(os.path.join(src, "b*"))) == 2
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "b*"))
+    )
+    _run_to_memory(
+        windows.stream_shard_append(stream), "shard_append", tmp_path
+    )
+    got = {
+        r["doc_id"]: (r["split"], r["ws_tokens"], r["shard_id"])
+        for r in spark.sql("SELECT * FROM shard_append").collect()
+    }
+    assert set(got) == {d for _, d, _ in rows}
+
+    def h32(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+
+    # replicate: per split, batch 0's rows (hash-ordered) then batch 1's
+    expected_offset: dict = {}
+    expected: dict = {}
+    for part in (rows[:half], rows[half:]):
+        by_split: dict = {}
+        for s, d, w in part:
+            by_split.setdefault(s, []).append((d, w))
+        for s, members in by_split.items():
+            run = expected_offset.get(s, 0)
+            for d, w in sorted(members, key=lambda t: (h32(t[0]), t[0])):
+                expected[d] = (s, w, run // curation.SHARD_TOKENS)
+                run += w
+            expected_offset[s] = run
+    assert got == expected
+    for s in {r["split"] for r in kept}:
+        ids = sorted({v[2] for v in got.values() if v[0] == s})
+        assert ids == list(range(len(ids))), (s, ids)
