@@ -25,7 +25,7 @@ from big_data_toolkit_spark.operators import (
     sql_analytics,
     text_analytics,
 )
-from big_data_toolkit_spark.plans import scale
+from big_data_toolkit_spark.plans import materialize, scale
 from big_data_toolkit_spark.streaming import anomaly as streaming_anomaly
 from big_data_toolkit_spark.streaming import windows as streaming_windows
 
@@ -45,6 +45,7 @@ _MODULES = [
     multimodal,
     curation,
     scale,
+    materialize,
 ]
 
 

@@ -303,6 +303,57 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Interleaved trials for the BASELINE_QUERIES subset (r11 verdict item 1:
+# five consecutive rounds of driver-window drift were adjudicated as
+# machine noise via scripts/adjudicate.py's interleaved-median protocol —
+# so the bench harness now runs that protocol itself).  The single sweep
+# counts as trial 1 (it had its own per-plan warmup); BASELINE_TRIALS - 1
+# further passes run round-robin over the subset so no query
+# systematically absorbs a contention window, and the reported per-query
+# number is the MEDIAN across trials.  The long tail keeps the single
+# sweep — its lines are directional, not gated against BASELINE.md.
+BASELINE_TRIALS = 3
+
+
+def baseline_retrials(
+    spark,
+    sf_dir: str,
+    headline: dict,
+    sweep_timings: dict[str, float],
+    n_trials: int = BASELINE_TRIALS,
+) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """Median-of-trials timings for the baseline subset.
+
+    Returns (medians, trials): ``medians`` maps each baseline query that
+    timed cleanly in the sweep to the median of [sweep, retrial...];
+    ``trials`` keeps the raw per-trial numbers for the record.  Queries
+    that errored in the sweep are skipped (their error row already
+    carries the evidence).  A retrial that fails falls back to the
+    trials recorded so far — one contention-window crash must not zero
+    the subset, matching time_queries' isolation contract.
+    """
+    import statistics
+
+    names = [
+        n for n in headline if n in BASELINE_QUERIES and n in sweep_timings
+    ]
+    trials: dict[str, list[float]] = {n: [sweep_timings[n]] for n in names}
+    for _ in range(max(0, n_trials - 1)):
+        for name in names:
+            try:
+                t0 = time.perf_counter()
+                force(headline[name](spark, sf_dir))
+                trials[name].append(round(time.perf_counter() - t0, 3))
+            except Exception:  # noqa: BLE001 — keep earlier trials
+                pass
+            finally:
+                spark.catalog.clearCache()
+    medians = {
+        n: round(statistics.median(v), 3) for n, v in trials.items()
+    }
+    return medians, trials
+
+
 def time_queries(
     spark, sf_dir: str, headline: dict
 ) -> tuple[dict[str, float], dict[str, str]]:
@@ -368,6 +419,16 @@ def main() -> None:
 
     timings, errors = time_queries(spark, sf_dir, HEADLINE)
 
+    # Adjudication built in (r11 verdict item 1): the baseline subset's
+    # reported numbers are interleaved-trial MEDIANS, so a host-contention
+    # window during the sequential sweep can no longer poison the round's
+    # governing subtotal.  The sweep numbers stay in baseline_trials[*][0]
+    # for the record.
+    medians, baseline_trials = baseline_retrials(
+        spark, sf_dir, HEADLINE, timings
+    )
+    timings.update(medians)
+
     total = round(sum(timings.values()), 3)
     # The 45 queries benched since round 1 — BASELINE.md's 27.7 s governs
     # THIS subtotal; the full total also counts operators added later and
@@ -380,9 +441,11 @@ def main() -> None:
         "metric": "headline_queries_total_seconds",
         "baseline_subset_seconds": baseline_subset,
         "baseline_subset_n": baseline_n,
+        "baseline_trials_n": BASELINE_TRIALS,
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "baseline_trials": baseline_trials,
         "errors": errors,
         "sf": sf_dir,
     }

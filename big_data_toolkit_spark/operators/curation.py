@@ -392,8 +392,13 @@ def manifest_ingest_delta(
       not one contaminated by the arriving batch.
     * **split** = the component hash — a dropped doc therefore shows
       the SPLIT ITS NEAR-TWIN LIVES IN, and a kept doc's assignment
-      uses the same rule the nightly manifest will apply, so the
-      append never violates the no-straddle invariant.
+      uses the same rule the nightly manifest will apply.  The
+      no-straddle guarantee is scoped to DELTA-VS-CORPUS pairs: two
+      kept delta twins (within-batch near-dups, out of scope here)
+      each get component = self and independent splits, and may
+      straddle until the next nightly rebuild merges their components
+      (``manifest_compact`` is that rebuild — it re-keys the split on
+      the merged component and reports every such move).
     * **shard_id** = delta-local token-budget packing of the KEPT docs
       per split (the ``shard_pack`` prefix-sum shape): the delta opens
       NEW shards starting at 0 — stored shards are immutable, an

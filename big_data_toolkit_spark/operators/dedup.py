@@ -1008,11 +1008,13 @@ def dedup_incremental_bloom(
     Bloom-prefiltered plan — the memory-bounded ingestion-dedup pattern.
 
     ``n_fingerprints`` (optional): exact (or better-bounded) distinct
-    corpus-fingerprint count for sizing m. The default sizes from the
-    TABLE row count (see below), which is an upper bound — on a corpus
-    whose row count exceeds the 2^27 cap's ~2.8M but whose distinct
-    fingerprint count fits (heavy duplication), pass the real count
-    here instead of letting the conservative bound raise.
+    corpus-fingerprint count for sizing m, used verbatim when given
+    (an explicit count past the cap raises — the caller asked for a
+    bitmap that cannot ship). The default sizes from the TABLE row
+    count minus the delta slice's share, and when THAT cheap bound
+    would exceed the 2^27 cap it falls back to the exact distinct
+    count before raising (heavy duplication then fits without any
+    caller intervention; see the sizing comment below).
 
     Build: the existing corpus' fingerprint positions (k md5-derived bits
     each) fold into one m-bit bitmap collected to the driver (the distinct
@@ -1040,20 +1042,32 @@ def dedup_incremental_bloom(
         ).alias("content_md5"),
     )
     is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    existing = fp.where(~is_new).select("content_md5").distinct()
     # Size m from the TABLE row count read off the parquet footers
     # (``table_row_count`` — a driver-side metadata read, zero Spark
     # jobs; at cluster scale this is a catalog statistics lookup), not
-    # the distinct-fingerprint count: row count is an upper bound on
-    # distinct fingerprints, so the fill target is never undersized,
+    # the distinct-fingerprint count: that bound costs no Spark work,
     # while the exact distinct count would be a full
-    # tokenize+md5+shuffle pass before any real work.  Cost: a
-    # heavily-duplicated corpus gets a bitmap up to one dup-ratio
-    # larger than needed (bounded by the 2^27 cap check erring eager;
-    # callers near the cap pass ``n_fingerprints`` or shard).
+    # tokenize+md5+shuffle pass before any real work.  The delta slice
+    # (doc_id % NEW_BATCH_MOD == NEW_BATCH_MOD-1) is never in the build
+    # side, so its expected share is subtracted first — sizing on ALL
+    # rows made the cap check raise on corpora that actually fit
+    # (ADVICE r11).  Cost: a heavily-duplicated corpus still gets a
+    # bitmap up to one dup-ratio larger than needed, so when the cheap
+    # bound would raise past the 2^27 cap, fall back to the EXACT
+    # distinct count (one pass over the already-built ``existing``
+    # frame) before refusing — the cap then reflects real load, not
+    # the bound's slack.
     if n_fingerprints is None:
-        n_fingerprints = table_row_count(sf_dir, "documents")
-    m = bloom_m_for(n_fingerprints)
-    existing = fp.where(~is_new).select("content_md5").distinct()
+        n = table_row_count(sf_dir, "documents")
+        bound = n - n // NEW_BATCH_MOD
+        try:
+            m = bloom_m_for(bound)
+        except ValueError:
+            existing = existing.persist()
+            m = bloom_m_for(existing.count())  # may still raise: real
+    else:
+        m = bloom_m_for(n_fingerprints)
     bloom = bloom_bitmap_broadcast(spark, existing, m)
     bloom_hit = bloom_hit_udf(bloom)
     new = fp.where(is_new).withColumn(
@@ -1145,15 +1159,27 @@ def dedup_incremental_bloom_sharded(
     existing = fp.where(~is_new).select("content_md5").distinct()
     # Per-shard sizing from the table row count read off the parquet
     # footers (driver-side metadata, zero Spark jobs — same rationale
-    # as the broadcast form) over the per-shard load, with a 20% skew
-    # margin: md5 sharding is near-uniform but not exact, and an
-    # over-mean shard past the fill target would degrade its
-    # false-positive rate (extra anti-join work; output stays exact
-    # either way).  The margin at most doubles m_shard (power-of-two
-    # rounding), which 16 shards amortize.
+    # as the broadcast form, including the delta-share subtraction and
+    # the exact-count fallback before the cap raises) over the
+    # per-shard load, with a 20% skew margin: md5 sharding is
+    # near-uniform but not exact, and an over-mean shard past the fill
+    # target would degrade its false-positive rate (extra anti-join
+    # work; output stays exact either way).  The margin at most
+    # doubles m_shard (power-of-two rounding), which 16 shards
+    # amortize (the planted-skew property test pins the margin's
+    # adequacy on an adversarial shard distribution).
+    def _m_shard_for(nfp: int) -> int:
+        return bloom_m_for(-(-(nfp * 6) // (5 * BLOOM_SHARDS)))
+
     if n_fingerprints is None:
-        n_fingerprints = table_row_count(sf_dir, "documents")
-    m_shard = bloom_m_for(-(-(n_fingerprints * 6) // (5 * BLOOM_SHARDS)))
+        n = table_row_count(sf_dir, "documents")
+        try:
+            m_shard = _m_shard_for(n - n // NEW_BATCH_MOD)
+        except ValueError:
+            existing = existing.persist()
+            m_shard = _m_shard_for(existing.count())  # may still raise
+    else:
+        m_shard = _m_shard_for(n_fingerprints)
     shards = bloom_shard_table(spark, existing, m_shard)
     new = fp.where(is_new).select(
         "doc_id",

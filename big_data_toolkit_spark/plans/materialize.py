@@ -655,3 +655,44 @@ def bench_knn_join_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_pq_materialized(
         spark, sf_dir, _pq_bench_workdir(spark, sf_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract registration (VERDICT r11 item 4): the stored-artifact
+# consumers are the plans a 100-TB deployment actually runs — survivor
+# selection / manifest emission over the persisted component closure and
+# IVFADC search over the persisted cell-partitioned PQ index — but until
+# r12 their only correctness evidence was pytest bit-equality vs the
+# in-plan twins.  Registering them as driver queries gives the stored
+# path its own oracle rows: each consumer reads the artifact (built once
+# per process+sf_dir, same cache as the bench lines) and must hash-match
+# the SAME DuckDB oracle as its in-plan twin — stored parquet round-trips
+# (BIGINT codes, doubles) are exact, so artifact staleness or adapter
+# drift turns a driver row red instead of hiding behind the twin.
+# ---------------------------------------------------------------------------
+
+def _twin_oracles() -> dict[str, str]:
+    from big_data_toolkit_spark.operators.curation import (
+        ORACLE_SQL as _CURATION_SQL,
+    )
+    from big_data_toolkit_spark.operators.dedup import (
+        ORACLE_SQL as _DEDUP_SQL,
+    )
+    from big_data_toolkit_spark.operators.similarity import (
+        ORACLE_SQL as _SIM_SQL,
+    )
+
+    return {
+        "mat_dedup_keep_best": _DEDUP_SQL["dedup_keep_best"],
+        "mat_training_manifest": _CURATION_SQL["training_manifest"],
+        "mat_knn_ivfpq": _SIM_SQL["knn_ivfpq"],
+    }
+
+
+QUERIES = {
+    "mat_dedup_keep_best": bench_dedup_keep_best,
+    "mat_training_manifest": bench_training_manifest,
+    "mat_knn_ivfpq": bench_knn_ivfpq_stored,
+}
+
+ORACLE_SQL = _twin_oracles()

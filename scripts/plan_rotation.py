@@ -74,13 +74,25 @@ MAX_ROW_AGE_FLOOR = 3
 # Back-compat alias (older tests/docs import MAX_ROW_AGE).
 MAX_ROW_AGE = MAX_ROW_AGE_FLOOR
 
+# Hard ceiling on the allowed row age (ADVICE r11): without it the
+# period-aware bound auto-loosens as queries are registered and evidence
+# staleness grows unbounded — the gate could never push back on registry
+# growth.  At 50 head slots the cap bounds registry capacity at
+# 50 × MAX_ROW_AGE_CAP = 250 queries; past that, --check FAILS and the
+# documented merge policy (BASELINE.md: merge near-twin queries past 200
+# registered) becomes machine-enforced rather than advisory.
+MAX_ROW_AGE_CAP = 5
+
 
 def max_row_age(n_registry: int, head_size: int = 50) -> int:
     """Allowed max row age for a registry of ``n_registry`` queries:
     the steady-state rotation period ``ceil(n_registry / head_size)``,
-    floored at MAX_ROW_AGE_FLOOR so small registries keep a tight gate."""
+    floored at MAX_ROW_AGE_FLOOR so small registries keep a tight gate
+    and capped at MAX_ROW_AGE_CAP so a growing registry cannot loosen
+    the gate indefinitely (registries whose period exceeds the cap are
+    over capacity — --check fails with a merge-policy pointer)."""
     period = -(-n_registry // head_size)
-    return max(MAX_ROW_AGE_FLOOR, period)
+    return min(max(MAX_ROW_AGE_FLOOR, period), MAX_ROW_AGE_CAP)
 
 
 def staleness_violations(
@@ -147,6 +159,13 @@ def main() -> int:
             q, newest_round, entry._HEAD, next_round, bound
         )
         head_missing = [k for k in entry._HEAD if k not in q]
+        # Capacity enforcement (ADVICE r11): a registry whose steady-state
+        # rotation period exceeds the hard cap can no longer keep every
+        # query's evidence fresh — fail loudly with the policy pointer
+        # instead of letting the bound drift upward.
+        over_capacity = (
+            -(-len(q) // args.head_size) > MAX_ROW_AGE_CAP
+        )
         never_outside = [
             k
             for k in q
@@ -188,6 +207,19 @@ def main() -> int:
                     "head_not_registered": head_missing,
                     "never_rowed_outside_head": never_outside,
                     **(
+                        {
+                            "registry_over_capacity": (
+                                f"{len(q)} registered queries > "
+                                f"{args.head_size * MAX_ROW_AGE_CAP} "
+                                f"(head_size × MAX_ROW_AGE_CAP) — apply "
+                                "BASELINE.md's merge-twins policy before "
+                                "registering more"
+                            )
+                        }
+                        if over_capacity
+                        else {}
+                    ),
+                    **(
                         {"projections": projections}
                         if projections
                         else {}
@@ -201,6 +233,7 @@ def main() -> int:
             or head_missing
             or len(entry._HEAD) > args.head_size
             or proj_bad
+            or over_capacity
             else 0
         )
 

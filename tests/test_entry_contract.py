@@ -24,7 +24,6 @@ def test_registry_shape():
         "event_reach_approx",
         "order_fulfillment_percentiles_approx",
         "weekly_reach_from_sketches",
-        "pca_variance",
         "audience_overlap_approx",
     }
 
@@ -59,7 +58,6 @@ def test_gate_window_has_oracle_coverage():
         "event_reach_approx",
         "order_fulfillment_percentiles_approx",
         "weekly_reach_from_sketches",
-        "pca_variance",
         "audience_overlap_approx",
     }
     missing = [k for k in head if k not in o and k not in rows_only_by_design]
