@@ -64,6 +64,7 @@ HEADLINE = {
     "dedup_keep_best": dedup.dedup_keep_best,
     "training_manifest": curation.training_manifest,
     "manifest_ingest_delta": curation.manifest_ingest_delta,
+    "manifest_compact": curation.manifest_compact,
     "dedup_minhash_incremental": dedup.dedup_minhash_incremental,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
     "dedup_components": dedup.dedup_components,
@@ -245,6 +246,7 @@ HEADLINE = {
     "mat_dedup_keep_best": materialize.bench_dedup_keep_best,
     "mat_training_manifest": materialize.bench_training_manifest,
     "mat_manifest_ingest_delta": materialize.bench_manifest_ingest_delta,
+    "mat_manifest_compact": materialize.bench_manifest_compact,
     # Round-10: the PQ index as a stored artifact — build once (encode
     # scan + codebook write), then ADC searches read 8 bytes/vector from
     # the store. Compare mat_knn_pq against the in-plan knn_pq line to

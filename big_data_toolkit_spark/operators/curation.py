@@ -495,6 +495,133 @@ def manifest_ingest_delta(
     )
 
 
+def manifest_compact(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = SHARD_TOKENS,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, component, split, prev_split, split_moved, prev_kept,
+    quality, ws_tokens, shard_id): the NIGHTLY REBUILD that closes the
+    manifest lifecycle — ``training_manifest`` emits the nightly
+    snapshot, ``manifest_ingest_delta`` appends intra-day with
+    corpus-relative (arrival-order-wins, within-batch-blind) semantics,
+    and THIS op is the next night: survivor selection re-runs over the
+    UNIONED corpus with the FULL closure (corpus + cross + within-batch
+    pairs), so every provisional delta decision is settled.
+
+    One row per POST-compaction survivor (the manifest a training job
+    reads), each carrying its pre-compaction state for the audit:
+
+    * ``prev_split`` / ``prev_kept`` = what the base manifest (corpus
+      docs, corpus-only closure) or the delta append (delta docs,
+      cross-match rule) had assigned.
+    * ``split_moved`` = the component merge re-keyed the split hash —
+      exactly the within-batch-twin straddle window the ingest-delta
+      docstring scopes out; compaction is where it closes.
+    * a survivor with ``prev_kept = false`` is a delta doc that LOST to
+      arrival order intra-day but WINS on quality at the rebuild (the
+      corpus twin it matched was lower-quality) — the semantic
+      difference between the incremental and nightly rules, surfaced
+      as data.
+
+    Plan shape: ONE MinHash pass (the checkpointed pair table feeds the
+    full closure, the corpus-only closure, and the cross matches), two
+    pair-graph-sized propagation closures, then the
+    ``training_manifest`` pipeline over the full closure plus one
+    corpus-scan's worth of prev-state columns. ``pairs`` (optional):
+    the stored ``neardup_pairs`` artifact — the production shape, where
+    compaction costs zero MinHash work (see ``plans.materialize``).
+    """
+    from big_data_toolkit_spark.operators.dedup import (
+        NEW_BATCH_MOD,
+        dedup_components,
+        dedup_minhash_lsh,
+        split_col,
+    )
+    from big_data_toolkit_spark.operators.quality import quality_expressions
+
+    def _is_new(col):
+        return col % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+
+    if pairs is None:
+        pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
+    corpus_pairs = pairs.where(~_is_new(F.col("d1")) & ~_is_new(F.col("d2")))
+    full_comp = dedup_components(spark, sf_dir, pairs=pairs)
+    # The post state IS training_manifest over the full closure — the
+    # pipeline cannot drift from the gated op because it IS the gated op.
+    post = training_manifest(spark, sf_dir, budget, comp=full_comp)
+
+    corp_comp = dedup_components(
+        spark, sf_dir, pairs=corpus_pairs
+    ).localCheckpoint()
+    docs = load_table(spark, sf_dir, "documents")
+    # prev-state quality: one more map-only pass (the oracle-self-
+    # contained trade; the materialized form shares the post pipeline's
+    # stored artifacts instead)
+    scored = docs.select(
+        "doc_id",
+        F.round(quality_expressions()["score"], 6).alias("q_prev"),
+    ).localCheckpoint()
+    matches = (
+        pairs.where(_is_new(F.col("d1")) & ~_is_new(F.col("d2")))
+        .select(F.col("d1").alias("doc_id"), F.col("d2").alias("dup_of"))
+        .unionByName(
+            pairs.where(_is_new(F.col("d2")) & ~_is_new(F.col("d1"))).select(
+                F.col("d2").alias("doc_id"), F.col("d1").alias("dup_of")
+            )
+        )
+    )
+    match_comp = (
+        matches.join(
+            corp_comp.select(F.col("doc_id").alias("dup_of"), "component"),
+            "dup_of",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("dup_of")).alias("component"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("component").alias("_mcomp"))
+    )
+    w_prev = Window.partitionBy("_pcomp").orderBy(
+        F.col("q_prev").desc(), F.col("doc_id")
+    )
+    corpus_prev = (
+        scored.where(~_is_new(F.col("doc_id")))
+        .join(corp_comp, "doc_id", "left")
+        .withColumn("_pcomp", F.coalesce("component", F.col("doc_id")))
+        .withColumn("_rk", F.row_number().over(w_prev))
+        .select("doc_id", "_pcomp", (F.col("_rk") == 1).alias("prev_kept"))
+    )
+    delta_prev = (
+        scored.where(_is_new(F.col("doc_id")))
+        .join(match_comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_mcomp", F.col("doc_id")).alias("_pcomp"),
+            F.col("_mcomp").isNull().alias("prev_kept"),
+        )
+    )
+    prev = corpus_prev.unionByName(delta_prev).select(
+        "doc_id",
+        split_col(F.col("_pcomp")).alias("prev_split"),
+        "prev_kept",
+    )
+    return post.join(prev, "doc_id").select(
+        "doc_id",
+        "component",
+        "split",
+        "prev_split",
+        (F.col("split") != F.col("prev_split")).alias("split_moved"),
+        "prev_kept",
+        "quality",
+        "ws_tokens",
+        "shard_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -844,6 +971,144 @@ def _manifest_ingest_delta_sql() -> str:
 
 ORACLE_SQL["manifest_ingest_delta"] = _manifest_ingest_delta_sql()
 
+
+def _manifest_compact_sql() -> str:
+    """Composed from the same gated fragments as the other two manifest
+    oracles: the FULL closure (post state = the training_manifest body),
+    the corpus-only closure + cross matches (prev state = the base
+    manifest / ingest-delta rules), the shared quality-score SQL, and
+    the shard_pack prefix-sum shape.  The MinHash pipeline appears once
+    per closure (the oracle is deliberately self-contained; the engine
+    shares ONE checkpointed pair table across all three uses)."""
+    from big_data_toolkit_spark.operators.dedup import (
+        CC_ITERS,
+        NEW_BATCH_MOD,
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+        _MINHASH_CTES,
+        dedup_components_oracle_sql,
+    )
+    from big_data_toolkit_spark.operators.quality import (
+        QUALITY_FEATURES_SQL,
+        QUALITY_SCORE_EXPR_SQL,
+    )
+
+    new = f"% {NEW_BATCH_MOD} = {NEW_BATCH_MOD - 1}"
+    old = f"% {NEW_BATCH_MOD} <> {NEW_BATCH_MOD - 1}"
+    corpus_only = f"WHERE d1 {old} AND d2 {old}"
+    h_comp = _H32_SQL.format(col="component") + " % 100"
+    h_pcomp = _H32_SQL.format(col="pcomp") + " % 100"
+    split_case = (
+        f"CASE WHEN {{h}} < {SPLIT_TRAIN_PCT} THEN 'train' "
+        f"WHEN {{h}} < {SPLIT_VAL_PCT} THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+    WITH {_MINHASH_CTES},
+    comp AS ({dedup_components_oracle_sql(CC_ITERS)}),
+    compc AS ({dedup_components_oracle_sql(CC_ITERS, corpus_only)}),
+    matches AS (
+      SELECT d1 AS doc_id, d2 AS dup_of FROM mh
+      WHERE d1 {new} AND d2 {old}
+      UNION ALL
+      SELECT d2 AS doc_id, d1 AS dup_of FROM mh
+      WHERE d2 {new} AND d1 {old}
+    ),
+    mc AS (
+      SELECT m.doc_id,
+             min(coalesce(c.component, m.dup_of)) AS mcomp
+      FROM matches m LEFT JOIN compc c ON c.doc_id = m.dup_of
+      GROUP BY m.doc_id
+    ),
+    q AS (
+      SELECT doc_id, round({QUALITY_SCORE_EXPR_SQL}, 6) AS quality
+      FROM ({QUALITY_FEATURES_SQL})
+    ),
+    tok AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, ' +'),
+                             t -> t <> ''))::BIGINT AS ws_tokens
+      FROM documents
+    ),
+    best AS (
+      SELECT component, doc_id AS best_doc FROM (
+        SELECT c.component, c.doc_id,
+               row_number() OVER (PARTITION BY c.component
+                 ORDER BY q.quality DESC, c.doc_id) AS rk
+        FROM comp c JOIN q ON q.doc_id = c.doc_id
+      ) WHERE rk = 1
+    ),
+    kept AS (
+      SELECT d.doc_id,
+             coalesce(c.component, d.doc_id) AS component,
+             q.quality, tok.ws_tokens
+      FROM documents d
+      JOIN q ON q.doc_id = d.doc_id
+      JOIN tok ON tok.doc_id = d.doc_id
+      LEFT JOIN comp c ON c.doc_id = d.doc_id
+      LEFT JOIN best b ON b.component = coalesce(c.component, d.doc_id)
+      WHERE b.best_doc IS NULL OR d.doc_id = b.best_doc
+    ),
+    kb AS (
+      SELECT *,
+             {split_case.format(h=h_comp)} AS split,
+             {_H} AS h, {_H} % {N_BUCKETS} AS bucket
+      FROM kept
+    ),
+    pre AS (
+      SELECT *,
+             CAST(COALESCE(SUM(ws_tokens) OVER (
+               PARTITION BY split, bucket ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS pre
+      FROM kb
+    ),
+    offsets AS (
+      SELECT split, bucket,
+             CAST(COALESCE(SUM(SUM(ws_tokens)) OVER (
+               PARTITION BY split ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+      FROM kb GROUP BY split, bucket
+    ),
+    post AS (
+      SELECT p.doc_id, p.component, p.split, p.quality, p.ws_tokens,
+             (p.pre + o.off) // {SHARD_TOKENS} AS shard_id
+      FROM pre p
+      JOIN offsets o ON o.split = p.split AND o.bucket = p.bucket
+    ),
+    prev_corpus AS (
+      SELECT d.doc_id,
+             coalesce(cc.component, d.doc_id) AS pcomp,
+             row_number() OVER (
+               PARTITION BY coalesce(cc.component, d.doc_id)
+               ORDER BY q.quality DESC, d.doc_id) = 1 AS prev_kept
+      FROM documents d
+      JOIN q ON q.doc_id = d.doc_id
+      LEFT JOIN compc cc ON cc.doc_id = d.doc_id
+      WHERE d.doc_id {old}
+    ),
+    prev_delta AS (
+      SELECT d.doc_id,
+             coalesce(mc.mcomp, d.doc_id) AS pcomp,
+             (mc.doc_id IS NULL) AS prev_kept
+      FROM documents d LEFT JOIN mc ON mc.doc_id = d.doc_id
+      WHERE d.doc_id {new}
+    ),
+    prev AS (
+      SELECT doc_id,
+             {split_case.format(h=h_pcomp)} AS prev_split,
+             prev_kept
+      FROM (SELECT * FROM prev_corpus UNION ALL SELECT * FROM prev_delta)
+    )
+    SELECT t.doc_id, t.component, t.split, v.prev_split,
+           (t.split <> v.prev_split) AS split_moved,
+           v.prev_kept, t.quality, t.ws_tokens, t.shard_id
+    FROM post t JOIN prev v ON v.doc_id = t.doc_id
+"""
+
+
+ORACLE_SQL["manifest_compact"] = _manifest_compact_sql()
+
 QUERIES = {
     "hash_sample": hash_sample,
     "stratified_sample": stratified_sample,
@@ -854,6 +1119,7 @@ QUERIES = {
     "priority_sample": priority_sample,
     "training_manifest": training_manifest,
     "manifest_ingest_delta": manifest_ingest_delta,
+    "manifest_compact": manifest_compact,
 }
 
 

@@ -1799,8 +1799,12 @@ def semantic_dedup(
     cluster and keep/drop flag, ready to filter a training corpus.
 
     Scale: this is SemDeDup's own cost model — pair comparison is
-    O(Σ cluster_size²), controlled by K (clusters are Θ(n/K); K grows with
-    the corpus so cluster populations stay bounded), never all-pairs.
+    O(Σ cluster_size²), controlled by K (clusters are Θ(n/K); K GROWS
+    with the corpus — ``semantic_k_for`` derives it from the parquet
+    footer row count so expected cluster population stays ≤
+    ``SEM_TARGET_CLUSTER``, with the oracle-pinned K=16 floor at gate
+    scales and a raise-past-``SEM_K_CAP`` bound, the Bloom-m sizing
+    pattern), never all-pairs.
     Norms are computed once per vector BEFORE the pair join (the
     ``_verify_pairs_cosine`` lesson: per-pair higher-order folds dominated
     that stage); drops reduce through ``distinct`` on vec_id — partial-
@@ -1817,10 +1821,12 @@ def semantic_dedup(
         _lloyd,
         _norm,
         _quantize,
+        semantic_k_for,
     )
 
     if cents is None:
-        q, cents = _lloyd(spark, sf_dir)
+        k = semantic_k_for(table_row_count(sf_dir, "embeddings"))
+        q, cents = _lloyd(spark, sf_dir, k=k)
     else:
         q = _quantize(load_table(spark, sf_dir, "embeddings"))
     assigned = _kmeans_assign(q, cents).select("vec_id", "embedding", "cluster")

@@ -340,23 +340,68 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kmeans_assign(q, cents).select("vec_id", "cluster")
 
 
+SEM_TARGET_CLUSTER = 512  # SemDeDup per-cluster population target
+# K cap for the literal-centroid Lloyd path: the assignment is a K×dim
+# in-row fold, so K bounds codegen size, and the within-cluster pair
+# stage costs O(n²/K) — at the cap and target, n ≤ SEM_TARGET_CLUSTER ×
+# SEM_K_CAP ≈ 5×10⁵ vectors.  Past it, raise rather than degrade: the
+# beyond-cap shapes are the cell-partitioned stored index
+# (plans.materialize's PQ artifact) or a distributed assignment join —
+# the same refuse-to-fake policy as BLOOM_M_MAX.
+SEM_K_CAP = 1024
+
+
+def semantic_k_for(n_vectors: int) -> int:
+    """Cluster count for SemDeDup over ``n_vectors`` embeddings: the
+    smallest power of two keeping expected cluster population ≤
+    ``SEM_TARGET_CLUSTER``, floored at len(CENTROID_IDS) so the gate-
+    scale corpora keep the oracle-pinned K=16 (the derivation only KICKS
+    IN past 16×512 = 8,192 vectors — asserted in tests so the static
+    oracle SQL stays exact at every driver sf). The SemDeDup cost model
+    (Abbas et al. 2023) requires K ∝ corpus size so per-cluster pair
+    cost stays bounded; before r12 K was a constant with a docstring
+    IOU (SCALE.md's ×32 adjudication) — this is the size-derived
+    default the Bloom bitmap's m already has."""
+    base = len(CENTROID_IDS)
+    need = -(-max(n_vectors, 1) // SEM_TARGET_CLUSTER)
+    k = base
+    while k < need:
+        k <<= 1
+    if k > SEM_K_CAP:
+        raise ValueError(
+            f"{n_vectors} vectors need K={k} > SEM_K_CAP={SEM_K_CAP} for "
+            f"the literal-centroid Lloyd path; use the cell-partitioned "
+            "stored index (plans.materialize) or a distributed assignment "
+            "join instead of degrading the SemDeDup cost model silently"
+        )
+    return k
+
+
 def _lloyd(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, k: int | None = None
 ) -> tuple[DataFrame, dict[int, list[float]]]:
     """Run the Lloyd iterations; return the quantized corpus and the TRAINED
     centroids (cluster_id → double vector) — shared by ``kmeans_clusters``
-    and ``knn_ivf_trained``."""
+    and ``knn_ivf_trained`` (default K = the oracle-pinned CENTROID_IDS)
+    and by ``semantic_dedup`` with its size-derived ``k``: seeds are the
+    first ``k`` vec_ids from CENTROID_IDS' start, so K=16 reproduces the
+    pinned seed set exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
+    seed_ids = (
+        list(CENTROID_IDS)
+        if k is None or k == len(CENTROID_IDS)
+        else list(range(CENTROID_IDS[0], CENTROID_IDS[0] + k))
+    )
     init_rows = (
-        _quantize(emb.where(F.col("vec_id").isin(list(CENTROID_IDS))))
+        _quantize(emb.where(F.col("vec_id").isin(seed_ids)))
         .select("vec_id", "qv")
         .collect()
     )
     cents = {r["vec_id"]: [float(x) for x in r["qv"]] for r in init_rows}
     bad = {c: len(m) for c, m in cents.items() if len(m) != EMB_DIM}
-    if len(cents) != len(CENTROID_IDS) or bad:
+    if len(cents) != len(seed_ids) or bad:
         raise ValueError(
-            f"kmeans seed mismatch: expected {len(CENTROID_IDS)} centroids "
+            f"kmeans seed mismatch: expected {len(seed_ids)} centroids "
             f"of dim {EMB_DIM}, got {len(cents)} (bad dims: {bad})"
         )
     # Materialize the quantized corpus ONCE: every Lloyd iteration is its

@@ -241,6 +241,21 @@ def manifest_ingest_delta_materialized(
     )
 
 
+def manifest_compact_materialized(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> DataFrame:
+    """The nightly rebuild over the stored PAIR table: the full closure,
+    the corpus-only closure, and the cross matches all derive from
+    ``neardup_pairs``, so compaction costs zero MinHash work — the
+    per-night price is two pair-graph closures plus the manifest
+    pipeline's corpus scan."""
+    from big_data_toolkit_spark.operators.curation import manifest_compact
+
+    return manifest_compact(
+        spark, sf_dir, pairs=read_neardup_pairs(spark, workdir)
+    )
+
+
 _CONSUMERS = (
     triangle_count_materialized,
     kcore_subgraph_materialized,
@@ -251,6 +266,7 @@ _CONSUMERS = (
     leakage_safe_split_materialized,
     dedup_keep_best_materialized,
     training_manifest_materialized,
+    manifest_compact_materialized,
 )
 
 
@@ -378,6 +394,12 @@ def bench_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bench_manifest_ingest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_ingest_delta_materialized(
+        spark, sf_dir, _bench_workdir(spark, sf_dir)
+    )
+
+
+def bench_manifest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return manifest_compact_materialized(
         spark, sf_dir, _bench_workdir(spark, sf_dir)
     )
 

@@ -351,3 +351,49 @@ def test_manifest_ingest_delta_semantics(spark):
             {r["shard_id"] for r in rows if r["kept"] and r["split"] == split}
         )
         assert ids == list(range(len(ids))), (split, ids)
+
+
+def test_manifest_compact_semantics(spark):
+    """Compaction contract: the post state IS training_manifest (same
+    rows on the shared columns); prev state replays the base manifest /
+    ingest-delta rules; a survivor with prev_kept == False can only be
+    a delta doc (quality wins at the rebuild where arrival order won
+    intra-day); split_moved is exactly the split/prev_split disagree."""
+    from big_data_toolkit_spark.operators.dedup import NEW_BATCH_MOD
+    from tests.conftest import SF_ORACLE
+
+    rows = curation.manifest_compact(spark, SF_ORACLE).collect()
+    tm = {
+        r["doc_id"]: r
+        for r in curation.training_manifest(spark, SF_ORACLE).collect()
+    }
+    assert {r["doc_id"] for r in rows} == set(tm)
+    for r in rows:
+        t = tm[r["doc_id"]]
+        for col in ("component", "split", "quality", "ws_tokens", "shard_id"):
+            assert r[col] == t[col], (col, r, t)
+        assert r["split_moved"] == (r["split"] != r["prev_split"]), r
+        if not r["prev_kept"]:
+            # a corpus doc kept post-compaction was the best of its base
+            # sub-component (merging only grows components), so only a
+            # delta doc can flip dropped -> kept
+            assert r["doc_id"] % NEW_BATCH_MOD == NEW_BATCH_MOD - 1, r
+    # prev splits replay the ingest-delta rows for delta docs
+    delta_prev = {
+        r["doc_id"]: r
+        for r in curation.manifest_ingest_delta(spark, SF_ORACLE).collect()
+    }
+    for r in rows:
+        if r["doc_id"] in delta_prev:
+            assert r["prev_split"] == delta_prev[r["doc_id"]]["split"], r
+            assert r["prev_kept"] == delta_prev[r["doc_id"]]["kept"], r
+
+
+def test_manifest_compact_oracle(spark):
+    from tests.conftest import SF_ORACLE
+
+    compare(
+        curation.manifest_compact(spark, SF_ORACLE),
+        curation.ORACLE_SQL["manifest_compact"],
+        SF_ORACLE,
+    )

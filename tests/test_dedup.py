@@ -665,3 +665,94 @@ def test_keep_best_keeps_highest_quality_per_component(spark):
         r["doc_id"]: r["component"] for r in rows
     }
     assert sum(r["kept"] for r in canon) == sum(r["kept"] for r in rows)
+
+
+def test_bloom_shard_margin_covers_md5_skew():
+    """The 20% per-shard sizing margin (prose-asserted until r12): md5
+    sharding over realistic populations never loads a shard past
+    mean × 1.2 at the scales where the margin matters (per-shard mean ≥
+    ~10k — near the broadcast cap, which is exactly when the sharded
+    form is the right choice). Max-of-16-binomials at that mean sits
+    ~4σ ≈ 4% over mean, far inside the 20% margin."""
+    import hashlib
+
+    n, shards = 200_000, dedup.BLOOM_SHARDS
+    for seed in range(3):
+        counts = [0] * shards
+        for i in range(n):
+            fp = hashlib.md5(f"doc-{seed}-{i}".encode()).hexdigest()
+            counts[int(hashlib.md5(fp.encode()).hexdigest()[30:32], 16)
+                   % shards] += 1
+        assert max(counts) <= 1.2 * n / shards, (seed, max(counts))
+
+
+def test_bloom_sharded_exact_under_planted_skew(spark):
+    """Adversarially plant EVERY fingerprint in one shard (texts mined so
+    md5(fingerprint) hex chars 31-32 ≡ shard 0): the loaded shard's fill
+    blows past the sizing target, but the output must stay EXACT — the
+    margin tunes the false-positive rate, never correctness (Bloom
+    positives always re-check against the exact anti-join)."""
+    import hashlib
+    import os
+    import tempfile
+
+    def shard_of(text: str) -> int:
+        toks = sorted(set(t for t in __import__("re").split(
+            "[^a-zA-Z]+", text.lower()) if t))
+        fp = hashlib.md5(" ".join(toks).encode()).hexdigest()
+        return int(hashlib.md5(fp.encode()).hexdigest()[30:32], 16) \
+            % dedup.BLOOM_SHARDS
+
+    def alpha(i: int) -> str:
+        # tokenizer drops non-letters, so salts must be alphabetic
+        s = ""
+        i += 1
+        while i:
+            s += chr(ord("a") + i % 26)
+            i //= 26
+        return s
+
+    def mine(base: str) -> str:
+        for i in range(10_000):
+            t = f"{base} salt{alpha(i)}"
+            if shard_of(t) == 0:
+                return t
+        raise AssertionError("mining failed")
+
+    # 20 corpus docs (10 distinct contents x2 copies), delta = 10 docs:
+    # 5 exact dups of corpus contents + 5 genuinely new
+    contents = [
+        mine(f"planted skew corpus text number {alpha(j)}") for j in range(10)
+    ]
+    fresh = [
+        mine(f"planted skew brand new text number {alpha(j)}")
+        for j in range(5)
+    ]
+    rows = []
+    did = 0
+    for c in contents:  # corpus: ids with doc_id % MOD != MOD-1
+        for _ in range(2):
+            while did % dedup.NEW_BATCH_MOD == dedup.NEW_BATCH_MOD - 1:
+                did += 1
+            rows.append((did, c))
+            did += 1
+    delta_ids = []
+    did = dedup.NEW_BATCH_MOD - 1
+    for j, c in enumerate(contents[:5] + fresh):  # delta ids ≡ MOD-1
+        rows.append((did, c))
+        delta_ids.append((did, c))
+        did += dedup.NEW_BATCH_MOD
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        got = sorted(
+            r["doc_id"]
+            for r in dedup.dedup_incremental_bloom_sharded(spark, td).collect()
+        )
+        want = sorted(
+            r["doc_id"]
+            for r in dedup.dedup_incremental(spark, td).collect()
+        )
+        assert got == want
+        # the planted-new docs survive, the planted dups do not
+        assert set(got) == {d for d, c in delta_ids if c in fresh}

@@ -102,6 +102,14 @@ def test_training_manifest_materialized_equals_inplan(spark, workdir):
     ) == _rows(curation.training_manifest(spark, SF_SMOKE))
 
 
+def test_manifest_compact_materialized_equals_inplan(spark, workdir):
+    from big_data_toolkit_spark.operators import curation
+
+    assert _rows(
+        materialize.manifest_compact_materialized(spark, SF_SMOKE, workdir)
+    ) == _rows(curation.manifest_compact(spark, SF_SMOKE))
+
+
 def test_suite_summary_counts(spark):
     rows = {
         r["consumer"]: r["n_rows"]
@@ -117,6 +125,7 @@ def test_suite_summary_counts(spark):
         "leakage_safe_split",
         "dedup_keep_best",
         "training_manifest",
+        "manifest_compact",
     }
     assert rows["triangle_count"] == 1  # single summary row by contract
     assert all(n >= 0 for n in rows.values())

@@ -495,3 +495,24 @@ def test_knn_join_pq_ranks_dense_and_monotone(spark):
                                 k=10**6).collect()}
     for r in by_vec[some_vid]:
         assert flat[r["match_id"]] == r["adc_dist2"], r
+
+
+def test_semantic_k_for_derivation():
+    """Gate-scale corpora keep the oracle-pinned K=16; K scales as a
+    power of two past 16×SEM_TARGET_CLUSTER vectors; past SEM_K_CAP the
+    literal-centroid path refuses (the Bloom-m raise pattern)."""
+    import pytest
+
+    base = len(sim.CENTROID_IDS)
+    # the three driver sfs (500 / 2,000 / 20,000 rows at sf0.001-0.1 ×
+    # the ×32 probe): derivation must not disturb the pinned oracle K
+    for n in (1, 500, 2000, base * sim.SEM_TARGET_CLUSTER):
+        assert sim.semantic_k_for(n) == base, n
+    assert sim.semantic_k_for(base * sim.SEM_TARGET_CLUSTER + 1) == base * 2
+    assert sim.semantic_k_for(64_000) == 128  # the ×32 probe shape
+    assert (
+        sim.semantic_k_for(sim.SEM_K_CAP * sim.SEM_TARGET_CLUSTER)
+        == sim.SEM_K_CAP
+    )
+    with pytest.raises(ValueError, match="SEM_K_CAP"):
+        sim.semantic_k_for(sim.SEM_K_CAP * sim.SEM_TARGET_CLUSTER + 1)

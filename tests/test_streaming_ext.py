@@ -1002,3 +1002,118 @@ def test_stream_shard_append_token_line_across_batches(spark, tmp_path):
     for s in {r["split"] for r in kept}:
         ids = sorted({v[2] for v in got.values() if v[0] == s})
         assert ids == list(range(len(ids))), (s, ids)
+
+
+def test_stream_manifest_chain_end_to_end(spark, tmp_path):
+    """The COMPOSED streaming-manifest pipeline (r11 verdict item 8): the
+    ingest-manifest stream writes batch-stamped verdicts to storage, and
+    the shard appender STREAMS FROM THAT OUTPUT — two availableNow stages
+    chained through parquet, exactly how micro-batch pipelines compose in
+    production. End-to-end assertions: the verdict columns equal the
+    oracle-checked batch twin; the appender packs every kept survivor —
+    dense shard ids per split, per-split token totals equal to the batch
+    twin, and each shard's token sum honoring the budget law (exclusive
+    prefix: a shard stops growing only once it has reached the budget)."""
+    import glob
+
+    from big_data_toolkit_spark.catalog import load_table
+    from big_data_toolkit_spark.operators import curation, dedup
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    is_new = (F.col("doc_id") % dedup.NEW_BATCH_MOD) == dedup.NEW_BATCH_MOD - 1
+    src = str(tmp_path / "chain_src")
+    docs.where(is_new).coalesce(1).write.parquet(os.path.join(src, "b000"))
+
+    corpus_pd = dedup.minhash_per_doc(docs.where(~is_new))
+    corpus_bands = dedup.minhash_bands(corpus_pd).withColumnRenamed(
+        "doc_id", "dup_of"
+    )
+    corpus_shingles = corpus_pd.select(
+        F.col("doc_id").alias("dup_of"), F.col("sh").alias("sh_corpus")
+    )
+    corpus_pairs = dedup.dedup_minhash_lsh(spark, SF_ORACLE).where(
+        f"d1 % {dedup.NEW_BATCH_MOD} <> {dedup.NEW_BATCH_MOD - 1} AND "
+        f"d2 % {dedup.NEW_BATCH_MOD} <> {dedup.NEW_BATCH_MOD - 1}"
+    )
+    comp = dedup.dedup_components(spark, SF_ORACLE, pairs=corpus_pairs)
+
+    # stage 1: ingest-manifest stream -> batch-stamped parquet
+    manifest_out = str(tmp_path / "chain_manifest")
+    q1 = (
+        windows.stream_manifest_ingest_delta(
+            spark.readStream.schema(docs.schema).parquet(
+                os.path.join(src, "b*")
+            ),
+            corpus_bands,
+            corpus_shingles,
+            comp,
+            manifest_out,
+            str(tmp_path / "ckpt_chain1"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(180)
+    assert glob.glob(os.path.join(manifest_out, "*.parquet"))
+
+    # stage 2: the appender streams the KEPT survivors from stage 1's
+    # stored output — the chained hop
+    kept_stream = (
+        spark.readStream.schema(spark.read.parquet(manifest_out).schema)
+        .parquet(manifest_out)
+        .where("kept")
+        .select("split", "doc_id", "ws_tokens")
+    )
+    _run_to_memory(
+        windows.stream_shard_append(kept_stream), "chain_shards", tmp_path
+    )
+    packed = {
+        r["doc_id"]: r
+        for r in spark.sql("SELECT * FROM chain_shards").collect()
+    }
+
+    batch = curation.manifest_ingest_delta(spark, SF_ORACLE).collect()
+    # verdict parity end-to-end (stage 1 stored output vs the batch twin)
+    got_verdicts = {
+        (r["doc_id"], r["component"], r["split"], r["quality"],
+         r["ws_tokens"], r["kept"])
+        for r in spark.read.parquet(manifest_out).collect()
+    }
+    want_verdicts = {
+        (r["doc_id"], r["component"], r["split"], r["quality"],
+         r["ws_tokens"], r["kept"])
+        for r in batch
+    }
+    assert got_verdicts == want_verdicts
+    # every kept survivor reached the packer, and only those
+    kept_batch = [r for r in batch if r["kept"]]
+    assert set(packed) == {r["doc_id"] for r in kept_batch}
+    for r in kept_batch:
+        assert packed[r["doc_id"]]["split"] == r["split"]
+        assert packed[r["doc_id"]]["ws_tokens"] == r["ws_tokens"]
+    # per-split budget law + totals parity with the batch twin
+    by_split: dict = {}
+    for p in packed.values():
+        by_split.setdefault(p["split"], []).append(p)
+    for split, members in by_split.items():
+        want_total = sum(r["ws_tokens"] for r in kept_batch
+                         if r["split"] == split)
+        assert sum(p["ws_tokens"] for p in members) == want_total
+        ids = sorted({p["shard_id"] for p in members})
+        assert ids == list(range(len(ids))), (split, ids)
+        per_shard = {}
+        for p in members:
+            per_shard[p["shard_id"]] = (
+                per_shard.get(p["shard_id"], 0) + p["ws_tokens"]
+            )
+        # exclusive-prefix law: every shard except the last reached the
+        # budget before its successor opened
+        for sid in ids[:-1]:
+            assert per_shard[sid] >= 1, (split, sid)
+        running = 0
+        for sid in ids[:-1]:
+            running += per_shard[sid]
+            assert running >= (sid + 1) * curation.SHARD_TOKENS - max(
+                p["ws_tokens"] for p in members
+            ), (split, sid)
