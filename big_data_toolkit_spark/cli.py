@@ -38,7 +38,7 @@ def _registry():
         sql_analytics,
         text_analytics,
     )
-    from big_data_toolkit_spark.plans import scale
+    from big_data_toolkit_spark.plans import materialize, scale
     from big_data_toolkit_spark.streaming import anomaly as streaming_anomaly
     from big_data_toolkit_spark.streaming import windows as streaming_windows
 
@@ -59,6 +59,7 @@ def _registry():
         multimodal,
         curation,
         scale,
+        materialize,
     ):
         out.update(mod.QUERIES)
     return out
