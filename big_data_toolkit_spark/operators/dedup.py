@@ -1817,10 +1817,10 @@ def semantic_dedup(
     """
     from big_data_toolkit_spark.operators.similarity import (
         _dot,
-        _kmeans_assign,
         _lloyd,
         _norm,
         _quantize,
+        kmeans_assign_auto,
         semantic_k_for,
     )
 
@@ -1829,7 +1829,9 @@ def semantic_dedup(
         q, cents = _lloyd(spark, sf_dir, k=k)
     else:
         q = _quantize(load_table(spark, sf_dir, "embeddings"))
-    assigned = _kmeans_assign(q, cents).select("vec_id", "embedding", "cluster")
+    assigned = kmeans_assign_auto(q, cents).select(
+        "vec_id", "embedding", "cluster"
+    )
     nemb = assigned.select(
         "vec_id", "cluster", "embedding", _norm("embedding").alias("nrm")
     )

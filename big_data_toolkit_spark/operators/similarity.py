@@ -315,6 +315,49 @@ def _kmeans_assign(q: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
     return q.withColumn("cluster", cluster)
 
 
+# Largest K the literal-fold assignment compiles comfortably: each
+# centroid is a dim-length CAST-literal array in ONE projection, so K
+# bounds codegen size (K=256 ⇒ ~16k literals — fine; K=16k ⇒ 1M literals
+# — not a plan, a program).  Past it, assignment switches to the Arrow
+# GEMM below: same argmin/tie rule, BLAS throughput, no plan blowup.
+ASSIGN_LITERAL_MAX_K = 256
+
+
+def _kmeans_assign_gemm(q: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
+    """q + (cluster): Arrow-batched nearest-centroid assignment for K past
+    ``ASSIGN_LITERAL_MAX_K`` — a batched ||q||² − 2qᵀC + ||C||² GEMM over
+    the quantized ticks against the broadcast K×dim centroid matrix
+    (K·dim·8 bytes in the UDF closure: 8 MiB at K=16384, dim=64).
+
+    Ties break to the smallest cluster id (``np.argmin`` returns the
+    first minimum over ascending-sorted cids), matching the literal
+    path's rule.  NOT bit-guaranteed against the literal fold on exact
+    distance ties (the expanded GEMM rounds differently than the
+    in-order fold), which is why the oracle-gated K=16 queries keep the
+    literal path; the beyond-cap path trades that for linear-algebra
+    throughput at cluster counts where a literal plan cannot compile.
+    """
+    cids = np.array(sorted(cents), dtype=np.int64)
+    C = np.array([cents[c] for c in cids], dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+
+    @F.pandas_udf("long")
+    def nearest(qv: pd.Series) -> pd.Series:
+        Q = np.array(qv.tolist(), dtype=np.float64)
+        d = (Q * Q).sum(axis=1, keepdims=True) - 2.0 * (Q @ C.T) + c2
+        return pd.Series(cids[np.argmin(d, axis=1)])
+
+    return q.withColumn("cluster", nearest("qv"))
+
+
+def kmeans_assign_auto(q: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
+    """Assignment dispatch: the oracle-exact literal fold up to
+    ``ASSIGN_LITERAL_MAX_K`` centroids, the Arrow GEMM beyond."""
+    if len(cents) <= ASSIGN_LITERAL_MAX_K:
+        return _kmeans_assign(q, cents)
+    return _kmeans_assign_gemm(q, cents)
+
+
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cluster): distributed Lloyd k-means over the embeddings,
     ``KMEANS_ITERS`` update rounds from the ``CENTROID_IDS`` seed vectors.
@@ -341,14 +384,16 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEM_TARGET_CLUSTER = 512  # SemDeDup per-cluster population target
-# K cap for the literal-centroid Lloyd path: the assignment is a K×dim
-# in-row fold, so K bounds codegen size, and the within-cluster pair
-# stage costs O(n²/K) — at the cap and target, n ≤ SEM_TARGET_CLUSTER ×
-# SEM_K_CAP ≈ 5×10⁵ vectors.  Past it, raise rather than degrade: the
-# beyond-cap shapes are the cell-partitioned stored index
-# (plans.materialize's PQ artifact) or a distributed assignment join —
-# the same refuse-to-fake policy as BLOOM_M_MAX.
-SEM_K_CAP = 1024
+# K cap for the driver-parameterized Lloyd path: assignment dispatches
+# to the Arrow GEMM past ASSIGN_LITERAL_MAX_K, so the binding costs are
+# the K×dim centroid matrix in the UDF closure (8 MiB at the cap) and
+# the K×(dim+1)-cell Lloyd update fetch — at the cap and target,
+# n ≤ SEM_TARGET_CLUSTER × SEM_K_CAP ≈ 8.4M vectors per semantic_dedup
+# call.  Past it, raise rather than degrade: the beyond-cap shape
+# shards the corpus by a coarse IVF cell first (the cell-partitioned
+# stored index, plans.materialize) and runs SemDeDup per cell — the
+# same refuse-to-fake policy as BLOOM_M_MAX.
+SEM_K_CAP = 1 << 14
 
 
 def semantic_k_for(n_vectors: int) -> int:
@@ -370,9 +415,10 @@ def semantic_k_for(n_vectors: int) -> int:
     if k > SEM_K_CAP:
         raise ValueError(
             f"{n_vectors} vectors need K={k} > SEM_K_CAP={SEM_K_CAP} for "
-            f"the literal-centroid Lloyd path; use the cell-partitioned "
-            "stored index (plans.materialize) or a distributed assignment "
-            "join instead of degrading the SemDeDup cost model silently"
+            f"the driver-parameterized Lloyd path; shard the corpus by a "
+            "coarse IVF cell (the cell-partitioned stored index, "
+            "plans.materialize) and run SemDeDup per cell instead of "
+            "degrading the cost model silently"
         )
     return k
 
@@ -411,7 +457,7 @@ def _lloyd(
     # lineage flat (iteration plans stay O(1), not O(iteration)).
     q = _quantize(emb).localCheckpoint()
     for _ in range(KMEANS_ITERS):
-        assigned = _kmeans_assign(q, cents)
+        assigned = kmeans_assign_auto(q, cents)
         rows = (
             assigned.groupBy("cluster")
             .agg(

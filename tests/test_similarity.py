@@ -510,9 +510,51 @@ def test_semantic_k_for_derivation():
         assert sim.semantic_k_for(n) == base, n
     assert sim.semantic_k_for(base * sim.SEM_TARGET_CLUSTER + 1) == base * 2
     assert sim.semantic_k_for(64_000) == 128  # the ×32 probe shape
+    assert sim.semantic_k_for(640_000) == 2048  # ×320: GEMM-assigned
     assert (
         sim.semantic_k_for(sim.SEM_K_CAP * sim.SEM_TARGET_CLUSTER)
         == sim.SEM_K_CAP
     )
     with pytest.raises(ValueError, match="SEM_K_CAP"):
         sim.semantic_k_for(sim.SEM_K_CAP * sim.SEM_TARGET_CLUSTER + 1)
+
+
+def test_gemm_assignment_matches_literal_fold(spark):
+    """The beyond-ASSIGN_LITERAL_MAX_K GEMM assignment must agree with the
+    oracle-exact literal fold on real data (ties are measure-zero on the
+    fixture; the dispatch keeps the literal path wherever the oracle
+    runs)."""
+    from big_data_toolkit_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    q, cents = sim._lloyd(spark, SF_SMOKE)
+    lit = {
+        r["vec_id"]: r["cluster"]
+        for r in sim._kmeans_assign(q, cents).select(
+            "vec_id", "cluster"
+        ).collect()
+    }
+    gemm = {
+        r["vec_id"]: r["cluster"]
+        for r in sim._kmeans_assign_gemm(q, cents).select(
+            "vec_id", "cluster"
+        ).collect()
+    }
+    assert lit == gemm
+    # dispatch: literal at K=16, GEMM past the literal cap
+    assert sim.kmeans_assign_auto(q, cents) is not None
+    big = {i: cents[sorted(cents)[0]] for i in range(sim.ASSIGN_LITERAL_MAX_K + 1)}
+    plan = (
+        sim.kmeans_assign_auto(q, big)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan or "EvalPython" in plan
+    small_plan = (
+        sim.kmeans_assign_auto(q, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in small_plan
