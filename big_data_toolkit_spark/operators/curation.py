@@ -500,6 +500,7 @@ def manifest_compact(
     sf_dir: str,
     budget: int = SHARD_TOKENS,
     pairs: DataFrame | None = None,
+    comp: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, component, split, prev_split, split_moved, prev_kept,
     quality, ws_tokens, shard_id): the NIGHTLY REBUILD that closes the
@@ -531,7 +532,11 @@ def manifest_compact(
     ``training_manifest`` pipeline over the full closure plus one
     corpus-scan's worth of prev-state columns. ``pairs`` (optional):
     the stored ``neardup_pairs`` artifact — the production shape, where
-    compaction costs zero MinHash work (see ``plans.materialize``).
+    compaction costs zero MinHash work; ``comp`` (optional): the stored
+    ``neardup_components`` closure (it covers the FULL pair graph,
+    delta nodes included), which also skips the full-closure propagation
+    rounds — the materialized form then runs only the corpus-only
+    closure in-plan (see ``plans.materialize``).
     """
     from big_data_toolkit_spark.operators.dedup import (
         NEW_BATCH_MOD,
@@ -547,7 +552,9 @@ def manifest_compact(
     if pairs is None:
         pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
     corpus_pairs = pairs.where(~_is_new(F.col("d1")) & ~_is_new(F.col("d2")))
-    full_comp = dedup_components(spark, sf_dir, pairs=pairs)
+    full_comp = (
+        dedup_components(spark, sf_dir, pairs=pairs) if comp is None else comp
+    )
     # The post state IS training_manifest over the full closure — the
     # pipeline cannot drift from the gated op because it IS the gated op.
     post = training_manifest(spark, sf_dir, budget, comp=full_comp)

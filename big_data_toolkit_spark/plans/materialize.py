@@ -244,15 +244,20 @@ def manifest_ingest_delta_materialized(
 def manifest_compact_materialized(
     spark: SparkSession, sf_dir: str, workdir: str
 ) -> DataFrame:
-    """The nightly rebuild over the stored PAIR table: the full closure,
-    the corpus-only closure, and the cross matches all derive from
-    ``neardup_pairs``, so compaction costs zero MinHash work — the
-    per-night price is two pair-graph closures plus the manifest
-    pipeline's corpus scan."""
+    """The nightly rebuild over the stored artifacts: the FULL closure is
+    the stored ``neardup_components`` table (it covers the whole pair
+    graph, delta nodes included), and the corpus-only closure plus the
+    cross matches derive from the stored ``neardup_pairs`` — so
+    compaction costs zero MinHash work AND zero full-graph propagation;
+    the per-night price is one pair-graph-sized corpus-only closure plus
+    the manifest pipeline's corpus scan."""
     from big_data_toolkit_spark.operators.curation import manifest_compact
 
     return manifest_compact(
-        spark, sf_dir, pairs=read_neardup_pairs(spark, workdir)
+        spark,
+        sf_dir,
+        pairs=read_neardup_pairs(spark, workdir),
+        comp=read_neardup_components(spark, workdir),
     )
 
 
@@ -436,14 +441,25 @@ def _write_id_vec_table(path: str, ids: list[int], vecs: dict) -> None:
     pq.write_table(table, os.path.join(path, "part-00000.parquet"))
 
 
-def build_pq_artifact(spark: SparkSession, sf_dir: str, workdir: str) -> dict[str, str]:
+def build_pq_artifact(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    corpus_only: bool = False,
+) -> dict[str, str]:
     """One map-only corpus scan writes the code table (vec_id, 8 donor-id
     codes — dictionary-encoded bytes in parquet), PARTITIONED BY the
     coarse IVF cell so a probed search becomes directory pruning: an
     nprobe/nlist query never opens the other cells' files. The 16-row
     codebook and the 16-row coarse quantizer persist alongside, so a
     consumer needs the embeddings table ONLY for the query vector's
-    point lookup."""
+    point lookup.
+
+    ``corpus_only``: encode only the non-delta slice (the index
+    parameters — codebook and quantizer — still derive from their
+    pinned vector ids, i.e. they are the same either way); the delta
+    then arrives later via ``compact_pq_artifact``, and the result is
+    bit-equal to a full build."""
     from big_data_toolkit_spark.catalog import load_table
     from big_data_toolkit_spark.operators.similarity import (
         _pq_codebook,
@@ -460,7 +476,16 @@ def build_pq_artifact(spark: SparkSession, sf_dir: str, workdir: str) -> dict[st
     # pq_codes_wide keeps qv in scope of its select — recompute cell from
     # the same _quantize frame so one scan emits codes + cell together
     # (the codes column itself is the shared pq_codes_col definition).
-    q = _quantize(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    if corpus_only:
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from big_data_toolkit_spark.operators.dedup import NEW_BATCH_MOD
+
+        emb = emb.where(
+            F.col("vec_id") % NEW_BATCH_MOD != NEW_BATCH_MOD - 1
+        )
+    q = _quantize(emb)
     coded = _with_pq_idx(q, donors)
     coded.select(
         "vec_id",
@@ -481,6 +506,47 @@ def build_pq_artifact(spark: SparkSession, sf_dir: str, workdir: str) -> dict[st
 
 def read_pq_codes(spark: SparkSession, workdir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(workdir, PQ_CODES_DIR))
+
+
+def compact_pq_artifact(spark: SparkSession, sf_dir: str, workdir: str) -> None:
+    """Append the delta slice's codes to the STORED cell-partitioned code
+    table — the index-lifecycle twin of ``manifest_compact``: the nightly
+    store absorbs the day's arrivals.
+
+    The stored codebook and coarse quantizer are FROZEN (read back from
+    the artifact, never retrained — retraining would silently invalidate
+    every code already on disk), so per-compaction cost is one
+    delta-sized encode plus a partitioned append: each delta row lands in
+    its cell's directory and searches keep pruning exactly as before.
+    Parquet round-trips the BIGINT codes exactly, so a store built
+    corpus-only and then compacted is BIT-EQUAL to a fresh build over
+    the full table (asserted in tests/test_materialize.py) — the
+    append-then-search path needs no special casing anywhere downstream.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from big_data_toolkit_spark.catalog import load_table
+    from big_data_toolkit_spark.operators.dedup import NEW_BATCH_MOD
+    from big_data_toolkit_spark.operators.similarity import (
+        _quantize,
+        _with_pq_idx,
+        pq_cell_col,
+        pq_codes_col,
+    )
+
+    donors = read_pq_codebook(spark, workdir)
+    cents_q = read_pq_centroids(spark, workdir)
+    delta = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    )
+    coded = _with_pq_idx(_quantize(delta), donors)
+    coded.select(
+        "vec_id",
+        pq_codes_col(donors).alias("codes"),
+        pq_cell_col(cents_q).alias("cell"),
+    ).write.mode("append").partitionBy("cell").parquet(
+        os.path.join(workdir, PQ_CODES_DIR)
+    )
 
 
 def _read_id_vec_table(

@@ -237,3 +237,44 @@ def test_manifest_ingest_delta_materialized_equals_inplan(spark, workdir):
             spark, SF_SMOKE, workdir
         )
     ) == _rows(curation.manifest_ingest_delta(spark, SF_SMOKE))
+
+
+def test_pq_compact_equals_full_build(spark, tmp_path):
+    """The index-lifecycle twin of manifest_compact: a store built
+    corpus-only and then COMPACTED with the delta slice is bit-equal to
+    a fresh full build — same code rows, same cells — and the stored
+    IVFADC search over the compacted store returns the full build's
+    exact results (the frozen codebook/quantizer make appends
+    invisible to every consumer)."""
+    from tests.conftest import SF_SMOKE
+
+    full_wd = str(tmp_path / "pq_full")
+    materialize.build_pq_artifact(spark, SF_SMOKE, full_wd)
+    inc_wd = str(tmp_path / "pq_inc")
+    materialize.build_pq_artifact(spark, SF_SMOKE, inc_wd, corpus_only=True)
+
+    n_corpus = materialize.read_pq_codes(spark, inc_wd).count()
+    n_full = materialize.read_pq_codes(spark, full_wd).count()
+    assert 0 < n_corpus < n_full  # the delta slice is really missing
+
+    materialize.compact_pq_artifact(spark, SF_SMOKE, inc_wd)
+
+    def code_rows(wd):
+        return sorted(
+            (r["vec_id"], tuple(r["codes"]), r["cell"])
+            for r in materialize.read_pq_codes(spark, wd).collect()
+        )
+
+    assert code_rows(inc_wd) == code_rows(full_wd)
+    assert materialize.read_pq_codebook(spark, inc_wd) == \
+        materialize.read_pq_codebook(spark, full_wd)
+
+    def hits(wd):
+        return [
+            (r["vec_id"], r["adc_dist2"])
+            for r in materialize.knn_ivfpq_materialized(
+                spark, SF_SMOKE, wd
+            ).collect()
+        ]
+
+    assert hits(inc_wd) == hits(full_wd)
