@@ -430,14 +430,25 @@ def _lloyd(
     centroids (cluster_id → double vector) — shared by ``kmeans_clusters``
     and ``knn_ivf_trained`` (default K = the oracle-pinned CENTROID_IDS)
     and by ``semantic_dedup`` with its size-derived ``k``: seeds are the
-    first ``k`` vec_ids from CENTROID_IDS' start, so K=16 reproduces the
-    pinned seed set exactly."""
+    ``k`` LOWEST vec_ids PRESENT in the table at or above CENTROID_IDS'
+    start — on a table whose ids are contiguous from 0 that is exactly
+    ``range(10, 10+k)``, and K=16 always reproduces the pinned seed set,
+    but a sparse id space (ingest strides, compacted deltas) still seeds
+    deterministically instead of raising on missing ids.  The seed fetch
+    is a TakeOrdered of K ids — O(K) driver bytes, the same budget as
+    the centroid fetch itself."""
     emb = load_table(spark, sf_dir, "embeddings")
-    seed_ids = (
-        list(CENTROID_IDS)
-        if k is None or k == len(CENTROID_IDS)
-        else list(range(CENTROID_IDS[0], CENTROID_IDS[0] + k))
-    )
+    if k is None or k == len(CENTROID_IDS):
+        seed_ids = list(CENTROID_IDS)
+    else:
+        seed_ids = [
+            r["vec_id"]
+            for r in emb.where(F.col("vec_id") >= CENTROID_IDS[0])
+            .select("vec_id")
+            .orderBy("vec_id")
+            .limit(k)
+            .collect()
+        ]
     init_rows = (
         _quantize(emb.where(F.col("vec_id").isin(seed_ids)))
         .select("vec_id", "qv")
