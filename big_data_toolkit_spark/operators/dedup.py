@@ -1046,23 +1046,19 @@ def dedup_incremental_bloom(
     # Size m from the TABLE row count read off the parquet footers
     # (``table_row_count`` — a driver-side metadata read, zero Spark
     # jobs; at cluster scale this is a catalog statistics lookup), not
-    # the distinct-fingerprint count: that bound costs no Spark work,
-    # while the exact distinct count would be a full
-    # tokenize+md5+shuffle pass before any real work.  The delta slice
-    # (doc_id % NEW_BATCH_MOD == NEW_BATCH_MOD-1) is never in the build
-    # side, so its expected share is subtracted first — sizing on ALL
-    # rows made the cap check raise on corpora that actually fit
-    # (ADVICE r11).  Cost: a heavily-duplicated corpus still gets a
-    # bitmap up to one dup-ratio larger than needed, so when the cheap
-    # bound would raise past the 2^27 cap, fall back to the EXACT
-    # distinct count (one pass over the already-built ``existing``
-    # frame) before refusing — the cap then reflects real load, not
-    # the bound's slack.
+    # the distinct-fingerprint count: the row count is a TRUE upper
+    # bound on the build side whatever the doc_id distribution, so the
+    # fill target is never undersized, while the exact distinct count
+    # would be a full tokenize+md5+shuffle pass before any real work.
+    # When the conservative bound would raise past the 2^27 cap
+    # (delta share + dup ratio are slack it cannot see — ADVICE r11),
+    # fall back to the EXACT distinct count (one pass over the
+    # already-built ``existing`` frame, reused via the cache by the
+    # positions pass) before refusing — the cap then reflects real
+    # load, not the bound's slack.
     if n_fingerprints is None:
-        n = table_row_count(sf_dir, "documents")
-        bound = n - n // NEW_BATCH_MOD
         try:
-            m = bloom_m_for(bound)
+            m = bloom_m_for(table_row_count(sf_dir, "documents"))
         except ValueError:
             existing = existing.persist()
             m = bloom_m_for(existing.count())  # may still raise: real
@@ -1159,22 +1155,22 @@ def dedup_incremental_bloom_sharded(
     existing = fp.where(~is_new).select("content_md5").distinct()
     # Per-shard sizing from the table row count read off the parquet
     # footers (driver-side metadata, zero Spark jobs — same rationale
-    # as the broadcast form, including the delta-share subtraction and
-    # the exact-count fallback before the cap raises) over the
-    # per-shard load, with a 20% skew margin: md5 sharding is
-    # near-uniform but not exact, and an over-mean shard past the fill
-    # target would degrade its false-positive rate (extra anti-join
-    # work; output stays exact either way).  The margin at most
-    # doubles m_shard (power-of-two rounding), which 16 shards
-    # amortize (the planted-skew property test pins the margin's
-    # adequacy on an adversarial shard distribution).
+    # as the broadcast form: a TRUE upper bound whatever the doc_id
+    # distribution, with the exact-distinct-count fallback before the
+    # cap raises, ADVICE r11) over the per-shard load, with a 20% skew
+    # margin: md5 sharding is near-uniform but not exact, and an
+    # over-mean shard past the fill target would degrade its
+    # false-positive rate (extra anti-join work; output stays exact
+    # either way).  The margin at most doubles m_shard (power-of-two
+    # rounding), which 16 shards amortize (the planted-skew property
+    # test pins the margin's adequacy on an adversarial shard
+    # distribution).
     def _m_shard_for(nfp: int) -> int:
         return bloom_m_for(-(-(nfp * 6) // (5 * BLOOM_SHARDS)))
 
     if n_fingerprints is None:
-        n = table_row_count(sf_dir, "documents")
         try:
-            m_shard = _m_shard_for(n - n // NEW_BATCH_MOD)
+            m_shard = _m_shard_for(table_row_count(sf_dir, "documents"))
         except ValueError:
             existing = existing.persist()
             m_shard = _m_shard_for(existing.count())  # may still raise

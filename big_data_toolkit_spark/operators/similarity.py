@@ -1861,8 +1861,10 @@ def pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (
             int(k),
-            round(float(lam[k]), 6),
-            round(float(lam[k] / total), 6) if total > 0 else 0.0,
+            # + 0.0 canonicalizes IEEE negative zero (the PMI convention):
+            # a PSD eigenvalue can round to -0.0 from float error
+            round(float(lam[k]), 6) + 0.0,
+            (round(float(lam[k] / total), 6) + 0.0) if total > 0 else 0.0,
         )
         for k in range(min(PCA_TOP_K, EMB_DIM))
     ]
@@ -1904,8 +1906,11 @@ def _pca_variance_sql(top_k: int = PCA_TOP_K, s: int = PCA_SQUARINGS) -> str:
     ),
     a0 AS MATERIALIZED (
       SELECT i, j,
-             (s_ij - s_i * s_j / n) / n / {KMEANS_QUANT * KMEANS_QUANT}
-               AS val
+             -- HUGEINT product: BIGINT tick-sums multiply past int64 at
+             -- ~3e9 per column sum (the engine side is Python ints); the
+             -- exact 128-bit product then divides like Python's int/int
+             (s_ij - (s_i::HUGEINT * s_j) / n) / n
+               / {KMEANS_QUANT * KMEANS_QUANT} AS val
       FROM stats
     ),
     tr AS (SELECT sum(val) AS trace FROM a0 WHERE i = j)"""
@@ -1915,7 +1920,9 @@ def _pca_variance_sql(top_k: int = PCA_TOP_K, s: int = PCA_SQUARINGS) -> str:
         for t in range(1, s + 1):
             sql += f""",
     b{k}_{t} AS MATERIALIZED (
-      SELECT i, j, val / max(abs(val)) OVER () AS val FROM (
+      SELECT i, j,
+             coalesce(val / nullif(max(abs(val)) OVER (), 0), 0.0) AS val
+      FROM (
         SELECT x.i AS i, y.j AS j, sum(x.val * y.val) AS val
         FROM b{k}_{t - 1} x JOIN b{k}_{t - 1} y ON x.j = y.i
         GROUP BY x.i, y.j
@@ -1923,12 +1930,14 @@ def _pca_variance_sql(top_k: int = PCA_TOP_K, s: int = PCA_SQUARINGS) -> str:
     )"""
         sql += f""",
     v{k} AS MATERIALIZED (
-      SELECT i AS pos, sv / sqrt(sum(sv * sv) OVER ()) AS v FROM (
+      SELECT i AS pos,
+             coalesce(sv / nullif(sqrt(sum(sv * sv) OVER ()), 0), 0.0) AS v
+      FROM (
         SELECT i, sum(val) AS sv FROM b{k}_{s} GROUP BY i
       )
     ),
     lam{k} AS MATERIALIZED (
-      SELECT sum(a.val * x.v * y.v) AS lam
+      SELECT coalesce(sum(a.val * x.v * y.v), 0.0) AS lam
       FROM a{k} a JOIN v{k} x ON a.i = x.pos JOIN v{k} y ON a.j = y.pos
     ),
     a{k + 1} AS MATERIALIZED (
@@ -1939,8 +1948,11 @@ def _pca_variance_sql(top_k: int = PCA_TOP_K, s: int = PCA_SQUARINGS) -> str:
       CROSS JOIN lam{k} l
     )"""
     parts = "\n    UNION ALL\n    ".join(
-        f"SELECT {k} AS component, round(lam, 6) AS eigenvalue, "
-        f"round(lam / trace, 6) AS var_ratio FROM lam{k}, tr"
+        # + 0.0 canonicalizes IEEE negative zero (the PMI convention); the
+        # trace CASE matches the engine's `if total > 0 else 0.0` guard
+        f"SELECT {k} AS component, round(lam, 6) + 0.0 AS eigenvalue, "
+        f"CASE WHEN trace > 0 THEN round(lam / trace, 6) + 0.0 "
+        f"ELSE 0.0 END AS var_ratio FROM lam{k}, tr"
         for k in range(top_k)
     )
     return sql + f"\n    {parts}\n    ORDER BY component"

@@ -46,6 +46,8 @@ from big_data_toolkit_spark.sources.writers import write_sorted_bucketed
 PAIRS_DIR = "neardup_pairs"
 CENTROIDS_DIR = "centroids"
 COMPONENTS_DIR = "neardup_components"
+SEM_CENTROIDS_DIR = "centroids_sem"  # derived-K SemDeDup centroids (only
+# written when semantic_k_for(corpus) exceeds the shared K=16 table)
 
 
 def build_artifacts(spark: SparkSession, sf_dir: str, workdir: str) -> dict[str, str]:
@@ -89,17 +91,36 @@ def build_artifacts(spark: SparkSession, sf_dir: str, workdir: str) -> dict[str,
     )
 
     _, cents = _lloyd(spark, sf_dir)
-    # The centroid table is K driver-resident rows — write it with pyarrow
-    # directly instead of round-tripping through a Spark job
-    # (createDataFrame over Python rows + coalesce(1).write measured 4.3 s
-    # of the 8.6 s build for 16 rows: Python-RDD serialization plus a full
-    # job for data that never left the driver). Spark reads the directory
-    # back like any parquet table; doubles round-trip bit-exactly either
-    # way.
+    _write_centroid_table(cents_path, cents)
+    # Derived-K SemDeDup centroids: the fixed-K table above is the one
+    # knn_ivf_trained's (oracle-pinned K=16) consumers key on, but
+    # semantic_dedup's cost model requires K ∝ corpus size — on a corpus
+    # past the 16-cluster envelope, train and persist a SECOND centroid
+    # table at the derived K so the stored path runs the same clustering
+    # the in-plan op does (at gate scales the derivation floors to 16 and
+    # the shared table serves both, so nothing extra is written).
+    sem_path = _write_semantic_centroids(spark, sf_dir, workdir)
+    out = {
+        PAIRS_DIR: pairs_path,
+        CENTROIDS_DIR: cents_path,
+        COMPONENTS_DIR: comps_path,
+    }
+    if sem_path is not None:
+        out[SEM_CENTROIDS_DIR] = sem_path
+    return out
+
+
+def _write_centroid_table(path: str, cents: dict[int, list[float]]) -> None:
+    """Persist a K-row centroid dict — pyarrow directly instead of a Spark
+    job (createDataFrame over Python rows + coalesce(1).write measured
+    4.3 s of the 8.6 s build for 16 rows: Python-RDD serialization plus a
+    full job for data that never left the driver). Spark reads the
+    directory back like any parquet table; doubles round-trip bit-exactly
+    either way."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    os.makedirs(cents_path, exist_ok=True)
+    os.makedirs(path, exist_ok=True)
     table = pa.table(
         {
             "cluster": pa.array(
@@ -111,12 +132,30 @@ def build_artifacts(spark: SparkSession, sf_dir: str, workdir: str) -> dict[str,
             ),
         }
     )
-    pq.write_table(table, os.path.join(cents_path, "part-00000.parquet"))
-    return {
-        PAIRS_DIR: pairs_path,
-        CENTROIDS_DIR: cents_path,
-        COMPONENTS_DIR: comps_path,
-    }
+    pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+
+
+def _write_semantic_centroids(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> str | None:
+    """Train and persist the derived-K SemDeDup centroid table when the
+    corpus needs more clusters than the shared K=16 artifact; returns the
+    path, or None when the derivation floors to 16 (the shared table then
+    serves semantic_dedup too — ``read_semantic_centroids`` falls back)."""
+    from big_data_toolkit_spark.catalog import table_row_count
+    from big_data_toolkit_spark.operators.similarity import (
+        CENTROID_IDS,
+        _lloyd,
+        semantic_k_for,
+    )
+
+    k = semantic_k_for(table_row_count(sf_dir, "embeddings"))
+    if k == len(CENTROID_IDS):
+        return None
+    _, cents = _lloyd(spark, sf_dir, k=k)
+    sem_path = os.path.join(workdir, SEM_CENTROIDS_DIR)
+    _write_centroid_table(sem_path, cents)
+    return sem_path
 
 
 def read_neardup_pairs(spark: SparkSession, workdir: str) -> DataFrame:
@@ -125,6 +164,24 @@ def read_neardup_pairs(spark: SparkSession, workdir: str) -> DataFrame:
 
 def read_neardup_components(spark: SparkSession, workdir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(workdir, COMPONENTS_DIR))
+
+
+def read_semantic_centroids(
+    spark: SparkSession, workdir: str
+) -> dict[int, list[float]]:
+    """Centroids for the stored SemDeDup path: the derived-K
+    ``centroids_sem`` table when the build wrote one (corpus past the
+    16-cluster envelope), else the shared K=16 table — mirroring
+    ``semantic_k_for``'s floor, so the stored path always clusters
+    exactly like the in-plan op."""
+    sem_path = os.path.join(workdir, SEM_CENTROIDS_DIR)
+    if os.path.isdir(sem_path):
+        rows = spark.read.parquet(sem_path).collect()
+        return {
+            int(r["cluster"]): [float(x) for x in r["centroid"]]
+            for r in rows
+        }
+    return read_centroids(spark, workdir)
 
 
 def read_centroids(spark: SparkSession, workdir: str) -> dict[int, list[float]]:
@@ -171,7 +228,9 @@ def semantic_dedup_materialized(
 ) -> DataFrame:
     from big_data_toolkit_spark.operators.dedup import semantic_dedup
 
-    return semantic_dedup(spark, sf_dir, cents=read_centroids(spark, workdir))
+    return semantic_dedup(
+        spark, sf_dir, cents=read_semantic_centroids(spark, workdir)
+    )
 
 
 def knn_ivf_trained_materialized(
@@ -276,13 +335,16 @@ _CONSUMERS = (
 
 
 def materialized_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build both artifacts into a scratch dir, run all five consumers, and
+    """Build the three shared artifacts (pair graph, centroids, component
+    closure) into a scratch dir, run every ``_CONSUMERS`` entry, and
     return one (consumer, n_rows) summary row per consumer.
 
-    The bench entry for the artifact-sharing pattern: its wall-clock covers
-    ONE pair-graph build + ONE centroid training + five consumers, vs five
-    independent in-plan recomputes for the gated query forms. Scratch lives
-    under the JVM's Spark local dir (cleaned with the session)."""
+    The test entry for the artifact-sharing pattern: its wall-clock covers
+    ONE pair-graph build + ONE centroid training + ONE closure derivation
+    + all consumers, vs as many independent in-plan recomputes for the
+    gated query forms (per-consumer bench lines are the ``mat_*`` entries).
+    Scratch lives under the JVM's Spark local dir (cleaned with the
+    session)."""
     import shutil
     import tempfile
 
@@ -536,6 +598,24 @@ def compact_pq_artifact(spark: SparkSession, sf_dir: str, workdir: str) -> None:
 
     donors = read_pq_codebook(spark, workdir)
     cents_q = read_pq_centroids(spark, workdir)
+    # Idempotence guard: a blind append after a retry, a double-run, or a
+    # full (non-corpus_only) build would duplicate every delta row in the
+    # code table — and nothing downstream could tell (searches would emit
+    # duplicate hits). Refuse loudly instead; the scan is 8 bytes/vector
+    # over the delta residue class only.
+    already = (
+        read_pq_codes(spark, workdir)
+        .where(F.col("vec_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1)
+        .limit(1)
+        .count()
+    )
+    if already:
+        raise ValueError(
+            f"compact_pq_artifact: the stored code table under {workdir} "
+            "already contains delta-slice codes — compacting again would "
+            "duplicate them; build with corpus_only=True before the first "
+            "compaction, and compact each delta exactly once"
+        )
     delta = load_table(spark, sf_dir, "embeddings").where(
         F.col("vec_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
     )

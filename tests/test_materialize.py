@@ -278,3 +278,45 @@ def test_pq_compact_equals_full_build(spark, tmp_path):
         ]
 
     assert hits(inc_wd) == hits(full_wd)
+
+    # idempotence guard: compacting again (or compacting a full build)
+    # must refuse rather than duplicate the delta rows
+    with pytest.raises(ValueError, match="already contains delta"):
+        materialize.compact_pq_artifact(spark, SF_SMOKE, inc_wd)
+    with pytest.raises(ValueError, match="already contains delta"):
+        materialize.compact_pq_artifact(spark, SF_SMOKE, full_wd)
+    assert code_rows(inc_wd) == code_rows(full_wd)  # nothing was appended
+
+
+def test_semantic_centroids_derived_k_above_threshold(spark, tmp_path):
+    """The r12 review find: the stored-centroid path must run the SAME
+    derived-K clustering the in-plan op does past the 16-cluster
+    envelope.  On a synthetic corpus above semantic_k_for's floor, the
+    build writes the derived-K `centroids_sem` table, the reader prefers
+    it, and the stored SemDeDup output equals the in-plan op's exactly
+    (at gate scales nothing extra is written and the reader falls back
+    to the shared K=16 table — covered by the SF_SMOKE equality test)."""
+    import numpy as np
+
+    from big_data_toolkit_spark.operators import dedup as dd
+    from big_data_toolkit_spark.operators import similarity as sim
+
+    n = 16 * sim.SEM_TARGET_CLUSTER + 1  # smallest corpus past the floor
+    rng = np.random.RandomState(7)
+    emb = rng.rand(n, sim.EMB_DIM).astype("float32")
+    sf = str(tmp_path / "sem_sf")
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in emb[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    assert sim.semantic_k_for(n) == 32
+    wd = str(tmp_path / "sem_wd")
+    sem_path = materialize._write_semantic_centroids(spark, sf, wd)
+    assert sem_path is not None
+    cents = materialize.read_semantic_centroids(spark, wd)
+    assert len(cents) == 32
+
+    stored = _rows(dd.semantic_dedup(spark, sf, cents=cents))
+    inplan = _rows(dd.semantic_dedup(spark, sf))
+    assert stored == inplan and len(stored) == n
