@@ -65,6 +65,7 @@ HEADLINE = {
     "training_manifest": curation.training_manifest,
     "manifest_ingest_delta": curation.manifest_ingest_delta,
     "manifest_compact": curation.manifest_compact,
+    "sequence_pack": curation.sequence_pack,
     "dedup_minhash_incremental": dedup.dedup_minhash_incremental,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
     "dedup_components": dedup.dedup_components,

@@ -194,6 +194,102 @@ def shard_pack(
     return with_shard_id(b, budget).select("doc_id", "ws_tokens", "shard_id")
 
 
+SEQ_LEN = 512  # tokens per packed training sequence
+
+
+def sequence_pack(
+    spark: SparkSession, sf_dir: str, seq_len: int = SEQ_LEN
+) -> DataFrame:
+    """(doc_id, seq_id, offset_in_seq, frag_tokens): concatenate-then-slice
+    SAMPLE PACKING — the map from documents to the fixed-length training
+    sequences a data loader actually feeds the model, one row per
+    (document × sequence) fragment.
+
+    ``shard_pack`` assigns whole docs to ~4k-token STORAGE shards;
+    training additionally needs every doc laid onto a global token line
+    cut into exact ``seq_len``-token sequences, docs crossing cuts split
+    into fragments (GPT-style packing: no padding, boundaries recorded
+    so the loader can reset attention masks). The token line is the same
+    deterministic (hash32(doc_id), doc_id) order the shard packer pins —
+    reproducible from the corpus alone.
+
+    Plan shape = ``with_shard_id``'s two-level exclusive prefix sum
+    (within-bucket window + broadcast ``N_BUCKETS``-row offset table)
+    to place each doc's global start, then a MAP-ONLY in-row explode of
+    the sequence-id range it spans — fragments per doc =
+    ceil-ish(ws_tokens / seq_len) ≤ 1 + ws_tokens/seq_len, so output
+    size is O(total_tokens / seq_len + n_docs): linear, no extra
+    shuffle after the placement. Zero-token docs carry no trainable
+    content and emit no fragment (documented; the manifest ops keep
+    their audit rows instead).
+
+    100 TB note: the heavy window stays bucket-partitioned; the only
+    ordered structure is the offset table (N_BUCKETS rows). Cutting
+    sequences never shuffles — each fragment's (seq_id, offset, length)
+    is row-local arithmetic on the doc's start.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split("text", " +"), lambda t: t != F.lit("")))
+    b = (
+        docs.select(
+            "doc_id",
+            toks.cast("long").alias("ws_tokens"),
+            _hash32(F.col("doc_id")).alias("h"),
+        )
+        .where(F.col("ws_tokens") > 0)
+        .withColumn("bucket", F.col("h") % N_BUCKETS)
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = b.withColumn(
+        "pre", F.coalesce(F.sum("ws_tokens").over(w_in), F.lit(0))
+    )
+    w_off = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        b.groupBy("bucket")
+        .agg(F.sum("ws_tokens").alias("btot"))
+        .withColumn("off", F.coalesce(F.sum("btot").over(w_off), F.lit(0)))
+        .select("bucket", "off")
+    )
+    placed = pre.join(F.broadcast(offsets), "bucket").withColumn(
+        "start", (F.col("pre") + F.col("off")).cast("long")
+    )
+    return (
+        placed.select(
+            "doc_id",
+            "start",
+            "ws_tokens",
+            F.explode(
+                F.expr(
+                    f"sequence(start DIV {seq_len}, "
+                    f"(start + ws_tokens - 1) DIV {seq_len})"
+                )
+            ).alias("seq_id"),
+        )
+        .select(
+            "doc_id",
+            "seq_id",
+            (
+                F.greatest(F.col("start"), F.col("seq_id") * seq_len)
+                - F.col("seq_id") * seq_len
+            ).alias("offset_in_seq"),
+            (
+                F.least(
+                    F.col("start") + F.col("ws_tokens"),
+                    (F.col("seq_id") + 1) * seq_len,
+                )
+                - F.greatest(F.col("start"), F.col("seq_id") * seq_len)
+            ).alias("frag_tokens"),
+        )
+    )
+
+
 TEMPERATURE_BUDGET_DIV = 2  # keep total DIV 2 docs across the mixed corpus
 
 
@@ -1116,6 +1212,54 @@ def _manifest_compact_sql() -> str:
 
 ORACLE_SQL["manifest_compact"] = _manifest_compact_sql()
 
+ORACLE_SQL["sequence_pack"] = f"""
+    WITH b AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, ' +'),
+                             t -> t <> ''))::BIGINT AS ws_tokens,
+             {_H} AS h,
+             {_H} % {N_BUCKETS} AS bucket
+      FROM documents
+      WHERE len(list_filter(string_split_regex(text, ' +'),
+                            t -> t <> '')) > 0
+    ),
+    pre AS (
+      SELECT *,
+             CAST(COALESCE(SUM(ws_tokens) OVER (
+               PARTITION BY bucket ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS pre
+      FROM b
+    ),
+    offsets AS (
+      SELECT bucket,
+             CAST(COALESCE(SUM(SUM(ws_tokens)) OVER (
+               ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+      FROM b GROUP BY bucket
+    ),
+    placed AS (
+      SELECT pre.doc_id, pre.ws_tokens,
+             CAST(pre.pre + offsets.off AS BIGINT) AS start
+      FROM pre JOIN offsets USING (bucket)
+    ),
+    frags AS (
+      SELECT doc_id, start, ws_tokens,
+             CAST(unnest(range(start // {SEQ_LEN},
+                               (start + ws_tokens - 1) // {SEQ_LEN} + 1))
+               AS BIGINT) AS seq_id
+      FROM placed
+    )
+    SELECT doc_id, seq_id,
+           CAST(greatest(start, seq_id * {SEQ_LEN})
+                - seq_id * {SEQ_LEN} AS BIGINT) AS offset_in_seq,
+           CAST(least(start + ws_tokens, (seq_id + 1) * {SEQ_LEN})
+                - greatest(start, seq_id * {SEQ_LEN}) AS BIGINT)
+             AS frag_tokens
+    FROM frags
+"""
+
 QUERIES = {
     "hash_sample": hash_sample,
     "stratified_sample": stratified_sample,
@@ -1127,6 +1271,7 @@ QUERIES = {
     "training_manifest": training_manifest,
     "manifest_ingest_delta": manifest_ingest_delta,
     "manifest_compact": manifest_compact,
+    "sequence_pack": sequence_pack,
 }
 
 

@@ -397,3 +397,59 @@ def test_manifest_compact_oracle(spark):
         curation.ORACLE_SQL["manifest_compact"],
         SF_ORACLE,
     )
+
+
+def test_sequence_pack_tiles_the_token_line(spark):
+    """Sample-packing invariants: per doc the fragments partition its
+    tokens exactly (lengths sum to ws_tokens, contiguous seq_ids, offsets
+    chain across cuts); per sequence the fragments tile [0, SEQ_LEN)
+    without gaps or overlaps, and every sequence except the global last
+    is exactly full — the no-padding GPT-packing contract."""
+    from tests.conftest import SF_ORACLE
+
+    rows = curation.sequence_pack(spark, SF_ORACLE).collect()
+    toks = {
+        r["doc_id"]: r["ws_tokens"]
+        for r in curation.shard_pack(spark, SF_ORACLE).collect()
+        if r["ws_tokens"] > 0
+    }
+    by_doc: dict = {}
+    by_seq: dict = {}
+    for r in rows:
+        assert 0 < r["frag_tokens"] <= curation.SEQ_LEN, r
+        assert 0 <= r["offset_in_seq"] < curation.SEQ_LEN, r
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    assert set(by_doc) == set(toks)  # every non-empty doc, nothing else
+    for d, frs in by_doc.items():
+        frs.sort(key=lambda r: r["seq_id"])
+        assert sum(r["frag_tokens"] for r in frs) == toks[d], d
+        seq_ids = [r["seq_id"] for r in frs]
+        assert seq_ids == list(
+            range(seq_ids[0], seq_ids[0] + len(seq_ids))
+        ), d  # a doc spans CONSECUTIVE sequences
+        for a, b in zip(frs, frs[1:]):
+            # a cut doc ends one sequence exactly and opens the next at 0
+            assert a["offset_in_seq"] + a["frag_tokens"] == curation.SEQ_LEN
+            assert b["offset_in_seq"] == 0
+    last_seq = max(by_seq)
+    assert sorted(by_seq) == list(range(last_seq + 1))  # dense from 0
+    for s, frs in by_seq.items():
+        frs.sort(key=lambda r: r["offset_in_seq"])
+        cursor = 0
+        for r in frs:
+            assert r["offset_in_seq"] == cursor, (s, r)  # no gaps/overlaps
+            cursor += r["frag_tokens"]
+        if s < last_seq:
+            assert cursor == curation.SEQ_LEN, s  # full — no padding
+    assert sum(toks.values()) == sum(r["frag_tokens"] for r in rows)
+
+
+def test_sequence_pack_oracle(spark):
+    from tests.conftest import SF_ORACLE
+
+    compare(
+        curation.sequence_pack(spark, SF_ORACLE),
+        curation.ORACLE_SQL["sequence_pack"],
+        SF_ORACLE,
+    )
