@@ -1010,11 +1010,12 @@ def dedup_incremental_bloom(
     ``n_fingerprints`` (optional): exact (or better-bounded) distinct
     corpus-fingerprint count for sizing m, used verbatim when given
     (an explicit count past the cap raises — the caller asked for a
-    bitmap that cannot ship). The default sizes from the TABLE row
-    count minus the delta slice's share, and when THAT cheap bound
-    would exceed the 2^27 cap it falls back to the exact distinct
-    count before raising (heavy duplication then fits without any
-    caller intervention; see the sizing comment below).
+    bitmap that cannot ship). The default sizes from the FULL table
+    row count (a deliberately slack upper bound — it includes the
+    delta slice's rows and every duplicate), and when that cheap
+    bound would exceed the 2^27 cap it falls back to the exact
+    distinct count before raising (heavy duplication then fits
+    without any caller intervention; see the sizing comment below).
 
     Build: the existing corpus' fingerprint positions (k md5-derived bits
     each) fold into one m-bit bitmap collected to the driver (the distinct
@@ -1056,15 +1057,26 @@ def dedup_incremental_bloom(
     # already-built ``existing`` frame, reused via the cache by the
     # positions pass) before refusing — the cap then reflects real
     # load, not the bound's slack.
+    persisted = None
     if n_fingerprints is None:
         try:
             m = bloom_m_for(table_row_count(sf_dir, "documents"))
         except ValueError:
-            existing = existing.persist()
+            persisted = existing = existing.persist()
             m = bloom_m_for(existing.count())  # may still raise: real
     else:
         m = bloom_m_for(n_fingerprints)
-    bloom = bloom_bitmap_broadcast(spark, existing, m)
+    try:
+        bloom = bloom_bitmap_broadcast(spark, existing, m)
+    finally:
+        # The cache exists to share the tokenize+md5+distinct pass between
+        # count() and the (eager) positions collect inside the bitmap
+        # build; both are done here, so release it rather than pin the
+        # distinct-fingerprint frame for the session (ADVICE r12). The
+        # lazy anti-join below recomputes ``existing`` — one extra
+        # map+shuffle over only the Bloom-POSITIVE sliver's build side.
+        if persisted is not None:
+            persisted.unpersist()
     bloom_hit = bloom_hit_udf(bloom)
     new = fp.where(is_new).withColumn(
         "_hit", bloom_hit(bloom.positions_of("content_md5"))
@@ -1172,7 +1184,12 @@ def dedup_incremental_bloom_sharded(
         try:
             m_shard = _m_shard_for(table_row_count(sf_dir, "documents"))
         except ValueError:
-            existing = existing.persist()
+            # Unlike the broadcast form, the shard-table build below is
+            # LAZY (a DataFrame, computed at action time), so a persist
+            # could only help it by outliving this function — exactly the
+            # session-lifetime pinning ADVICE r12 flagged. count() is the
+            # sole eager consumer here: pay it uncached (one pass) and
+            # let the shard build / anti-join recompute from the plan.
             m_shard = _m_shard_for(existing.count())  # may still raise
     else:
         m_shard = _m_shard_for(n_fingerprints)

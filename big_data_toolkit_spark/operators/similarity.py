@@ -1842,6 +1842,14 @@ def pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     error compounds linearly in k while the audit only ever reads the
     head. The 6-decimal-rounded head is hash-green, like
     ``embedding_covariance``.
+
+    GATE INVARIANT (ADVICE r12): that convergence argument is
+    fixture-dependent — it needs (a) adjacent head eigenvalue ratios
+    bounded away from 1 and (b) the all-ones start vector not
+    near-orthogonal to any head eigenvector. Both are asserted per
+    driver SF by ``test_pca_oracle_convergence_envelope``, so a future
+    data regeneration with a near-degenerate spectrum fails there
+    (named invariant) rather than as an unexplained hash mismatch.
     """
     cells = embedding_covariance(spark, sf_dir).collect()
     if not cells or cells[0]["n"] == 0:
@@ -1949,10 +1957,18 @@ def _pca_variance_sql(top_k: int = PCA_TOP_K, s: int = PCA_SQUARINGS) -> str:
     )"""
     parts = "\n    UNION ALL\n    ".join(
         # + 0.0 canonicalizes IEEE negative zero (the PMI convention); the
-        # trace CASE matches the engine's `if total > 0 else 0.0` guard
+        # trace CASE matches the engine's `if total > 0 else 0.0` guard.
+        # The EXISTS guard matches the engine's empty-table ValueError:
+        # without it, aggregates-without-GROUP-BY make lam{k}/tr always
+        # one row, so an empty embeddings table would emit top_k zero
+        # rows where the engine refuses (ADVICE r12) — with it, both
+        # sides agree that the spectrum is undefined over zero vectors
+        # (oracle: zero rows; engine: the explicit ValueError the empty
+        # sweep sanctions).
         f"SELECT {k} AS component, round(lam, 6) + 0.0 AS eigenvalue, "
         f"CASE WHEN trace > 0 THEN round(lam / trace, 6) + 0.0 "
-        f"ELSE 0.0 END AS var_ratio FROM lam{k}, tr"
+        f"ELSE 0.0 END AS var_ratio FROM lam{k}, tr "
+        f"WHERE EXISTS (SELECT 1 FROM embeddings)"
         for k in range(top_k)
     )
     return sql + f"\n    {parts}\n    ORDER BY component"

@@ -50,7 +50,7 @@ def test_baseline_retrials_medians(spark, monkeypatch):
 
     headline = {"a": mk("a"), "b": mk("b"), "tail": mk("tail")}
     sweep = {"a": 10.0, "b": 0.2, "tail": 0.3}
-    medians, trials = bench.baseline_retrials(
+    medians, trials, retrial_errors = bench.baseline_retrials(
         spark, "unused", headline, sweep, n_trials=3
     )
     assert set(medians) == {"a", "b"}  # tail queries are never retried
@@ -59,6 +59,7 @@ def test_baseline_retrials_medians(spark, monkeypatch):
     # must have rejected the synthetic 10 s sweep outlier
     assert medians["a"] < 10.0
     assert medians["a"] == sorted(trials["a"])[1]
+    assert retrial_errors == {}  # clean retrials record no degradation
 
 
 def test_baseline_retrials_skips_sweep_errors(spark):
@@ -68,7 +69,53 @@ def test_baseline_retrials_skips_sweep_errors(spark):
     def fn(s, sf_dir):
         return s.range(1)
 
-    medians, trials = bench.baseline_retrials(
+    medians, trials, retrial_errors = bench.baseline_retrials(
         spark, "unused", {"q1": fn}, {}, n_trials=3
     )
-    assert medians == {} and trials == {}
+    assert medians == {} and trials == {} and retrial_errors == {}
+
+
+def test_retrial_failures_are_recorded(spark, monkeypatch):
+    """ADVICE r12: a retrial crash must not silently pass off a degraded
+    trial series as a full median — the failure lands in retrial_errors
+    while the earlier trials are kept."""
+    monkeypatch.setattr(bench, "BASELINE_QUERIES", frozenset({"flaky"}))
+    calls = {"n": 0}
+
+    def flaky(s, sf_dir):
+        calls["n"] += 1
+        raise RuntimeError("synthetic retrial breakage")
+
+    medians, trials, retrial_errors = bench.baseline_retrials(
+        spark, "unused", {"flaky": flaky}, {"flaky": 1.0}, n_trials=3
+    )
+    assert trials["flaky"] == [1.0]  # sweep value kept, retrials crashed
+    assert medians["flaky"] == 1.0
+    assert "RuntimeError" in retrial_errors["flaky"]
+    assert calls["n"] == 2  # both retrial passes attempted
+
+
+def test_flag_tail_lines_protocol():
+    """r12 verdict item 1: only non-baseline lines that exceed BOTH the
+    ratio and the absolute floor against a recorded prior are flagged."""
+    sweep = {
+        "q1": 9.0,          # baseline member — median-protected, never flagged
+        "slow": 3.0,        # 3x prior, +2.0s  -> flagged
+        "tiny": 0.06,       # 3x prior but +0.04s, under floor -> noise
+        "steady": 1.01,     # ~1x prior -> clean
+        "brand_new": 5.0,   # no prior -> nothing to compare
+    }
+    prior = {"q1": 1.0, "slow": 1.0, "tiny": 0.02, "steady": 1.0}
+    flagged = bench.flag_tail_lines(sweep, prior)
+    assert flagged == {"slow": 3.0}
+
+
+def test_load_prior_timings_degrades_to_empty(tmp_path):
+    """First run / truncated file must mean 'no flags', never a crash."""
+    assert bench.load_prior_timings(str(tmp_path / "missing.json")) == {}
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    assert bench.load_prior_timings(str(bad)) == {}
+    ok = tmp_path / "ok.json"
+    ok.write_text('{"queries": {"a": 1.5, "b": "err"}}')
+    assert bench.load_prior_timings(str(ok)) == {"a": 1.5}

@@ -314,6 +314,44 @@ def test_pca_variance_oracle_hash(spark):
     )
 
 
+def test_pca_oracle_convergence_envelope(spark):
+    """GATE INVARIANT (ADVICE r12): the matrix-squaring oracle's 6-decimal
+    hash parity rests on two fixture properties the SQL cannot check for
+    itself — (a) adjacent head eigenvalue ratios stay far enough below 1
+    that (λ_{k+1}/λ_k)^(2^PCA_SQUARINGS) is negligible against the
+    rounding, and (b) the all-ones start vector is not near-orthogonal to
+    any head eigenvector (its projection seeds the power iteration; a ~0
+    projection would stall convergence). Assert BOTH at every driver SF
+    fixture so a future regeneration that drifts toward a degenerate
+    spectrum fails HERE, not as an unexplained hash mismatch."""
+    import numpy as np
+
+    from big_data_toolkit_spark.catalog import load_table
+    from tests.conftest import SF_ORACLE, SF_SMOKE
+
+    for sf in (SF_SMOKE, SF_ORACLE):
+        emb = load_table(spark, sf, "embeddings").collect()
+        x = np.array([r["embedding"] for r in emb], dtype=np.float64)
+        q = np.floor(x * sim.KMEANS_QUANT)
+        c = np.cov(q, rowvar=False, bias=True) / (sim.KMEANS_QUANT**2)
+        lam, vec = np.linalg.eigh(c)
+        lam, vec = lam[::-1], vec[:, ::-1]
+        steps = 2 ** sim.PCA_SQUARINGS
+        ones = np.ones(sim.EMB_DIM) / np.sqrt(sim.EMB_DIM)
+        for k in range(sim.PCA_TOP_K):
+            # (a) residual after 2^s effective power steps, in eigenvalue
+            # units, must sit far inside the 5e-7 rounding half-width
+            ratio = lam[k + 1] / lam[k] if lam[k] > 0 else 0.0
+            assert 0.0 <= ratio < 1.0, (sf, k, ratio)
+            residual = ratio**steps * max(lam[k], 1.0)
+            assert residual < 1e-9, (sf, k, ratio, residual)
+            # (b) the ones-vector seeds every head component: projection
+            # bounded away from orthogonal (1e-4 of unit norm leaves a
+            # log(1/proj)/log(1/ratio) ≪ 2^s step penalty — harmless)
+            proj = abs(float(vec[:, k] @ ones))
+            assert proj > 1e-4, (sf, k, proj)
+
+
 def test_embedding_covariance_single_exchange(spark):
     """One scan, one merge shuffle of partial cells — the gram pass never
     explodes or self-joins the corpus."""
