@@ -854,6 +854,10 @@ def _twin_oracles() -> dict[str, str]:
         "mat_dedup_keep_best": _DEDUP_SQL["dedup_keep_best"],
         "mat_training_manifest": _CURATION_SQL["training_manifest"],
         "mat_knn_ivfpq": _SIM_SQL["knn_ivfpq"],
+        # r12 verdict item 6: the nightly compactor IS the production
+        # manifest path at 100 TB — its stored-pairs form must hash the
+        # same oracle as the in-plan twin, like the other mat_ rows.
+        "mat_manifest_compact": _CURATION_SQL["manifest_compact"],
     }
 
 
@@ -861,6 +865,7 @@ QUERIES = {
     "mat_dedup_keep_best": bench_dedup_keep_best,
     "mat_training_manifest": bench_training_manifest,
     "mat_knn_ivfpq": bench_knn_ivfpq_stored,
+    "mat_manifest_compact": bench_manifest_compact,
 }
 
 ORACLE_SQL = _twin_oracles()
