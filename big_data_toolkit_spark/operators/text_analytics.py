@@ -202,6 +202,73 @@ def bigram_relative_frequency_stripes(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def pmi_stripes(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: int = PMI_THRESHOLD,
+    cap: int = PMI_TOKEN_CAP,
+) -> DataFrame:
+    """Stripes output format of PMI: (a, stripe MAP<b, STRUCT<pmi, cnt>>).
+
+    The reference emits one ``Map[String, (Double, Int)]`` per left word —
+    pmi plus co-occurrence count per right word
+    (``a2/StripesPMI.scala:105``, ``a1/StripesPMI.java``). Same convention
+    as ``bigram_relative_frequency_stripes``: pairs and stripes are two
+    FORMATS of one operator (SURVEY §1), so the stripe packs the already-
+    aggregated long form at output — ``map_from_entries`` over the
+    b-sorted entry list — rather than re-implementing the aggregation
+    with map-valued combiners. The pack's groupBy(a) shuffle carries the
+    thresholded pair table (orders of magnitude smaller than the raw
+    pair stream), and per-stripe width is bounded by the same cap that
+    bounds the reference's in-memory stripe: a word co-occurs with at
+    most the vocabulary admitted by the ≥threshold filter.
+    """
+    pairs = pmi_pairs(spark, sf_dir, threshold, cap)
+    return pairs.groupBy("a").agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("b"),
+                        F.struct(
+                            F.col("pmi"), F.col("pair_cnt").alias("cnt")
+                        ).alias("v"),
+                    )
+                )
+            )
+        ).alias("stripe")
+    )
+
+
+def pmi_stripes_serialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate surface for ``pmi_stripes``: (a, stripe STRING).
+
+    Map columns don't round-trip the driver's sorted-column value hash,
+    so the registered row serializes each stripe deterministically from
+    the REAL map column (the packing is exercised, not bypassed):
+    entries in the map's b-sorted order, pmi in exact micro-units
+    (the value is already rounded to 6 decimals, so round(pmi·1e6) is
+    integral — no cross-engine float formatting in the hash, the
+    dsir_weights lesson). The oracle builds the same string with
+    ``string_agg(... ORDER BY b)``.
+    """
+    return pmi_stripes(spark, sf_dir).select(
+        "a",
+        F.concat_ws(
+            ";",
+            F.transform(
+                F.map_entries("stripe"),
+                lambda e: F.format_string(
+                    "%s=%d/%d",
+                    e["key"],
+                    F.round(e["value"]["pmi"] * 1e6).cast("long"),
+                    e["value"]["cnt"],
+                ),
+            ),
+        ).alias("stripe"),
+    )
+
+
 # ---------------------------------------------------------------------------
 KEYWORDS_PER_DOC = 3
 
@@ -321,6 +388,37 @@ ORACLE_SQL: dict[str, str] = {
         JOIN word_counts wb ON p.b = wb.w
         CROSS JOIN n
     """,
+    "pmi_stripes": f"""
+        WITH words AS (
+          SELECT doc_id, list_distinct(({_TOKENS})[1:{PMI_TOKEN_CAP}]) AS ws
+          FROM documents
+        ),
+        exploded AS (SELECT doc_id, unnest(ws) AS w FROM words),
+        pair_counts AS (
+          SELECT x.w AS a, y.w AS b, count(*) AS pair_cnt
+          FROM exploded x JOIN exploded y
+            ON x.doc_id = y.doc_id AND x.w <> y.w
+          GROUP BY x.w, y.w
+          HAVING count(*) >= {PMI_THRESHOLD}
+        ),
+        word_counts AS (SELECT w, count(*) AS w_cnt FROM exploded GROUP BY w),
+        n AS (SELECT count(*) AS n_lines FROM words),
+        pmi AS (
+          SELECT p.a, p.b, p.pair_cnt,
+                 round(log10(p.pair_cnt * n.n_lines /
+                             (wa.w_cnt * wb.w_cnt)), 6) + 0.0 AS pmi
+          FROM pair_counts p
+          JOIN word_counts wa ON p.a = wa.w
+          JOIN word_counts wb ON p.b = wb.w
+          CROSS JOIN n
+        )
+        SELECT a,
+               string_agg(b || '=' ||
+                          CAST(round(pmi * 1000000) AS BIGINT) || '/' ||
+                          pair_cnt, ';' ORDER BY b) AS stripe
+        FROM pmi
+        GROUP BY a
+    """,
     "keyword_extraction": f"""
         WITH tf AS (
           SELECT doc_id, word AS term, count(*) AS tf
@@ -350,6 +448,7 @@ QUERIES = {
     "next_word_after": next_word_after,
     "bigram_relative_frequency": bigram_relative_frequency,
     "pmi_pairs": pmi_pairs,
+    "pmi_stripes": pmi_stripes_serialized,
     "keyword_extraction": keyword_extraction,
 }
 

@@ -65,6 +65,33 @@ def test_pmi_unigram_joins_unhinted(spark):
     )
 
 
+def test_pmi_stripes_is_long_form_repacked(spark):
+    """Stripes and pairs are two FORMATS of one PMI computation (the
+    reference's StripesPMI vs PairsPMI): the map column must carry exactly
+    the long-form rows, keyed by left word, b-sorted, with (pmi, cnt)
+    values — and every left word with >=1 surviving pair gets a stripe."""
+    pairs = ta.pmi_pairs(spark, SF_ORACLE).collect()
+    stripes = ta.pmi_stripes(spark, SF_ORACLE).collect()
+    want: dict[str, dict[str, tuple[float, int]]] = {}
+    for r in pairs:
+        want.setdefault(r["a"], {})[r["b"]] = (r["pmi"], r["pair_cnt"])
+    got = {
+        r["a"]: {b: (v["pmi"], v["cnt"]) for b, v in r["stripe"].items()}
+        for r in stripes
+    }
+    assert got == want
+    # entry order inside each stripe is the b-sorted pack order — checked
+    # engine-side via map_entries (collect()'s Python dict does not
+    # preserve Spark's map entry order)
+    orders = (
+        ta.pmi_stripes(spark, SF_ORACLE)
+        .select(F.transform(F.map_entries("stripe"), lambda e: e["key"]).alias("ks"))
+        .collect()
+    )
+    for r in orders:
+        assert r["ks"] == sorted(r["ks"])
+
+
 def test_keyword_extraction_shape_and_prune(spark):
     """Exactly <=3 keywords per doc, ranks 1..k dense from 1, and the
     row_number cut plans as WindowGroupLimit (map-side 3-row prune per doc
