@@ -1120,14 +1120,20 @@ def pq_corpus_coded(
     sf_dir: str,
     donors: dict[int, list[int]] | None = None,
     cents_q: dict[int, list[int]] | None = None,
+    arrow: bool | None = None,
 ) -> DataFrame:
     """(match_id, cell, _pq_idx_0.._pq_idx_7): the corpus side of the
     incremental/streaming PQ-ANN — coarse cell plus PQ code positions,
     one map-only scan over the EXISTING corpus (the non-delta slice).
     At scale this is a persisted artifact next to the ``materialize`` PQ
-    codes; per-ingest cost then never rescans the corpus."""
+    codes; per-ingest cost then never rescans the corpus.
+
+    ``arrow`` (default ``PQ_INGEST_ARROW``): int64 pandas-UDF encode
+    (bit-identical — see ``_pq_ingest_sides``) vs the expression folds."""
     from big_data_toolkit_spark.operators.dedup import NEW_BATCH_MOD
 
+    if arrow is None:
+        arrow = PQ_INGEST_ARROW
     if donors is None:
         donors = _pq_codebook(spark, sf_dir)
     if cents_q is None:
@@ -1135,6 +1141,8 @@ def pq_corpus_coded(
     q = _quantize(load_table(spark, sf_dir, "embeddings")).where(
         F.col("vec_id") % NEW_BATCH_MOD != NEW_BATCH_MOD - 1
     )
+    if arrow:
+        return pq_corpus_encode_arrow(q, donors, cents_q)
     return _with_pq_idx(q, donors).select(
         F.col("vec_id").alias("match_id"),
         pq_cell_col(cents_q).alias("cell"),
@@ -1173,12 +1181,122 @@ def pq_corpus_from_codes(
     )
 
 
+# The ingest-ANN encode dispatch (r12 verdict item 2): the expression
+# path evaluates 256+16 interpreted ``aggregate()`` folds per row (8×16
+# LUT entries / 8×16 code argmins, plus 16 cell distances) — honest but
+# interpreter-bound.  Every quantity is EXACT INT64 (fixed-point ticks
+# ≤ 1e6, squared sums ≤ ~3e14 ≪ 2^63), so a numpy int64 batch encode is
+# bit-identical — unlike the float k-means GEMM, there is no summation-
+# order caveat — and becomes the default; the expression path remains
+# for streaming micro-batches and the equality gate
+# (``test_pq_ingest_arrow_matches_expression_path``).
+PQ_INGEST_ARROW = True
+
+
+def _pq_cell_ids(Q: "np.ndarray", C: "np.ndarray", cids: "np.ndarray"):
+    """Per-row coarse cell over exact int64 distances; ties to the
+    smallest centroid id (np.argmin first-minimum over ascending cids —
+    the ``pq_cell_col`` rule)."""
+    diff = Q[:, None, :] - C[None, :, :]
+    return cids[np.argmin(np.einsum("nkd,nkd->nk", diff, diff), axis=1)]
+
+
+def _pq_subdist_tensor(Q: "np.ndarray", D: "np.ndarray") -> "np.ndarray":
+    """n×SUBSPACES×donors exact int64 subspace-distance tensor — the
+    vectorized form of the 8×16 ``_pq_subdist`` folds; row i's [s, j]
+    entry is the LUT value, and argmin over j is the code position."""
+    n, j = Q.shape[0], D.shape[0]
+    diff = Q.reshape(n, 1, PQ_SUBSPACES, PQ_SUBDIM) - D.reshape(
+        1, j, PQ_SUBSPACES, PQ_SUBDIM
+    )
+    return np.einsum("njsd,njsd->nsj", diff, diff)
+
+
+def _pq_arrow_mats(donors, cents_q):
+    dids = sorted(donors)
+    D = np.array([donors[j] for j in dids], dtype=np.int64)
+    cids = np.array(sorted(cents_q), dtype=np.int64)
+    C = np.array([cents_q[c] for c in sorted(cents_q)], dtype=np.int64)
+    return D, C, cids
+
+
+def pq_corpus_encode_arrow(
+    q: DataFrame,
+    donors: dict[int, list[int]],
+    cents_q: dict[int, list[int]],
+) -> DataFrame:
+    """(match_id, cell, _pq_idx_0..7) — the Arrow int64 twin of the
+    ``_with_pq_idx`` + ``pq_cell_col`` corpus encode: one pandas UDF per
+    batch computes the cell argmin and all 8 code argmins from the same
+    distance tensor, exact int64 end to end."""
+    D, C, cids = _pq_arrow_mats(donors, cents_q)
+
+    @F.pandas_udf("cell long, idx array<int>")
+    def encode(qv: pd.Series) -> pd.DataFrame:
+        if len(qv) == 0:
+            return pd.DataFrame(
+                {"cell": pd.Series([], dtype="int64"), "idx": []}
+            )
+        Q = np.array(qv.tolist(), dtype=np.int64)
+        sub = _pq_subdist_tensor(Q, D)
+        idx = (np.argmin(sub, axis=2) + 1).astype(np.int32)  # 1-based
+        return pd.DataFrame(
+            {"cell": _pq_cell_ids(Q, C, cids), "idx": list(idx)}
+        )
+
+    return q.select("vec_id", encode("qv").alias("r")).select(
+        F.col("vec_id").alias("match_id"),
+        F.col("r.cell").alias("cell"),
+        *[
+            F.element_at(F.col("r.idx"), s + 1).alias(f"_pq_idx_{s}")
+            for s in range(PQ_SUBSPACES)
+        ],
+    )
+
+
+def pq_new_encode_arrow(
+    q: DataFrame,
+    donors: dict[int, list[int]],
+    cents_q: dict[int, list[int]],
+) -> DataFrame:
+    """(vec_id, cell, _lut_0.._lut_7) — the Arrow int64 twin of the
+    delta-side ``pq_cell_col`` + ``pq_lut_cols`` encode; the LUT rows ARE
+    the subspace-distance tensor (no argmin), shipped back as 8 arrays of
+    16 exact int64 entries per row."""
+    D, C, cids = _pq_arrow_mats(donors, cents_q)
+
+    @F.pandas_udf("cell long, luts array<array<long>>")
+    def encode(qv: pd.Series) -> pd.DataFrame:
+        if len(qv) == 0:
+            return pd.DataFrame(
+                {"cell": pd.Series([], dtype="int64"), "luts": []}
+            )
+        Q = np.array(qv.tolist(), dtype=np.int64)
+        sub = _pq_subdist_tensor(Q, D)
+        return pd.DataFrame(
+            {
+                "cell": _pq_cell_ids(Q, C, cids),
+                "luts": [s.tolist() for s in sub],
+            }
+        )
+
+    return q.select("vec_id", encode("qv").alias("r")).select(
+        "vec_id",
+        F.col("r.cell").alias("cell"),
+        *[
+            F.element_at(F.col("r.luts"), s + 1).alias(f"_lut_{s}")
+            for s in range(PQ_SUBSPACES)
+        ],
+    )
+
+
 def _pq_ingest_sides(
     spark: SparkSession,
     sf_dir: str,
     corpus: DataFrame | None = None,
     donors: dict[int, list[int]] | None = None,
     cents_q: dict[int, list[int]] | None = None,
+    arrow: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(new, corpus): the two sides every ingest-ANN shape joins — the
     delta slice with in-row cell + ADC LUT arrays, and the coded corpus.
@@ -1189,24 +1307,35 @@ def _pq_ingest_sides(
     quantizer — see ``plans.materialize``). With all three supplied the
     only embeddings access left is the delta slice's own scan: the
     corpus side reads 8 bytes/vector from the store and the index
-    constants come off the stored 16-row tables."""
+    constants come off the stored 16-row tables.
+
+    ``arrow`` (default ``PQ_INGEST_ARROW``): int64 pandas-UDF encode vs
+    the interpreted expression folds — bit-identical by construction
+    (exact integers, same first-minimum tie rules), equality-gated in
+    pytest; the ADC join itself always stays JVM-side (8 ``element_at``
+    lookups per candidate — cheap, and candidate pairs never cross into
+    Python)."""
     from big_data_toolkit_spark.operators.dedup import NEW_BATCH_MOD
 
+    if arrow is None:
+        arrow = PQ_INGEST_ARROW
     if donors is None:
         donors = _pq_codebook(spark, sf_dir)
     if cents_q is None:
         cents_q = _quantized_centroids(spark, sf_dir)
     if corpus is None:
-        corpus = pq_corpus_coded(spark, sf_dir, donors, cents_q)
-    new = (
-        _quantize(load_table(spark, sf_dir, "embeddings"))
-        .where(F.col("vec_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1)
-        .select(
+        corpus = pq_corpus_coded(spark, sf_dir, donors, cents_q, arrow=arrow)
+    delta = _quantize(load_table(spark, sf_dir, "embeddings")).where(
+        F.col("vec_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    )
+    if arrow:
+        new = pq_new_encode_arrow(delta, donors, cents_q)
+    else:
+        new = delta.select(
             "vec_id",
             pq_cell_col(cents_q).alias("cell"),
             *pq_lut_cols(donors),
         )
-    )
     return new, corpus
 
 

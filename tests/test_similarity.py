@@ -535,6 +535,37 @@ def test_knn_join_pq_ranks_dense_and_monotone(spark):
         assert flat[r["match_id"]] == r["adc_dist2"], r
 
 
+def test_pq_ingest_arrow_matches_expression_path(spark):
+    """The Arrow int64 ingest encode must be BIT-identical to the
+    interpreted expression folds on both join sides — exact integer
+    arithmetic and the same first-minimum tie rules leave no room for
+    drift (the claim that let it become the default without touching the
+    ann_pq_incremental / knn_join_pq oracles)."""
+    for arrow in (False, True):
+        new, corpus = sim._pq_ingest_sides(spark, SF_ORACLE, arrow=arrow)
+        n = sorted(
+            (
+                r["vec_id"],
+                r["cell"],
+                tuple(tuple(r[f"_lut_{s}"]) for s in range(sim.PQ_SUBSPACES)),
+            )
+            for r in new.collect()
+        )
+        c = sorted(
+            (
+                r["match_id"],
+                r["cell"],
+                tuple(r[f"_pq_idx_{s}"] for s in range(sim.PQ_SUBSPACES)),
+            )
+            for r in corpus.collect()
+        )
+        if arrow:
+            assert n == expr_new and c == expr_corpus
+            assert len(n) > 0 and len(c) > 0
+        else:
+            expr_new, expr_corpus = n, c
+
+
 def test_semantic_k_for_derivation():
     """Gate-scale corpora keep the oracle-pinned K=16; K scales as a
     power of two past 16×SEM_TARGET_CLUSTER vectors; past SEM_K_CAP the
