@@ -198,7 +198,10 @@ SEQ_LEN = 512  # tokens per packed training sequence
 
 
 def sequence_pack(
-    spark: SparkSession, sf_dir: str, seq_len: int = SEQ_LEN
+    spark: SparkSession,
+    sf_dir: str,
+    seq_len: int = SEQ_LEN,
+    epoch: str | None = None,
 ) -> DataFrame:
     """(doc_id, seq_id, offset_in_seq, frag_tokens): concatenate-then-slice
     SAMPLE PACKING — the map from documents to the fixed-length training
@@ -227,14 +230,28 @@ def sequence_pack(
     ordered structure is the offset table (N_BUCKETS rows). Cutting
     sequences never shuffles — each fragment's (seq_id, offset, length)
     is row-local arithmetic on the doc's start.
+
+    ``epoch`` (optional): multi-epoch training wants a DIFFERENT
+    placement each pass, still a pure function of (corpus, epoch) so
+    restarts replay it — seed the order key exactly as
+    ``corpus_shuffle`` does, md5('{epoch}:' || doc_id), and the whole
+    two-level placement (bucket, within-bucket rank, global start)
+    reshuffles with one literal while every tiling invariant is
+    preserved (same prefix-sum algebra, invariant-tested per epoch).
+    ``None`` keeps the bare-doc_id key — the registered oracle form.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.size(F.filter(F.split("text", " +"), lambda t: t != F.lit("")))
+    key = (
+        F.col("doc_id")
+        if epoch is None
+        else F.concat(F.lit(f"{epoch}:"), F.col("doc_id"))
+    )
     b = (
         docs.select(
             "doc_id",
             toks.cast("long").alias("ws_tokens"),
-            _hash32(F.col("doc_id")).alias("h"),
+            _hash32(key).alias("h"),
         )
         .where(F.col("ws_tokens") > 0)
         .withColumn("bucket", F.col("h") % N_BUCKETS)

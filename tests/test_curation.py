@@ -399,20 +399,12 @@ def test_manifest_compact_oracle(spark):
     )
 
 
-def test_sequence_pack_tiles_the_token_line(spark):
+def _assert_seq_pack_tiling(rows, toks):
     """Sample-packing invariants: per doc the fragments partition its
     tokens exactly (lengths sum to ws_tokens, contiguous seq_ids, offsets
     chain across cuts); per sequence the fragments tile [0, SEQ_LEN)
     without gaps or overlaps, and every sequence except the global last
     is exactly full — the no-padding GPT-packing contract."""
-    from tests.conftest import SF_ORACLE
-
-    rows = curation.sequence_pack(spark, SF_ORACLE).collect()
-    toks = {
-        r["doc_id"]: r["ws_tokens"]
-        for r in curation.shard_pack(spark, SF_ORACLE).collect()
-        if r["ws_tokens"] > 0
-    }
     by_doc: dict = {}
     by_seq: dict = {}
     for r in rows:
@@ -443,6 +435,50 @@ def test_sequence_pack_tiles_the_token_line(spark):
         if s < last_seq:
             assert cursor == curation.SEQ_LEN, s  # full — no padding
     assert sum(toks.values()) == sum(r["frag_tokens"] for r in rows)
+
+
+def _seq_pack_doc_tokens(spark):
+    from tests.conftest import SF_ORACLE
+
+    return {
+        r["doc_id"]: r["ws_tokens"]
+        for r in curation.shard_pack(spark, SF_ORACLE).collect()
+        if r["ws_tokens"] > 0
+    }
+
+
+def test_sequence_pack_tiles_the_token_line(spark):
+    from tests.conftest import SF_ORACLE
+
+    rows = curation.sequence_pack(spark, SF_ORACLE).collect()
+    _assert_seq_pack_tiling(rows, _seq_pack_doc_tokens(spark))
+
+
+def test_sequence_pack_epochs_reshuffle_deterministically(spark):
+    """Multi-epoch packing: every epoch satisfies the full tiling
+    contract, epoch N is a pure function of (corpus, epoch) — the same
+    epoch string replays the identical placement — and distinct epochs
+    genuinely permute the token line (some doc lands in a different
+    sequence)."""
+    from tests.conftest import SF_ORACLE
+
+    toks = _seq_pack_doc_tokens(spark)
+    key = lambda rows: sorted(  # noqa: E731
+        (r["doc_id"], r["seq_id"], r["offset_in_seq"], r["frag_tokens"])
+        for r in rows
+    )
+    packs = {}
+    for ep in ("ep1", "ep2"):
+        rows = curation.sequence_pack(spark, SF_ORACLE, epoch=ep).collect()
+        _assert_seq_pack_tiling(rows, toks)
+        packs[ep] = key(rows)
+    # determinism: replaying an epoch reproduces it exactly
+    replay = curation.sequence_pack(spark, SF_ORACLE, epoch="ep1").collect()
+    assert key(replay) == packs["ep1"]
+    # distinct epochs (and the epoch-free oracle form) give distinct orders
+    base = key(curation.sequence_pack(spark, SF_ORACLE).collect())
+    assert packs["ep1"] != packs["ep2"]
+    assert base not in (packs["ep1"], packs["ep2"])
 
 
 def test_sequence_pack_oracle(spark):
