@@ -1829,11 +1829,8 @@ def semantic_dedup(
     the corpus quantization (a map-only expression) still runs.
     """
     from big_data_toolkit_spark.operators.similarity import (
-        _dot,
         _lloyd,
-        _norm,
         _quantize,
-        kmeans_assign_auto,
         semantic_k_for,
     )
 
@@ -1842,6 +1839,20 @@ def semantic_dedup(
         q, cents = _lloyd(spark, sf_dir, k=k)
     else:
         q = _quantize(load_table(spark, sf_dir, "embeddings"))
+    return _semantic_decide(q, cents)
+
+
+def _semantic_decide(q: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
+    """Assignment + within-cluster prune over a quantized (vec_id,
+    embedding, qv) frame with trained centroids — the post-training tail
+    of ``semantic_dedup``, factored so the sharded form runs it per
+    coarse-cell slice with per-cell centroids."""
+    from big_data_toolkit_spark.operators.similarity import (
+        _dot,
+        _norm,
+        kmeans_assign_auto,
+    )
+
     assigned = kmeans_assign_auto(q, cents).select(
         "vec_id", "embedding", "cluster"
     )
@@ -1887,6 +1898,88 @@ def semantic_dedup(
         .join(dropped, "vec_id", "left")
         .select("vec_id", "cluster", F.col("dropped").isNull().alias("kept"))
     )
+
+
+def semantic_dedup_sharded(
+    spark: SparkSession,
+    sf_dir: str,
+    cents_q: dict[int, list[int]] | None = None,
+    max_parallel: int = 4,
+) -> DataFrame:
+    """(vec_id, cell, cluster, kept): the BEYOND-CAP SemDeDup shape the
+    ``SEM_K_CAP`` contract promises — coarse-shard the corpus by IVF
+    cell first, then run the flat SemDeDup (derived-K Lloyd + within-
+    cluster keep-lowest-id prune) independently PER CELL.
+
+    ``semantic_dedup`` refuses corpora past SEM_TARGET_CLUSTER×SEM_K_CAP
+    ≈ 8.4M vectors because the driver-parameterized Lloyd is bounded by
+    the K×dim centroid closure and the K×(dim+1) update fetch. Sharding
+    restores the cost model without touching those bounds: each cell
+    slice trains its OWN derived-K Lloyd (K_cell from the CELL
+    population, every piece ≤ SEM_K_CAP) and prunes within its own
+    clusters, so effective capacity is cells × 8.4M and grows with the
+    quantizer — cells come from the stored cell-partitioned PQ index
+    (``plans.materialize.build_pq_artifact`` partitions the code table
+    BY this same cell, so a production run reads one directory per
+    shard). Per-cell decisions are independent by construction (a
+    cross-cell pair is never compared — exactly SemDeDup's own
+    approximation, one level up), which is what makes the shards
+    embarrassingly parallel: cell jobs submit through a ``max_parallel``
+    thread pool and the Spark scheduler interleaves them.
+
+    Exact per-cell equality with the flat form: a 1-cell quantizer
+    reproduces ``semantic_dedup`` bit-for-bit (equality-gated in
+    pytest), because the slice path reuses the SAME ``_lloyd_q`` /
+    ``_semantic_decide`` machinery — sharding adds routing, not new
+    numerics.
+
+    ``cents_q`` (optional): the coarse quantizer (cell id → quantized
+    int vector, the stored ``pq_centroids`` table's dict form); defaults
+    to the pinned ``CENTROID_IDS`` fixture quantizer.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from big_data_toolkit_spark.operators.similarity import (
+        _lloyd_q,
+        _quantize,
+        _quantized_centroids,
+        pq_cell_col,
+        semantic_k_for,
+    )
+
+    if cents_q is None:
+        cents_q = _quantized_centroids(spark, sf_dir)
+    # ONE corpus scan: quantize + in-row integer cell argmin, checkpointed
+    # so every per-cell branch (seed fetch, Lloyd iterations, pair join)
+    # filters cached rows instead of re-reading parquet.
+    q = (
+        _quantize(load_table(spark, sf_dir, "embeddings"))
+        .withColumn("cell", pq_cell_col(cents_q))
+        .localCheckpoint()
+    )
+    counts = {
+        r["cell"]: r["n"]
+        for r in q.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+
+    def decide(cell: int) -> DataFrame:
+        qc = q.where(F.col("cell") == int(cell)).drop("cell")
+        cents = _lloyd_q(qc, semantic_k_for(counts[cell]))
+        return _semantic_decide(qc, cents).select(
+            "vec_id", F.lit(int(cell)).alias("cell"), "cluster", "kept"
+        )
+
+    cells = sorted(counts)
+    if not cells:  # empty corpus: empty decision table, not a crash
+        return spark.createDataFrame(
+            [], "vec_id long, cell long, cluster long, kept boolean"
+        )
+    with ThreadPoolExecutor(max_workers=max(1, max_parallel)) as pool:
+        parts = list(pool.map(decide, cells))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -389,10 +389,11 @@ SEM_TARGET_CLUSTER = 512  # SemDeDup per-cluster population target
 # the K×dim centroid matrix in the UDF closure (8 MiB at the cap) and
 # the K×(dim+1)-cell Lloyd update fetch — at the cap and target,
 # n ≤ SEM_TARGET_CLUSTER × SEM_K_CAP ≈ 8.4M vectors per semantic_dedup
-# call.  Past it, raise rather than degrade: the beyond-cap shape
-# shards the corpus by a coarse IVF cell first (the cell-partitioned
-# stored index, plans.materialize) and runs SemDeDup per cell — the
-# same refuse-to-fake policy as BLOOM_M_MAX.
+# call.  Past it, raise rather than degrade: the beyond-cap shape is
+# ``dedup.semantic_dedup_sharded`` — coarse-shard by IVF cell first
+# (the cell-partitioned stored index, plans.materialize), run SemDeDup
+# per cell (capacity = cells × 8.4M) — the same refuse-to-fake policy
+# as BLOOM_M_MAX.
 SEM_K_CAP = 1 << 14
 
 
@@ -415,10 +416,10 @@ def semantic_k_for(n_vectors: int) -> int:
     if k > SEM_K_CAP:
         raise ValueError(
             f"{n_vectors} vectors need K={k} > SEM_K_CAP={SEM_K_CAP} for "
-            f"the driver-parameterized Lloyd path; shard the corpus by a "
-            "coarse IVF cell (the cell-partitioned stored index, "
-            "plans.materialize) and run SemDeDup per cell instead of "
-            "degrading the cost model silently"
+            f"the driver-parameterized Lloyd path; use "
+            "dedup.semantic_dedup_sharded (per-IVF-cell SemDeDup over the "
+            "cell-partitioned stored index, capacity = cells x 8.4M) "
+            "instead of degrading the cost model silently"
         )
     return k
 
@@ -438,21 +439,39 @@ def _lloyd(
     is a TakeOrdered of K ids — O(K) driver bytes, the same budget as
     the centroid fetch itself."""
     emb = load_table(spark, sf_dir, "embeddings")
-    if k is None or k == len(CENTROID_IDS):
+    # Materialize the quantized corpus ONCE: every Lloyd iteration is its
+    # own job, so without this each of the KMEANS_ITERS rounds re-scans the
+    # parquet and re-quantizes — at 100 TB that is ITERS extra corpus
+    # passes for identical bytes. localCheckpoint also keeps the loop's
+    # lineage flat (iteration plans stay O(1), not O(iteration)).
+    q = _quantize(emb).localCheckpoint()
+    fixed = k is None or k == len(CENTROID_IDS)
+    return q, _lloyd_q(q, len(CENTROID_IDS) if k is None else k, fixed)
+
+
+def _lloyd_q(q: DataFrame, k: int, seed_fixed: bool = False) -> dict[int, list[float]]:
+    """The Lloyd loop over an already-quantized (vec_id, embedding, qv)
+    frame — factored from ``_lloyd`` so the sharded SemDeDup can train
+    per coarse-cell SLICE of one checkpointed corpus. ``seed_fixed``
+    pins the CENTROID_IDS seed set (the oracle-gated K=16 paths); the
+    derived-K path seeds from the ``k`` lowest vec_ids PRESENT at or
+    above CENTROID_IDS' start (contiguous-id tables reproduce the
+    pinned set exactly; sparse slices still seed deterministically).
+    A slice holding fewer than ``k`` such rows trains on what exists —
+    K is a cost dial, not a semantic contract."""
+    if seed_fixed:
         seed_ids = list(CENTROID_IDS)
     else:
         seed_ids = [
             r["vec_id"]
-            for r in emb.where(F.col("vec_id") >= CENTROID_IDS[0])
+            for r in q.where(F.col("vec_id") >= CENTROID_IDS[0])
             .select("vec_id")
             .orderBy("vec_id")
             .limit(k)
             .collect()
         ]
     init_rows = (
-        _quantize(emb.where(F.col("vec_id").isin(seed_ids)))
-        .select("vec_id", "qv")
-        .collect()
+        q.where(F.col("vec_id").isin(seed_ids)).select("vec_id", "qv").collect()
     )
     cents = {r["vec_id"]: [float(x) for x in r["qv"]] for r in init_rows}
     bad = {c: len(m) for c, m in cents.items() if len(m) != EMB_DIM}
@@ -461,12 +480,6 @@ def _lloyd(
             f"kmeans seed mismatch: expected {len(seed_ids)} centroids "
             f"of dim {EMB_DIM}, got {len(cents)} (bad dims: {bad})"
         )
-    # Materialize the quantized corpus ONCE: every Lloyd iteration is its
-    # own job, so without this each of the KMEANS_ITERS rounds re-scans the
-    # parquet and re-quantizes — at 100 TB that is ITERS extra corpus
-    # passes for identical bytes. localCheckpoint also keeps the loop's
-    # lineage flat (iteration plans stay O(1), not O(iteration)).
-    q = _quantize(emb).localCheckpoint()
     for _ in range(KMEANS_ITERS):
         assigned = kmeans_assign_auto(q, cents)
         rows = (
@@ -482,7 +495,7 @@ def _lloyd(
             for r in rows
         }
         cents = {c: new.get(c, m) for c, m in cents.items()}
-    return q, cents
+    return cents
 
 
 def knn_ivf_trained(
@@ -1287,6 +1300,35 @@ def pq_new_encode_arrow(
             F.element_at(F.col("r.luts"), s + 1).alias(f"_lut_{s}")
             for s in range(PQ_SUBSPACES)
         ],
+    )
+
+
+def pq_codes_cell_frame(
+    q: DataFrame,
+    donors: dict[int, list[int]],
+    cents_q: dict[int, list[int]],
+    arrow: bool | None = None,
+) -> DataFrame:
+    """(vec_id, codes ARRAY<INT>[8], cell): the stored-artifact row form —
+    ONE definition of the encode the ``plans.materialize`` PQ writers
+    (build + delta compaction) persist, so the store cannot drift from
+    the in-plan encode. ``arrow`` (default ``PQ_INGEST_ARROW``)
+    dispatches between the bit-identical int64 pandas encode and the
+    expression folds; the codes column is the shared ``pq_codes_col``
+    donor-id layout either way."""
+    if arrow is None:
+        arrow = PQ_INGEST_ARROW
+    if arrow:
+        enc = pq_corpus_encode_arrow(q, donors, cents_q)
+        return enc.select(
+            F.col("match_id").alias("vec_id"),
+            pq_codes_col(donors).alias("codes"),
+            "cell",
+        )
+    return _with_pq_idx(q, donors).select(
+        "vec_id",
+        pq_codes_col(donors).alias("codes"),
+        pq_cell_col(cents_q).alias("cell"),
     )
 
 

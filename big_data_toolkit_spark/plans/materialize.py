@@ -527,17 +527,15 @@ def build_pq_artifact(
         _pq_codebook,
         _quantize,
         _quantized_centroids,
-        _with_pq_idx,
-        pq_cell_col,
-        pq_codes_col,
+        pq_codes_cell_frame,
     )
 
     codes_path = os.path.join(workdir, PQ_CODES_DIR)
     donors = _pq_codebook(spark, sf_dir)
     cents_q = _quantized_centroids(spark, sf_dir)
-    # pq_codes_wide keeps qv in scope of its select — recompute cell from
-    # the same _quantize frame so one scan emits codes + cell together
-    # (the codes column itself is the shared pq_codes_col definition).
+    # One scan emits codes + cell together via the shared
+    # pq_codes_cell_frame encode (the same definition the compactor and
+    # the in-plan ingest sides use — the store cannot drift from them).
     emb = load_table(spark, sf_dir, "embeddings")
     if corpus_only:
         from pyspark.sql import functions as F  # noqa: PLC0415
@@ -547,13 +545,9 @@ def build_pq_artifact(
         emb = emb.where(
             F.col("vec_id") % NEW_BATCH_MOD != NEW_BATCH_MOD - 1
         )
-    q = _quantize(emb)
-    coded = _with_pq_idx(q, donors)
-    coded.select(
-        "vec_id",
-        pq_codes_col(donors).alias("codes"),
-        pq_cell_col(cents_q).alias("cell"),
-    ).write.mode("overwrite").partitionBy("cell").parquet(codes_path)
+    pq_codes_cell_frame(_quantize(emb), donors, cents_q).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(codes_path)
 
     book_path = os.path.join(workdir, PQ_CODEBOOK_DIR)
     cent_path = os.path.join(workdir, PQ_CENTROIDS_DIR)
@@ -591,9 +585,7 @@ def compact_pq_artifact(spark: SparkSession, sf_dir: str, workdir: str) -> None:
     from big_data_toolkit_spark.operators.dedup import NEW_BATCH_MOD
     from big_data_toolkit_spark.operators.similarity import (
         _quantize,
-        _with_pq_idx,
-        pq_cell_col,
-        pq_codes_col,
+        pq_codes_cell_frame,
     )
 
     donors = read_pq_codebook(spark, workdir)
@@ -619,14 +611,9 @@ def compact_pq_artifact(spark: SparkSession, sf_dir: str, workdir: str) -> None:
     delta = load_table(spark, sf_dir, "embeddings").where(
         F.col("vec_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
     )
-    coded = _with_pq_idx(_quantize(delta), donors)
-    coded.select(
-        "vec_id",
-        pq_codes_col(donors).alias("codes"),
-        pq_cell_col(cents_q).alias("cell"),
-    ).write.mode("append").partitionBy("cell").parquet(
-        os.path.join(workdir, PQ_CODES_DIR)
-    )
+    pq_codes_cell_frame(_quantize(delta), donors, cents_q).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(os.path.join(workdir, PQ_CODES_DIR))
 
 
 def _read_id_vec_table(

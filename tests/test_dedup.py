@@ -304,6 +304,52 @@ def test_semantic_dedup_decision_table(spark):
         out.unpersist()
 
 
+def test_semantic_dedup_sharded_one_cell_equals_flat(spark):
+    """A 1-cell quantizer must reproduce the flat ``semantic_dedup``
+    bit-for-bit: the sharded form reuses the same ``_lloyd_q`` /
+    ``_semantic_decide`` machinery per slice, so sharding is pure
+    routing — the equality gate the SEM_K_CAP escape hatch rests on.
+    (On the contiguous-id fixture the slice's derived seeding resolves
+    to the same CENTROID_IDS seed set as the flat path's pinned one.)"""
+    from big_data_toolkit_spark.operators.similarity import EMB_DIM
+
+    one_cell = {0: [0] * EMB_DIM}
+    sharded = dedup.semantic_dedup_sharded(spark, SF_ORACLE, cents_q=one_cell)
+    assert sharded.select("cell").distinct().collect()[0]["cell"] == 0
+    got = sorted(
+        (r["vec_id"], r["cluster"], r["kept"])
+        for r in sharded.select("vec_id", "cluster", "kept").collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["cluster"], r["kept"])
+        for r in dedup.semantic_dedup(spark, SF_ORACLE).collect()
+    )
+    assert got == want
+
+
+def test_semantic_dedup_sharded_partitions_and_prunes(spark):
+    """Real 16-cell quantizer: the shard union is a PARTITION of the
+    corpus (every vector decided exactly once), drops occur, and no
+    (cell, cluster) minimum vec_id is ever dropped — the flat
+    decision-table invariants, per shard."""
+    out = dedup.semantic_dedup_sharded(spark, SF_ORACLE).cache()
+    try:
+        n_emb = dedup.load_table(spark, SF_ORACLE, "embeddings").count()
+        assert out.count() == n_emb
+        assert out.select("vec_id").distinct().count() == n_emb
+        assert out.select("cell").distinct().count() > 1
+        assert out.where(~F.col("kept")).count() > 0
+        min_dropped = (
+            out.groupBy("cell", "cluster")
+            .agg(F.min("vec_id").alias("vec_id"))
+            .join(out.where(~F.col("kept")), ["cell", "cluster", "vec_id"])
+            .count()
+        )
+        assert min_dropped == 0
+    finally:
+        out.unpersist()
+
+
 def test_span_dedup_no_window_operator(spark):
     """Winner selection must be the partial-aggregated groupBy(span).min,
     never a window sort over span text."""
