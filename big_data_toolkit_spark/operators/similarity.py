@@ -350,10 +350,58 @@ def _kmeans_assign_gemm(q: DataFrame, cents: dict[int, list[float]]) -> DataFram
     return q.withColumn("cluster", nearest("qv"))
 
 
+# Default for the ≤ ASSIGN_LITERAL_MAX_K tier: the ordered-fold Arrow
+# path below — bit-identical to the literal fold BY OPERATION SEQUENCE
+# (not just "usually equal" like the GEMM), so it can carry the
+# oracle-gated queries.  False restores the pure-expression plan
+# (equality gate + plan-assertion tests exercise both).
+KMEANS_ASSIGN_ARROW = True
+
+
+def _kmeans_assign_arrow_exact(
+    q: DataFrame, cents: dict[int, list[float]]
+) -> DataFrame:
+    """q + (cluster): Arrow assignment that replays the literal fold's
+    EXACT IEEE operation sequence — per centroid, accumulate
+    (double(x_i) − c_i)² left-to-right over dimensions in float64 (a
+    vectorized K×dim loop over the batch, NOT a GEMM: the expanded-form
+    GEMM rounds differently, see ``_kmeans_assign_gemm``). Quantized
+    ticks convert to double exactly (|tick| ≪ 2^53), numpy float64 is
+    the same IEEE arithmetic the JVM fold runs, and ``np.argmin``'s
+    first-minimum over ascending cids is ``array_position``'s tie rule —
+    so the result is bit-identical to ``_kmeans_assign`` INCLUDING exact
+    distance ties (equality- and synthetic-tie-tested), unlike the
+    beyond-cap GEMM. Interpreted ``aggregate()`` folds become ~K×dim
+    vectorized numpy ops per batch."""
+    cids = np.array(sorted(cents), dtype=np.int64)
+    C = np.array([cents[c] for c in cids], dtype=np.float64)
+    k, dim = C.shape
+
+    @F.pandas_udf("long")
+    def nearest(qv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype="int64")
+        Q = np.array(qv.tolist(), dtype=np.float64)
+        d = np.empty((Q.shape[0], k))
+        for j in range(k):
+            acc = np.zeros(Q.shape[0])
+            for i in range(dim):
+                t = Q[:, i] - C[j, i]
+                acc += t * t  # in-order fold: acc = acc + (x−c)², i asc
+            d[:, j] = acc
+        return pd.Series(cids[np.argmin(d, axis=1)])
+
+    return q.withColumn("cluster", nearest("qv"))
+
+
 def kmeans_assign_auto(q: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
-    """Assignment dispatch: the oracle-exact literal fold up to
-    ``ASSIGN_LITERAL_MAX_K`` centroids, the Arrow GEMM beyond."""
+    """Assignment dispatch: up to ``ASSIGN_LITERAL_MAX_K`` centroids the
+    oracle-exact tier (ordered-fold Arrow by default, the literal
+    expression fold when ``KMEANS_ASSIGN_ARROW`` is off — bit-equal
+    either way); the Arrow GEMM beyond."""
     if len(cents) <= ASSIGN_LITERAL_MAX_K:
+        if KMEANS_ASSIGN_ARROW:
+            return _kmeans_assign_arrow_exact(q, cents)
         return _kmeans_assign(q, cents)
     return _kmeans_assign_gemm(q, cents)
 
@@ -380,7 +428,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment — integer output, no float hash risk.
     """
     q, cents = _lloyd(spark, sf_dir)
-    return _kmeans_assign(q, cents).select("vec_id", "cluster")
+    return kmeans_assign_auto(q, cents).select("vec_id", "cluster")
 
 
 SEM_TARGET_CLUSTER = 512  # SemDeDup per-cluster population target
@@ -545,7 +593,7 @@ def knn_ivf_trained(
         F.col("embedding").alias("qv_q")
     )
     return (
-        _kmeans_assign(q, cents)
+        kmeans_assign_auto(q, cents)
         .where(
             F.col("cluster").isin(probe) & (F.col("vec_id") != query_vec_id)
         )
@@ -863,11 +911,37 @@ def _pq_subdist(s: int, sub: list[int]) -> Column:
     )
 
 
-def _with_pq_idx(q: DataFrame, donors: dict[int, list[int]]) -> DataFrame:
+def _with_pq_idx(
+    q: DataFrame, donors: dict[int, list[int]], arrow: bool | None = None
+) -> DataFrame:
     """q + per-subspace 1-based argmin codebook index columns _pq_idx_s.
-    Map-only: 8 x 16 integer folds in-row; ties to the smallest donor id
-    (``array_position`` first-minimum over ascending donor layout)."""
+    Map-only: 8 x 16 integer argmins in-row; ties to the smallest donor
+    id (first-minimum over ascending donor layout). ``arrow`` (default
+    ``PQ_INGEST_ARROW``) dispatches the exact-int64 numpy batch encode
+    (``_pq_subdist_tensor`` — bit-identical, equality-gated) over the
+    interpreted expression folds; all other columns of ``q`` pass
+    through either way."""
+    if arrow is None:
+        arrow = PQ_INGEST_ARROW
     dids = sorted(donors)
+    if arrow:
+        D = np.array([donors[j] for j in dids], dtype=np.int64)
+
+        @F.pandas_udf("array<int>")
+        def enc(qv: pd.Series) -> pd.Series:
+            if len(qv) == 0:
+                return pd.Series([], dtype="object")
+            Q = np.array(qv.tolist(), dtype=np.int64)
+            sub = _pq_subdist_tensor(Q, D)
+            return pd.Series(list((np.argmin(sub, axis=2) + 1).astype(np.int32)))
+
+        return q.select("*", enc("qv").alias("_pq_idx_arr")).select(
+            "*",
+            *[
+                F.element_at("_pq_idx_arr", s + 1).alias(f"_pq_idx_{s}")
+                for s in range(PQ_SUBSPACES)
+            ],
+        ).drop("_pq_idx_arr")
     cols = []
     for s in range(PQ_SUBSPACES):
         dists = F.array(
@@ -1303,6 +1377,30 @@ def pq_new_encode_arrow(
     )
 
 
+def with_pq_cell(
+    q: DataFrame, cents_q: dict[int, list[int]], arrow: bool | None = None
+) -> DataFrame:
+    """q + (cell): coarse-cell assignment dispatch — the exact-int64
+    numpy argmin (default, bit-identical to the expression: integer
+    distances, same first-minimum tie rule) or the ``pq_cell_col``
+    literal folds (streaming micro-batches, equality gate)."""
+    if arrow is None:
+        arrow = PQ_INGEST_ARROW
+    if not arrow:
+        return q.withColumn("cell", pq_cell_col(cents_q))
+    cids = np.array(sorted(cents_q), dtype=np.int64)
+    C = np.array([cents_q[c] for c in sorted(cents_q)], dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def cell_of(qv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype="int64")
+        Q = np.array(qv.tolist(), dtype=np.int64)
+        return pd.Series(_pq_cell_ids(Q, C, cids))
+
+    return q.withColumn("cell", cell_of("qv"))
+
+
 def pq_codes_cell_frame(
     q: DataFrame,
     donors: dict[int, list[int]],
@@ -1735,9 +1833,10 @@ def knn_ivfpq(
     )[:nprobe]
     lut = _pq_lut_from_qv(donors, qv)
     q = _quantize(load_table(spark, sf_dir, "embeddings"))
-    coded = _with_pq_idx(
-        q.where(F.col("vec_id") != query_vec_id), donors
-    ).withColumn("cell", pq_cell_col(cents_q))
+    coded = with_pq_cell(
+        _with_pq_idx(q.where(F.col("vec_id") != query_vec_id), donors),
+        cents_q,
+    )
     dids = sorted(donors)
     adc = F.lit(0).cast("long")
     for s in range(PQ_SUBSPACES):

@@ -120,9 +120,12 @@ def test_kmeans_matches_sequential_replica(spark):
     assert got == expected
 
 
-def test_kmeans_assignment_is_map_only(spark):
-    """The output assignment pass carries centroids as plan literals — no
-    join, no Exchange, no Python UDF: one scan at any corpus size."""
+def test_kmeans_assignment_is_map_only(spark, monkeypatch):
+    """The output assignment pass carries centroids in the plan (Arrow
+    closure by default, literals with the flag off) — no join, no
+    Exchange, never a row-at-a-time Python UDF: one scan at any corpus
+    size. The flag-off plan must be pure expressions (the streaming /
+    oracle-twin shape)."""
     plan = (
         sim.kmeans_clusters(spark, SF_ORACLE)
         ._jdf.queryExecution()
@@ -130,7 +133,19 @@ def test_kmeans_assignment_is_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan  # Arrow-batched, never per-row
+    monkeypatch.setattr(sim, "KMEANS_ASSIGN_ARROW", False)
+    plan_expr = (
+        sim.kmeans_clusters(spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan_expr
+    assert (
+        "BatchEvalPython" not in plan_expr
+        and "ArrowEvalPython" not in plan_expr
+    )
 
 
 def test_cluster_balanced_sample_bounds(spark):
@@ -610,7 +625,7 @@ def test_gemm_assignment_matches_literal_fold(spark):
         ).collect()
     }
     assert lit == gemm
-    # dispatch: literal at K=16, GEMM past the literal cap
+    # dispatch: beyond the literal cap is always the GEMM (Arrow plan)
     assert sim.kmeans_assign_auto(q, cents) is not None
     big = {i: cents[sorted(cents)[0]] for i in range(sim.ASSIGN_LITERAL_MAX_K + 1)}
     plan = (
@@ -620,10 +635,69 @@ def test_gemm_assignment_matches_literal_fold(spark):
         .toString()
     )
     assert "ArrowEvalPython" in plan or "EvalPython" in plan
-    small_plan = (
-        sim.kmeans_assign_auto(q, cents)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
+
+
+def test_kmeans_assign_arrow_exact_bitwise(spark, monkeypatch):
+    """The default small-K Arrow assignment replays the literal fold's
+    IEEE operation sequence, so it must agree with `_kmeans_assign`
+    bit-for-bit on TRAINED (post-update, rational-double) centroids —
+    a stronger claim than the GEMM's ties-are-measure-zero one — and
+    the auto dispatch must flip plans with the flag."""
+    from tests.conftest import SF_SMOKE
+
+    q, cents = sim._lloyd(spark, SF_SMOKE)
+    lit = {
+        r["vec_id"]: r["cluster"]
+        for r in sim._kmeans_assign(q, cents).select("vec_id", "cluster").collect()
+    }
+    arw = {
+        r["vec_id"]: r["cluster"]
+        for r in sim._kmeans_assign_arrow_exact(q, cents)
+        .select("vec_id", "cluster")
+        .collect()
+    }
+    assert lit == arw
+    small_arrow = (
+        sim.kmeans_assign_auto(q, cents)._jdf.queryExecution()
+        .executedPlan().toString()
     )
-    assert "EvalPython" not in small_plan
+    assert "EvalPython" in small_arrow  # default: Arrow path
+    monkeypatch.setattr(sim, "KMEANS_ASSIGN_ARROW", False)
+    small_expr = (
+        sim.kmeans_assign_auto(q, cents)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "EvalPython" not in small_expr  # flag restores the pure plan
+
+
+def test_kmeans_assign_arrow_exact_tie_rule(spark):
+    """EXACT distance ties break to the smallest cluster id on BOTH
+    paths — the case the beyond-cap GEMM cannot guarantee but the
+    ordered-fold Arrow path must: a point equidistant from two centroids
+    (distances bit-equal by symmetry) assigns to the lower cid."""
+    dim = sim.EMB_DIM
+    q = spark.createDataFrame(
+        [(1, [0.0] * dim, [0] * dim)],
+        "vec_id long, embedding array<double>, qv array<bigint>",
+    )
+    cents = {7: [-1.0] + [0.0] * (dim - 1), 5: [1.0] + [0.0] * (dim - 1)}
+    for fn in (sim._kmeans_assign, sim._kmeans_assign_arrow_exact):
+        rows = fn(q, cents).select("cluster").collect()
+        assert rows[0]["cluster"] == 5, fn.__name__
+
+
+def test_with_pq_idx_arrow_matches_expression(spark):
+    """The Arrow int64 code argmins equal the expression folds on every
+    corpus row, and pass-through columns survive both paths."""
+    from big_data_toolkit_spark.catalog import load_table
+    from tests.conftest import SF_ORACLE
+
+    donors = sim._pq_codebook(spark, SF_ORACLE)
+    q = sim._quantize(load_table(spark, SF_ORACLE, "embeddings"))
+    key = lambda df: sorted(  # noqa: E731
+        (r["vec_id"], *[r[f"_pq_idx_{s}"] for s in range(sim.PQ_SUBSPACES)])
+        for r in df.collect()
+    )
+    expr = key(sim._with_pq_idx(q, donors, arrow=False))
+    arw = key(sim._with_pq_idx(q, donors, arrow=True))
+    assert expr == arw and len(arw) > 0
