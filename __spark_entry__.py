@@ -52,82 +52,22 @@ _MODULES = [
 # The driver's correctness gate records rows for the FIRST 50 queries in
 # dict-insertion order (observed: CORRECTNESS keys == queries()[:50] every
 # round).  Coverage rotates so no query's newest driver row goes stale.
-# Round-12 rotation (re-emitted by `scripts/plan_rotation.py` after
-# CORRECTNESS_r11.json landed 50/50 clean).  Priority per the recorded
-# evidence: (1) no red rows to retry; (2) the four never-rowed round-12
-# additions get their FIRST driver rows (`manifest_compact` and the three
-# stored-artifact consumers `mat_dedup_keep_best` / `mat_training_manifest`
-# / `mat_knn_ivfpq`); (3) staleness refreshes, oldest newest-row first:
-# the 24 queries whose newest row is r8 (`dau_wau_stickiness` ...
-# `dedup_star_components` — they hit the age-4 bound this round), then
-# 21 of the r9-rowed queries.  One manual promotion over the planner's
-# greedy order: `pca_variance` (r11 row, but ROWS-ONLY — it only gained
-# its oracle in r12) takes the last refresh slot so the verdict item
-# lands a HASH row now rather than at its r15 staleness turn.  The gate bound is period-aware with a
-# hard cap (`scripts/plan_rotation.py:max_row_age`, ADVICE r11): allowed
-# age = min(max(3, ceil(registry/50)), 5) = 4 at 178 registered queries.
-# `--check --project 4` verifies the r12-r16 projections clean.
+# Round-13 rotation (re-emitted by `scripts/plan_rotation.py` after
+# CORRECTNESS_r12.json landed 45 hash-green + 5 rows-only-by-design).
+# Priority per the recorded evidence: (1) no red rows to retry; (2) the
+# three never-rowed queries get their FIRST driver rows — `sequence_pack`
+# (r12 closing amendment, verdict item 5) plus the round-13 additions
+# `pmi_stripes` and `mat_manifest_compact`; (3) staleness refreshes,
+# oldest newest-row first: the 29 r9-rowed queries (they hit the age-4
+# bound this round) plus 18 of the r10-rowed ones.  The gate bound is
+# period-aware with a hard cap (`scripts/plan_rotation.py:max_row_age`,
+# ADVICE r11): allowed age = min(max(3, ceil(registry/50)), 5) = 4 at
+# 181 registered queries.  `--check --project 4` verifies the r13-r17
+# projections clean.
 _HEAD = [
-    "manifest_compact",
-    "mat_dedup_keep_best",
-    "mat_training_manifest",
-    "mat_knn_ivfpq",
-    "pca_variance",
-    "dau_wau_stickiness",
-    "customer_cohort_ltv",
-    "order_fulfillment_percentiles_approx",
-    "index_merge_incremental",
-    "weekly_reach_from_sketches",
-    "label_propagation_communities",
-    "boolean_and_not",
-    "phrase_search",
-    "q6_forecast_revenue",
-    "priority_revenue_share",
-    "q3_shipping_priority",
-    "q14_promo_revenue",
-    "q18_large_volume_customers",
-    "q4_order_priority_checking",
-    "audio_wav_features",
-    "image_png_features",
-    "duplicate_ngram_spans",
-    "remove_duplicate_spans",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q15_top_supplier",
-    "q11_important_parts",
-    "q16_supplier_part_variety",
-    "dedup_star_components",
-    "q9_product_type_profit",
-    "q12_late_priority_lines",
-    "q20_potential_promotion",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "dedup_incremental_bloom",
-    "dedup_minhash_incremental",
-    "pq_codes",
-    "knn_pq",
-    "knn_pq_rerank",
-    "image_jpeg_features",
-    "scd2_history",
-    "dedup_embedding_incremental",
-    "sgd_train",
-    "sgd_score",
-    "event_reach_approx",
-    "kmeans_clusters",
-    "cluster_balanced_sample",
-    "text_clean",
-    "pii_redaction",
-    "knn_ivf_trained",
-]
-
-# Deferred queries, ordered by staleness (newest driver row round ascending,
-# registry order) — the r12 refresh priority order.  Every deferred query
-# remains registered and pytest-oracle-covered (tests/oracle_utils.compare
-# replicates the driver's comparison, including its typed-value hash
-# sensitivity via the no-HUGEINT/DECIMAL-mismatch guard).  Queries added
-# mid-round and absent from both lists fall to the very tail (the never-rowed
-# queue, which plan_rotation prioritizes ahead of refreshes).
-_DEFERRED = [
+    "pmi_stripes",
+    "sequence_pack",
+    "mat_manifest_compact",
     "ranked_retrieval_bm25",
     "span_dedup",
     "semantic_dedup",
@@ -175,6 +115,16 @@ _DEFERRED = [
     "user_sessions",
     "curated_corpus",
     "customers_without_orders",
+]
+
+# Deferred queries, ordered by staleness (newest driver row round ascending,
+# registry order) — the r12 refresh priority order.  Every deferred query
+# remains registered and pytest-oracle-covered (tests/oracle_utils.compare
+# replicates the driver's comparison, including its typed-value hash
+# sensitivity via the no-HUGEINT/DECIMAL-mismatch guard).  Queries added
+# mid-round and absent from both lists fall to the very tail (the never-rowed
+# queue, which plan_rotation prioritizes ahead of refreshes).
+_DEFERRED = [
     "daily_activity_full",
     "never_ordered_parts",
     "image_features",
@@ -256,6 +206,56 @@ _DEFERRED = [
     "q5_local_supplier_volume",
     "batch_gd_train",
     "batch_gd_score",
+    "manifest_compact",
+    "mat_dedup_keep_best",
+    "mat_training_manifest",
+    "mat_knn_ivfpq",
+    "pca_variance",
+    "dau_wau_stickiness",
+    "customer_cohort_ltv",
+    "order_fulfillment_percentiles_approx",
+    "index_merge_incremental",
+    "weekly_reach_from_sketches",
+    "label_propagation_communities",
+    "boolean_and_not",
+    "phrase_search",
+    "q6_forecast_revenue",
+    "priority_revenue_share",
+    "q3_shipping_priority",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q4_order_priority_checking",
+    "audio_wav_features",
+    "image_png_features",
+    "duplicate_ngram_spans",
+    "remove_duplicate_spans",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q15_top_supplier",
+    "q11_important_parts",
+    "q16_supplier_part_variety",
+    "dedup_star_components",
+    "q9_product_type_profit",
+    "q12_late_priority_lines",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "dedup_incremental_bloom",
+    "dedup_minhash_incremental",
+    "pq_codes",
+    "knn_pq",
+    "knn_pq_rerank",
+    "image_jpeg_features",
+    "scd2_history",
+    "dedup_embedding_incremental",
+    "sgd_train",
+    "sgd_score",
+    "event_reach_approx",
+    "kmeans_clusters",
+    "cluster_balanced_sample",
+    "text_clean",
+    "pii_redaction",
+    "knn_ivf_trained",
 ]
 
 
