@@ -46,6 +46,7 @@ HEADLINE = {
     "word_count": text_analytics.word_count,
     "bigram_relfreq": text_analytics.bigram_relative_frequency,
     "pmi_pairs": text_analytics.pmi_pairs,
+    "pmi_stripes": text_analytics.pmi_stripes_serialized,
     "inverted_index": inverted_index.postings,
     "boolean_mixed": inverted_index.boolean_mixed,
     "ranked_tfidf": inverted_index.ranked_retrieval_tfidf,
