@@ -55,9 +55,9 @@ _MODULES = [
 # Round-13 rotation (re-emitted by `scripts/plan_rotation.py` after
 # CORRECTNESS_r12.json landed 45 hash-green + 5 rows-only-by-design).
 # Priority per the recorded evidence: (1) no red rows to retry; (2) the
-# three never-rowed queries get their FIRST driver rows — `sequence_pack`
+# four never-rowed queries get their FIRST driver rows — `sequence_pack`
 # (r12 closing amendment, verdict item 5) plus the round-13 additions
-# `pmi_stripes` and `mat_manifest_compact`; (3) staleness refreshes,
+# `pmi_stripes`, `bigram_relfreq_stripes` and `mat_manifest_compact`; (3) staleness refreshes,
 # oldest newest-row first: the 29 r9-rowed queries (they hit the age-4
 # bound this round) plus 18 of the r10-rowed ones.  The gate bound is
 # period-aware with a hard cap (`scripts/plan_rotation.py:max_row_age`,
@@ -68,6 +68,7 @@ _HEAD = [
     "pmi_stripes",
     "sequence_pack",
     "mat_manifest_compact",
+    "bigram_relfreq_stripes",
     "ranked_retrieval_bm25",
     "span_dedup",
     "semantic_dedup",
@@ -114,7 +115,6 @@ _HEAD = [
     "event_count_sliding",
     "user_sessions",
     "curated_corpus",
-    "customers_without_orders",
 ]
 
 # Deferred queries, ordered by staleness (newest driver row round ascending,
@@ -125,6 +125,7 @@ _HEAD = [
 # mid-round and absent from both lists fall to the very tail (the never-rowed
 # queue, which plan_rotation prioritizes ahead of refreshes).
 _DEFERRED = [
+    "customers_without_orders",
     "daily_activity_full",
     "never_ordered_parts",
     "image_features",

@@ -202,6 +202,32 @@ def bigram_relative_frequency_stripes(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def bigram_relfreq_stripes_serialized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-gate surface for ``bigram_relative_frequency_stripes``:
+    (a, stripe STRING) — same convention as ``pmi_stripes_serialized``
+    (entries in the map's b-sorted pack order, values in micro-units).
+    rel_freq is an unrounded ratio, so it first passes the repo-wide
+    cross-engine ``round(·, 6)`` convention; micro-scaling the rounded
+    value is then exact, keeping float formatting out of the hash."""
+    stripes = bigram_relative_frequency_stripes(spark, sf_dir)
+    return stripes.select(
+        "a",
+        F.concat_ws(
+            ";",
+            F.transform(
+                F.map_entries("stripe"),
+                lambda e: F.format_string(
+                    "%s=%d",
+                    e["key"],
+                    F.round(F.round(e["value"], 6) * 1e6).cast("long"),
+                ),
+            ),
+        ).alias("stripe"),
+    )
+
+
 def pmi_stripes(
     spark: SparkSession,
     sf_dir: str,
@@ -388,6 +414,32 @@ ORACLE_SQL: dict[str, str] = {
         JOIN word_counts wb ON p.b = wb.w
         CROSS JOIN n
     """,
+    "bigram_relfreq_stripes": f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest({_TOKENS}) AS word,
+                 unnest(range(1, len({_TOKENS}) + 1)) AS pos
+          FROM documents
+        ),
+        bigrams AS (
+          SELECT doc_id, word AS a,
+                 lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+          FROM tok
+        ),
+        pair_counts AS (
+          SELECT a, b, count(*) AS cnt FROM bigrams WHERE b IS NOT NULL GROUP BY a, b
+        ),
+        rf AS (
+          SELECT a, b, cnt / sum(cnt) OVER (PARTITION BY a) AS rel_freq
+          FROM pair_counts
+        )
+        SELECT a,
+               string_agg(b || '=' ||
+                          CAST(round(round(rel_freq, 6) * 1000000) AS BIGINT),
+                          ';' ORDER BY b) AS stripe
+        FROM rf
+        GROUP BY a
+    """,
     "pmi_stripes": f"""
         WITH words AS (
           SELECT doc_id, list_distinct(({_TOKENS})[1:{PMI_TOKEN_CAP}]) AS ws
@@ -447,6 +499,7 @@ QUERIES = {
     "word_count": word_count,
     "next_word_after": next_word_after,
     "bigram_relative_frequency": bigram_relative_frequency,
+    "bigram_relfreq_stripes": bigram_relfreq_stripes_serialized,
     "pmi_pairs": pmi_pairs,
     "pmi_stripes": pmi_stripes_serialized,
     "keyword_extraction": keyword_extraction,
