@@ -29,7 +29,11 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from big_data_toolkit_spark.catalog import load_table, local_table
+from big_data_toolkit_spark.catalog import (
+    load_table,
+    local_table,
+    table_row_count,
+)
 
 QUERY_VEC_ID = 0
 TOP_K = 10
@@ -1165,6 +1169,69 @@ def _quantized_centroids(
     return found
 
 
+# Occupancy target for the ingest-ANN coarse quantizer: nlist derives
+# from the corpus size so expected per-cell population stays ≤ this —
+# candidate pairs per arriving vector are then occupancy-bounded and
+# the cell equi-join stays LINEAR in the corpus (the r13 ×32 probe
+# measured the fixed-16-cell alternative at 45× on 32× data; the same
+# derivation shape as semantic_k_for / bloom_m_for).  The floor keeps
+# the pinned CENTROID_IDS quantizer — and therefore the static oracle
+# SQL — exact at every driver SF (derivation only kicks in past
+# 16×512 = 8,192 vectors, boundary-tested).
+PQ_TARGET_CELL = 512
+# Driver-state cap: the quantizer ships as nlist×dim int64 in the UDF
+# closure / literal plan. Past it, raise rather than degrade — provide
+# a trained/stored quantizer via ``cents_q`` (plans.materialize) or
+# shard the ingest, the SEM_K_CAP policy.
+PQ_NLIST_CAP = 1 << 14
+
+
+def pq_nlist_for(n_vectors: int) -> int:
+    """Coarse-cell count for the ingest-ANN shapes over ``n_vectors``:
+    smallest power of two keeping expected occupancy ≤ PQ_TARGET_CELL,
+    floored at the 16 pinned cells (gate scales keep the oracle
+    quantizer), capped at PQ_NLIST_CAP with a refuse-to-fake raise."""
+    base = len(CENTROID_IDS)
+    need = -(-max(n_vectors, 1) // PQ_TARGET_CELL)
+    nlist = base
+    while nlist < need:
+        nlist <<= 1
+    if nlist > PQ_NLIST_CAP:
+        raise ValueError(
+            f"{n_vectors} vectors need nlist={nlist} > PQ_NLIST_CAP="
+            f"{PQ_NLIST_CAP} coarse cells for the ingest-ANN cost model; "
+            "pass a trained/stored quantizer via cents_q "
+            "(plans.materialize) or shard the ingest instead of letting "
+            "per-cell occupancy grow unbounded"
+        )
+    return nlist
+
+
+def derived_quantizer_cells(
+    spark: SparkSession, sf_dir: str
+) -> dict[int, list[int]]:
+    """The ingest-ANN default quantizer: ``pq_nlist_for``-many corpus
+    vectors on the fixed-point grid — the CENTROID_IDS convention
+    generalized (the nlist LOWEST vec_ids present at or above
+    CENTROID_IDS' start; contiguous-id tables at gate scale reproduce
+    the pinned 16-cell set EXACTLY, so the static oracles hold
+    verbatim — identity-tested)."""
+    nlist = pq_nlist_for(table_row_count(sf_dir, "embeddings"))
+    if nlist == len(CENTROID_IDS):
+        return _quantized_centroids(spark, sf_dir)
+    q = _quantize(load_table(spark, sf_dir, "embeddings"))
+    ids = [
+        r["vec_id"]
+        for r in q.where(F.col("vec_id") >= CENTROID_IDS[0])
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(nlist)
+        .collect()
+    ]
+    rows = q.where(F.col("vec_id").isin(ids)).select("vec_id", "qv").collect()
+    return {r["vec_id"]: [int(x) for x in r["qv"]] for r in rows}
+
+
 def pq_cell_col(cents_q: dict[int, list[int]]) -> Column:
     """Coarse cell id: argmin integer squared-L2 from ``qv`` to the
     centroid literals, ties to the smallest centroid id — map-only, works
@@ -1224,7 +1291,7 @@ def pq_corpus_coded(
     if donors is None:
         donors = _pq_codebook(spark, sf_dir)
     if cents_q is None:
-        cents_q = _quantized_centroids(spark, sf_dir)
+        cents_q = derived_quantizer_cells(spark, sf_dir)
     q = _quantize(load_table(spark, sf_dir, "embeddings")).where(
         F.col("vec_id") % NEW_BATCH_MOD != NEW_BATCH_MOD - 1
     )
@@ -1462,7 +1529,11 @@ def _pq_ingest_sides(
     if donors is None:
         donors = _pq_codebook(spark, sf_dir)
     if cents_q is None:
-        cents_q = _quantized_centroids(spark, sf_dir)
+        # SIZE-DERIVED nlist (pq_nlist_for): the pinned 16-cell oracle
+        # quantizer at every driver SF, occupancy-bounded cells beyond —
+        # the fixed-nlist n²/16 candidate blowup the ×32 probe measured
+        # corrects itself with zero configuration.
+        cents_q = derived_quantizer_cells(spark, sf_dir)
     if corpus is None:
         corpus = pq_corpus_coded(spark, sf_dir, donors, cents_q, arrow=arrow)
     delta = _quantize(load_table(spark, sf_dir, "embeddings")).where(
@@ -1504,10 +1575,13 @@ def ann_pq_incremental(
     build-once/probe-many — ``BuildInvertedIndexCompressed.java:187``;
     here the postings are PQ cells instead of terms.)
 
-    Scale rule (SCALE.md r10 probe note): candidate count is
-    n²/nlist, so nlist must GROW ∝ √n — the 16 fixture cells are
-    oracle constants; production passes a k-means-trained quantizer of
-    the right nlist through ``pq_corpus_coded``'s ``cents_q``.
+    Scale rule (r10 probe note, CLOSED r13): candidate count is
+    n²/nlist, so nlist must grow with the corpus — and now DOES by
+    default: ``pq_nlist_for`` derives occupancy-bounded cells from the
+    parquet footer row count (the pinned 16-cell oracle quantizer at
+    every driver SF; ×32 probe 45× → 11.4× on the kNN-join twin).
+    Production can still pass a k-means-trained quantizer through
+    ``cents_q``.
 
     ``corpus``/``donors``/``cents_q`` (optional): the stored PQ index —
     see ``_pq_ingest_sides`` / ``plans.materialize

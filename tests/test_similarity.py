@@ -581,6 +581,27 @@ def test_pq_ingest_arrow_matches_expression_path(spark):
             expr_new, expr_corpus = n, c
 
 
+def test_pq_nlist_derivation_and_gate_identity(spark):
+    """nlist stays at the 16 pinned cells through every driver SF (the
+    static ingest oracles depend on it), scales as a power of two past
+    16×512 vectors, raises past the cap — and the derived quantizer at
+    gate scale IS the pinned CENTROID_IDS set, vector for vector."""
+    import pytest as _pytest
+
+    from tests.conftest import SF_ORACLE
+
+    assert sim.pq_nlist_for(1) == 16
+    assert sim.pq_nlist_for(16 * sim.PQ_TARGET_CELL) == 16
+    assert sim.pq_nlist_for(16 * sim.PQ_TARGET_CELL + 1) == 32
+    assert sim.pq_nlist_for(199_000) == 512  # the ×32 probe scale
+    assert sim.pq_nlist_for(sim.PQ_NLIST_CAP * sim.PQ_TARGET_CELL) == sim.PQ_NLIST_CAP
+    with _pytest.raises(ValueError):
+        sim.pq_nlist_for(sim.PQ_NLIST_CAP * sim.PQ_TARGET_CELL + 1)
+    derived = sim.derived_quantizer_cells(spark, SF_ORACLE)
+    pinned = sim._quantized_centroids(spark, SF_ORACLE)
+    assert derived == pinned
+
+
 def test_semantic_k_for_derivation():
     """Gate-scale corpora keep the oracle-pinned K=16; K scales as a
     power of two past 16×SEM_TARGET_CLUSTER vectors; past SEM_K_CAP the
