@@ -824,3 +824,71 @@ def test_gapfill_fold_is_batch_split_invariant(buckets, cuts, lead):
             *state, out = _fold_gapfill(*state, [part], grid_start)
             out_multi.extend(out)
     assert out_multi == out_single
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    data=st.data(),
+    dim=st.integers(min_value=1, max_value=16),
+    k=st.integers(min_value=1, max_value=8),
+)
+def test_ordered_fold_numpy_is_bitwise_ieee(data, dim, k):
+    """The r13 Arrow-exact assignment's core claim, fuzzed: a numpy
+    per-dimension accumulation (acc += (x−c)²) is BIT-identical to the
+    JVM/Python left-to-right fold — same subtract/square/add sequence in
+    IEEE float64 — and argmin's first-minimum matches the
+    array_position(array_min) tie rule, including manufactured exact
+    ties (duplicate centroids)."""
+    import numpy as np
+
+    ticks = st.integers(min_value=-(10**6), max_value=10**6)
+    rows = data.draw(
+        st.lists(
+            st.lists(ticks, min_size=dim, max_size=dim),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    cents = data.draw(
+        st.lists(
+            st.lists(
+                st.floats(
+                    min_value=-1e6,
+                    max_value=1e6,
+                    allow_nan=False,
+                    allow_infinity=False,
+                ),
+                min_size=dim,
+                max_size=dim,
+            ),
+            min_size=k,
+            max_size=k,
+        )
+    )
+    if k >= 2 and data.draw(st.booleans()):
+        cents[-1] = list(cents[0])  # exact-tie pressure
+
+    # the literal fold, replicated in Python floats (IEEE float64)
+    def fold(q, c):
+        acc = 0.0
+        for x, y in zip(q, c):
+            acc = acc + (float(x) - y) * (float(x) - y)
+        return acc
+
+    ref = [
+        min(range(k), key=lambda j: (fold(q, cents[j]), j)) for q in rows
+    ]
+    Q = np.array(rows, dtype=np.float64)
+    C = np.array(cents, dtype=np.float64)
+    d = np.empty((len(rows), k))
+    for j in range(k):
+        acc = np.zeros(len(rows))
+        for i in range(dim):
+            t = Q[:, i] - C[j, i]
+            acc += t * t
+        d[:, j] = acc
+    # distances bitwise equal, argmin first-minimum == (dist, j) min
+    for r, q in enumerate(rows):
+        for j in range(k):
+            assert d[r, j] == fold(q, cents[j]), (r, j)
+    assert list(np.argmin(d, axis=1)) == ref
