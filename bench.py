@@ -47,6 +47,7 @@ HEADLINE = {
     "bigram_relfreq": text_analytics.bigram_relative_frequency,
     "pmi_pairs": text_analytics.pmi_pairs,
     "pmi_stripes": text_analytics.pmi_stripes_serialized,
+    "bigram_relfreq_stripes": text_analytics.bigram_relfreq_stripes_serialized,
     "inverted_index": inverted_index.postings,
     "boolean_mixed": inverted_index.boolean_mixed,
     "ranked_tfidf": inverted_index.ranked_retrieval_tfidf,
