@@ -510,9 +510,12 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     edge would otherwise swap labels forever); min-tie-break makes every
     round an exact integer/min operation, so a fixed round count is
     deterministic and cross-engine reproducible even pre-convergence
-    (the dedup_components precedent). Each round is one join + one
-    (node, label) count + one argmax window; labels ``localCheckpoint``
-    per round.
+    (the dedup_components precedent). Each round is one exchange-free
+    join (edges pinned on the join key once; labels come out of their
+    aggregation already node-partitioned) + ONE ``mode(deterministic)``
+    aggregation — Spark's ties-to-lowest mode IS the LPA vote rule, and
+    it partial-aggregates map-side; labels ``localCheckpoint`` per
+    round.
     """
     li = load_table(spark, sf_dir, "lineitem")
     baskets = li.groupBy("l_orderkey").agg(
@@ -550,22 +553,33 @@ def lpa_labels(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     nodes = sym.select(F.col("src").alias("node")).distinct()
-    # self-loops carry each node's own vote through the same join
-    edges = sym.union(
-        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
-    ).localCheckpoint()
-    labels = nodes.withColumn("community", F.col("node")).localCheckpoint()
-    w = Window.partitionBy("node").orderBy(
-        F.desc("votes"), F.asc("community")
+    # ONE shuffle per round (was three): the neighbour-vote argmax with
+    # its smallest-label tie-break IS Spark's deterministic ``mode()``
+    # aggregate (ties -> lowest value) — one partial-aggregable groupBy
+    # replaces the (node, community) count plus the row_number window.
+    # Edges pre-partition by the join key ONCE (localCheckpoint pins the
+    # physical partitioning), and each round's label frame comes out of
+    # its aggregation hash-partitioned on node — so the per-round join
+    # needs NO exchange on either side and the only shuffle left is the
+    # vote regroup by src. At 100 TB that is rounds x one edge-sized
+    # exchange instead of rounds x three.
+    edges = (
+        sym.union(  # self-loops carry each node's own vote via the join
+            nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+        )
+        .repartition("dst")
+        .localCheckpoint()
+    )
+    labels = (
+        nodes.repartition("node")
+        .withColumn("community", F.col("node"))
+        .localCheckpoint()
     )
     for _ in range(rounds):
         labels = (
             edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy(edges["src"].alias("node"), "community")
-            .agg(F.count("*").alias("votes"))
-            .withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select("node", "community")
+            .groupBy(edges["src"].alias("node"))
+            .agg(F.mode("community", True).alias("community"))
             .localCheckpoint()
         )
     return labels
