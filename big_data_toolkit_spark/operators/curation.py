@@ -392,6 +392,7 @@ def training_manifest(
     sf_dir: str,
     budget: int = SHARD_TOKENS,
     comp: DataFrame | None = None,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, component, split, quality, ws_tokens, shard_id): the
     END-TO-END curated-corpus emission — near-dup survivor selection,
@@ -435,19 +436,22 @@ def training_manifest(
     )
     from big_data_toolkit_spark.operators.quality import quality_expressions
 
-    docs = load_table(spark, sf_dir, "documents")
-    e = quality_expressions()
-    ws = F.size(F.filter(F.split("text", " +"), lambda t: t != F.lit("")))
-    # Checkpointed: the best-per-component branch and the output branch
-    # both read this frame, and map-only branches have no exchange to
-    # reuse — without the checkpoint the regex-heavy quality scan
-    # evaluates twice. Three narrow columns per doc, the cheap thing to
-    # stage vs re-reading text.
-    scored = docs.select(
-        "doc_id",
-        F.round(e["score"], 6).alias("quality"),
-        ws.cast("long").alias("ws_tokens"),
-    ).localCheckpoint()
+    if scored is None:
+        docs = load_table(spark, sf_dir, "documents")
+        e = quality_expressions()
+        ws = F.size(F.filter(F.split("text", " +"), lambda t: t != F.lit("")))
+        # Checkpointed: the best-per-component branch and the output branch
+        # both read this frame, and map-only branches have no exchange to
+        # reuse — without the checkpoint the regex-heavy quality scan
+        # evaluates twice. Three narrow columns per doc, the cheap thing to
+        # stage vs re-reading text. ``scored`` (optional) lets a composing
+        # caller (``manifest_compact``) stage this once for both its post
+        # and prev pipelines instead of paying the scan per pipeline.
+        scored = docs.select(
+            "doc_id",
+            F.round(e["score"], 6).alias("quality"),
+            ws.cast("long").alias("ws_tokens"),
+        ).localCheckpoint()
     if comp is None:
         comp = dedup_components(spark, sf_dir)
     w_best = Window.partitionBy("component").orderBy(
@@ -641,9 +645,11 @@ def manifest_compact(
 
     Plan shape: ONE MinHash pass (the checkpointed pair table feeds the
     full closure, the corpus-only closure, and the cross matches), two
-    pair-graph-sized propagation closures, then the
-    ``training_manifest`` pipeline over the full closure plus one
-    corpus-scan's worth of prev-state columns. ``pairs`` (optional):
+    pair-graph-sized propagation closures, and ONE staged quality scan
+    whose (quality, ws_tokens) serve both the ``training_manifest``
+    pipeline over the full closure AND the prev-state columns (the post
+    and prev scores are the same 6-decimal expression, so the scan is
+    shared, not repeated). ``pairs`` (optional):
     the stored ``neardup_pairs`` artifact — the production shape, where
     compaction costs zero MinHash work; ``comp`` (optional): the stored
     ``neardup_components`` closure (it covers the FULL pair graph,
@@ -668,21 +674,30 @@ def manifest_compact(
     full_comp = (
         dedup_components(spark, sf_dir, pairs=pairs) if comp is None else comp
     )
+    # ONE quality pass serves both pipelines: the post manifest's
+    # (quality, ws_tokens) and the prev state's q_prev are the same
+    # 6-decimal-rounded score over the same corpus scan, so staging it
+    # once and handing it to ``training_manifest`` halves the regex-heavy
+    # map work this op used to pay (the old shape ran the scan once per
+    # pipeline).
+    docs = load_table(spark, sf_dir, "documents")
+    e = quality_expressions()
+    ws = F.size(F.filter(F.split("text", " +"), lambda t: t != F.lit("")))
+    scored = docs.select(
+        "doc_id",
+        F.round(e["score"], 6).alias("quality"),
+        ws.cast("long").alias("ws_tokens"),
+    ).localCheckpoint()
     # The post state IS training_manifest over the full closure — the
     # pipeline cannot drift from the gated op because it IS the gated op.
-    post = training_manifest(spark, sf_dir, budget, comp=full_comp)
+    post = training_manifest(
+        spark, sf_dir, budget, comp=full_comp, scored=scored
+    )
 
     corp_comp = dedup_components(
         spark, sf_dir, pairs=corpus_pairs
     ).localCheckpoint()
-    docs = load_table(spark, sf_dir, "documents")
-    # prev-state quality: one more map-only pass (the oracle-self-
-    # contained trade; the materialized form shares the post pipeline's
-    # stored artifacts instead)
-    scored = docs.select(
-        "doc_id",
-        F.round(quality_expressions()["score"], 6).alias("q_prev"),
-    ).localCheckpoint()
+    prev_scored = scored.select("doc_id", F.col("quality").alias("q_prev"))
     matches = (
         pairs.where(_is_new(F.col("d1")) & ~_is_new(F.col("d2")))
         .select(F.col("d1").alias("doc_id"), F.col("d2").alias("dup_of"))
@@ -709,14 +724,14 @@ def manifest_compact(
         F.col("q_prev").desc(), F.col("doc_id")
     )
     corpus_prev = (
-        scored.where(~_is_new(F.col("doc_id")))
+        prev_scored.where(~_is_new(F.col("doc_id")))
         .join(corp_comp, "doc_id", "left")
         .withColumn("_pcomp", F.coalesce("component", F.col("doc_id")))
         .withColumn("_rk", F.row_number().over(w_prev))
         .select("doc_id", "_pcomp", (F.col("_rk") == 1).alias("prev_kept"))
     )
     delta_prev = (
-        scored.where(_is_new(F.col("doc_id")))
+        prev_scored.where(_is_new(F.col("doc_id")))
         .join(match_comp, "doc_id", "left")
         .select(
             "doc_id",

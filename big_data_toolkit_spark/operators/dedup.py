@@ -298,9 +298,14 @@ def _shingle_hash32() -> F.Column:
     return F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sig_0..sig_{k-1}): minima of k universal hashes over shingles."""
-    sh = _shingles(spark, sf_dir).withColumn("h", _shingle_hash32())
+def minhash_signatures_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig_0..sig_{k-1}): minima of k universal hashes over the
+    shingles of a documents frame.  The projection BEFORE the groupBy is
+    (doc_id, h) only — the shingle string never enters the exchange, and
+    the 16 partial MIN aggregates collapse each map partition to one row
+    per doc, so the shuffle carries ~one narrow row per document (guide
+    §2.3: aggregate before you shuffle, shuffle keys not payloads)."""
+    sh = shingles_of(docs).select("doc_id", _shingle_hash32().alias("h"))
     aggs = [
         F.min((F.lit(HASH_A[k]) * F.col("h") + F.lit(HASH_B[k])) % MERSENNE_P).alias(
             f"sig_{k}"
@@ -308,6 +313,11 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(MINHASH_K)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig_0..sig_{k-1}): minima of k universal hashes over shingles."""
+    return minhash_signatures_of(load_table(spark, sf_dir, "documents"))
 
 
 def minhash_per_doc(docs: DataFrame) -> DataFrame:
@@ -631,23 +641,37 @@ def dedup_components(
     # differently-projected branches: at the 32x probe scale the doubled
     # (and internally 4x-referenced) chain turned a ~35 s materialization
     # into a multi-minute stall. One reference, then checkpoint.
-    edges = _symmetrize(pairs).localCheckpoint()
+    #
+    # The SAME explode also emits a self-loop per endpoint (d1→d1, d2→d2):
+    # with v ∈ N(v), the round update "least(own, min over in-neighbours)"
+    # collapses to ONE join + ONE min-aggregate — the old left-join-back of
+    # nbr_min onto labels (a third per-round operator with its own
+    # shuffle/broadcast) is algebraically absorbed into the aggregate.
+    # Duplicate self-loops (one per incident pair) are harmless under MIN.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("d1"), F.col("d2")),
+                F.struct(F.col("d2").alias("d1"), F.col("d1").alias("d2")),
+                F.struct(F.col("d1"), F.col("d1").alias("d2")),
+                F.struct(F.col("d2").alias("d1"), F.col("d2")),
+            )
+        ).alias("e")
+    ).select("e.d1", "e.d2").localCheckpoint()
     labels = (
         edges.select(F.col("d1").alias("doc_id"))
         .distinct()
         .withColumn("comp", F.col("doc_id"))
     )
     for i in range(CC_ITERS):
-        nbr = (
+        # comp'(v) = min over {comp(u) : u ∈ N(v) ∪ {v}} — identical to
+        # least(comp(v), min over neighbours' comp) because the edge set
+        # carries the self-loops, and every node has one, so no node drops
+        # out of the aggregate (the old outer-join-back is unnecessary).
+        labels = (
             edges.join(labels, edges["d2"] == labels["doc_id"])
             .groupBy(edges["d1"].alias("doc_id"))
-            .agg(F.min("comp").alias("nbr_min"))
-        )
-        labels = labels.join(nbr, "doc_id", "left").select(
-            "doc_id",
-            F.least(
-                F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
-            ).alias("comp"),
+            .agg(F.min("comp").alias("comp"))
         )
         # Cap the unrolled lineage: without this, round N's plan nests 2N
         # joins and the planner/codegen cost compounds (and a failure
