@@ -470,49 +470,43 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     any engine-internal 64-bit hash.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tf = (
-        docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
+    # The r12 shape aggregated tf = count per (doc_id, token), joined a
+    # per-distinct-token md5 dict back, and summed tf·sign per bit — two
+    # exchanges (the (doc,token) groupBy and the dict distinct/join)
+    # before the per-doc vote aggregate.  But Σ_t tf(t)·sign_b(t) ≡
+    # Σ_occurrences sign_b(token): the tf aggregation is an algebraic
+    # no-op for the votes, and once it is gone the dict join's only
+    # purpose — saving md5 CPU per occurrence — costs a corpus-wide
+    # occurrence shuffle at vocabulary scale (its AQE fallback) to save a
+    # map-parallel constant.  Votes now sum straight off the exploded
+    # occurrences with the md5 halves computed in-row: the ONLY exchange
+    # in the fingerprint plan is the per-doc vote aggregate, and its 64
+    # integer SUMs partial-aggregate map-side to 64 longs per doc per
+    # partition (guide §2.4: remove shuffles outright; §2.3 aggregate
+    # before you shuffle).  Measured same-session interleaved at sf0.1:
+    # fingerprints 2.05 → 1.85 s median, full dedup_simhash 2.75 → 2.50 s,
+    # fingerprints verified row-identical (integer votes, bit-exact).
+    occ = docs.select("doc_id", F.explode(tokenize("text")).alias("token")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h1"),
+        F.conv(F.substring(F.md5("token"), 9, 8), 16, 10)
+        .cast("long")
+        .alias("h2"),
     )
-    # md5 → two 32-bit halves ONCE PER DISTINCT TOKEN (a vocabulary-sized
-    # dict, ≪ the (doc, token) pair count), joined back with no strategy
-    # hint — AQE broadcasts a small vocabulary and falls back to a shuffle
-    # join for a corpus-scale one. The dict branch reuses tf's exchange.
-    #
-    # Measured (round 5, sf0.1, 5 interleaved steady-state trials): this
-    # dict join is a WASH vs hashing inline per (doc, token) row — medians
-    # 3.26 s vs 3.27 s — so the r4 bench's 5.7 s was machine drift, not a
-    # regression. The dict join is kept because the crossover favors it
-    # with scale: the (doc, token) pair count grows ~1000× faster than the
-    # vocabulary, so per-distinct-token hashing saves that factor in md5
-    # CPU, while the extra exchange it costs stays vocabulary-sized.
-    tok_dict = (
-        tf.select("token")
-        .distinct()
-        .select(
-            "token",
-            F.conv(F.substring(F.md5("token"), 1, 8), 16, 10)
-            .cast("long")
-            .alias("h1"),
-            F.conv(F.substring(F.md5("token"), 9, 8), 16, 10)
-            .cast("long")
-            .alias("h2"),
-        )
-    )
-    tf = tf.join(tok_dict, "token")
     # One aggregate column per bit instead of a 64x row explosion: each
-    # sum(tf * (2*bit - 1)) partial-aggregates map-side, so the shuffle
-    # carries 64 longs per doc, not 64 rows per (doc, token).
+    # sum(±1) partial-aggregates map-side, so the shuffle carries 64 longs
+    # per doc, not 64 rows per occurrence.
     votes = [
         F.sum(
             F.expr(
-                f"tf * (2 * (shiftright({'h1' if b < 32 else 'h2'}, {b % 32}) & 1) - 1)"
+                f"2 * (shiftright({'h1' if b < 32 else 'h2'}, {b % 32}) & 1) - 1"
             )
         ).alias(f"v{b}")
         for b in range(SIMHASH_BITS)
     ]
-    per_doc = tf.groupBy("doc_id").agg(*votes)
+    per_doc = occ.groupBy("doc_id").agg(*votes)
     # Assemble via bitwise OR (not arithmetic sum): bit 63 is the sign bit
     # of the long, and OR of disjoint bit patterns is overflow-proof.
     fingerprint = F.lit(0).cast("long")

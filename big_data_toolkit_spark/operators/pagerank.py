@@ -78,6 +78,14 @@ def personalized_pagerank(
     """
     n_sources = len(sources)
 
+    # The edge list feeds two separate jobs — the degree aggregation below
+    # and the weighted-edge materialization — and its plan (scan +
+    # distinct) is the expensive part of both.  Cache it lazily: the first
+    # job pays the scan once, the second reads the cache, no extra action
+    # (measured: one full lineitem scan + distinct removed from the
+    # wedges job at sf0.1).
+    edges = edges.cache()
+
     # ONE exploded-ends aggregation yields the node set, out-degrees, AND the
     # dangling set (deg == 0) in a single shuffle — replacing the separate
     # union+distinct node scan, degree groupBy, and dangling anti-join.
@@ -133,6 +141,7 @@ def personalized_pagerank(
     n_parts = max(1, min(n_edges // 1_000_000 + 1, 2000))
     wedges = real.union(virtual).repartition(n_parts, "src").cache()
     wedges.count()  # materialize once
+    edges.unpersist()  # both consumers (degrees, weighted edges) are done
 
     is_source = F.col("node").isin(list(sources))
 
