@@ -713,6 +713,8 @@ def star_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     a component labeled with the component's minimum doc_id; isolated
     nodes (present in ``pairs`` only via self-reference) keep themselves.
     """
+    from pyspark.sql import Observation
+
     # In-row symmetrization: single reference to the (possibly heavy,
     # un-checkpointed) upstream pair plan — see dedup_components note.
     edges = (
@@ -721,7 +723,11 @@ def star_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    nodes = edges.select(F.col("u").alias("doc_id")).distinct().localCheckpoint()
+    # Lazy on purpose: ``nodes`` is only consumed by the final labeling
+    # join, and its lineage is one distinct over the already-checkpointed
+    # INITIAL edge set — re-deriving it inside the final job costs one
+    # tiny shuffle there instead of a whole extra eager job here.
+    nodes = edges.select(F.col("u").alias("doc_id")).distinct()
 
     # Signature terms are reduced mod a Mersenne prime BEFORE summing:
     # the raw product u*v overflows int64 once doc_ids reach ~3e9-scale
@@ -730,21 +736,31 @@ def star_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     # modular checksum is exactly as good for a probabilistic signature
     # that the exact set-equality confirm backstops. Per-row values stay
     # < P^2 < int64 max; the sum of %P terms stays < rows * 2^31.
+    #
+    # The per-round signature rides the round's OWN checkpoint job via
+    # ``Observation`` (a CollectMetrics node over the rows the checkpoint
+    # materializes anyway) — the r12 form ran a separate aggregate job per
+    # round just to fetch these three scalars, doubling the action count
+    # of the whole loop.  Sums of modular terms are order-independent
+    # integers, so the observed values equal the old aggregate's exactly.
     _SIG_P = (1 << 31) - 1
 
-    def _probe(e: DataFrame) -> tuple:
-        row = e.agg(
-            F.count("*").alias("n"),
+    def _sig_aggs() -> list:
+        return [
+            F.count(F.lit(1)).alias("n"),
             F.sum((F.col("u") + F.col("v")) % _SIG_P).alias("s"),
             F.sum(
                 ((F.col("u") % _SIG_P) * (F.col("v") % _SIG_P)) % _SIG_P
             ).alias("p"),
-        ).first()
+        ]
+
+    def _probe(e: DataFrame) -> tuple:
+        row = e.agg(*_sig_aggs()).first()
         return (row["n"], row["s"], row["p"])
 
     sig = _probe(edges)
     converged = False
-    for _ in range(STAR_MAX_ROUNDS):
+    for _round in range(STAR_MAX_ROUNDS):
         prev = edges
         # large-star: m(u) over the closed neighbourhood; larger neighbours
         # re-attach to m(u). Keeps (u, m) so u stays connected to its min.
@@ -777,7 +793,9 @@ def star_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
         # restore the symmetric invariant IN-ROW (explode both
         # orientations) so the single round-end distinct also closes the
         # symmetry — no second reference to a non-checkpointed frame, no
-        # extra shuffle.
+        # extra shuffle.  The signature metrics are observed DURING the
+        # checkpoint materialization (one job per round total).
+        obs = Observation(f"star_sig_{_round}")
         edges = (
             directed.select(
                 F.explode(
@@ -791,9 +809,11 @@ def star_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
             )
             .select("e.u", "e.v")
             .distinct()
+            .observe(obs, *_sig_aggs())
             .localCheckpoint()
         )
-        new_sig = _probe(edges)
+        got = obs.get
+        new_sig = (got["n"], got["s"], got["p"])
         if new_sig == sig:
             # The signature is probabilistic — confirm a fixed point by an
             # exact set-equality check so a collision can never smuggle out

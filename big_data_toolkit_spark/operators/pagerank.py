@@ -425,12 +425,14 @@ def kcore_subgraph(
     """
     from big_data_toolkit_spark.operators.dedup import dedup_minhash_lsh
 
+    from pyspark.sql import Observation
+
     if pairs is None:
         pairs = dedup_minhash_lsh(spark, sf_dir)
     edges = pairs.select("d1", "d2").localCheckpoint()
     n_edges = edges.count()
     converged = False
-    for _ in range(KCORE_MAX_ROUNDS):
+    for _round in range(KCORE_MAX_ROUNDS):
         deg = (
             edges.select(F.col("d1").alias("node"))
             .union(edges.select(F.col("d2").alias("node")))
@@ -438,13 +440,20 @@ def kcore_subgraph(
             .agg(F.count("*").alias("deg"))
         )
         keep = deg.where(F.col("deg") >= KCORE_K).select("node")
+        # The convergence probe (edge count) rides the round's own
+        # checkpoint job as an Observation instead of a second count()
+        # action — one job per peel round instead of two (r13 optimization
+        # round; exact same integer, counted over the rows the checkpoint
+        # materializes anyway).
+        obs = Observation(f"kcore_n_{_round}")
         edges = (
             edges.join(keep.withColumnRenamed("node", "d1"), "d1")
             .join(keep.withColumnRenamed("node", "d2"), "d2")
             .select("d1", "d2")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        n_next = edges.count()
+        n_next = obs.get["n"]
         if n_next == n_edges:
             converged = True
             break
