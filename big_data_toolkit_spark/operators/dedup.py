@@ -1384,10 +1384,15 @@ def _verify_pairs_cosine(emb: DataFrame, cands: DataFrame) -> DataFrame:
     Norms are computed ONCE per vector before the pair join (higher-order
     array folds are interpreted, not codegen'd — per-pair they dominated
     this stage at 3 folds/pair; per-vector it is 1 fold/vector + one cheap
-    multiply per pair). ``dot/(n1*n2)`` is the same float expression tree as
-    ``_cosine``, so results are bit-identical to the oracle's.
+    multiply per pair). The remaining per-pair dot runs through
+    ``pair_dot_auto`` — the Arrow ordered-fold replay, bit-identical to
+    the ``_dot`` expression (r13 optimization round, guide §4.2), so
+    ``dot/(n1*n2)`` still matches the oracle exactly.
     """
-    from big_data_toolkit_spark.operators.similarity import _dot, _norm
+    from big_data_toolkit_spark.operators.similarity import (
+        _norm,
+        pair_dot_auto,
+    )
 
     nemb = emb.select("vec_id", "embedding", _norm("embedding").alias("nrm"))
     e1 = nemb.select(
@@ -1406,7 +1411,9 @@ def _verify_pairs_cosine(emb: DataFrame, cands: DataFrame) -> DataFrame:
         .select(
             "d1",
             "d2",
-            F.round(_dot("e1", "e2") / (F.col("n1") * F.col("n2")), 6).alias("cos"),
+            F.round(
+                pair_dot_auto("e1", "e2") / (F.col("n1") * F.col("n2")), 6
+            ).alias("cos"),
         )
         .where(F.col("cos") >= COSINE_DUP_THRESHOLD)
     )
@@ -1886,9 +1893,9 @@ def _semantic_decide(q: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
     of ``semantic_dedup``, factored so the sharded form runs it per
     coarse-cell slice with per-cell centroids."""
     from big_data_toolkit_spark.operators.similarity import (
-        _dot,
         _norm,
         kmeans_assign_auto,
+        pair_dot_auto,
     )
 
     assigned = kmeans_assign_auto(q, cents).select(
@@ -1922,9 +1929,9 @@ def _semantic_decide(q: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
         .where(F.col("d1") < F.col("d2"))
         .select(
             "d2",
-            F.round(_dot("e1", "e2") / (F.col("n1") * F.col("n2")), 6).alias(
-                "cos"
-            ),
+            F.round(
+                pair_dot_auto("e1", "e2") / (F.col("n1") * F.col("n2")), 6
+            ).alias("cos"),
         )
         .where(F.col("cos") >= COSINE_DUP_THRESHOLD)
         .select(F.col("d2").alias("vec_id"))
@@ -2428,10 +2435,12 @@ def dedup_keep_best(
         .where(F.col("_rk") == 1)
         .select("component", F.col("doc_id").alias("_best_doc"))
     )
+    # The output spine is ``quality`` itself: it has exactly one row per
+    # document of the same table, so the old ``docs.select("doc_id").join(
+    # quality, ...)`` was an identity join — one whole join (and a second
+    # scan) for nothing (r13 optimization round, guide §2.4).
     return (
-        docs.select("doc_id")
-        .join(quality, "doc_id")
-        .join(comp, "doc_id", "left")
+        quality.join(comp, "doc_id", "left")
         .withColumn("component", F.coalesce("component", F.col("doc_id")))
         .join(best, "component", "left")
         .select(

@@ -64,6 +64,47 @@ def _cosine(a: str, b: str) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+PAIR_DOT_ARROW = True
+
+
+def pair_dot_arrow_exact(a, b) -> Column:
+    """Arrow twin of ``_dot`` for candidate-pair verification: replays the
+    interpreted ``aggregate(zip_with(...))`` fold's EXACT IEEE operation
+    sequence — acc = acc + double(x_i)·double(y_i), i ascending — as a
+    vectorized per-dimension numpy loop over each Arrow batch (the
+    ``_kmeans_assign_arrow_exact`` pattern: float32→float64 conversion is
+    exact, numpy float64 is the same IEEE arithmetic as the JVM fold, and
+    the accumulation order is replayed, NOT np.dot/GEMM, which associates
+    differently).  Bit-identical to ``_dot`` by construction — asserted
+    over real corpora and hypothesis-fuzzed in
+    ``tests/test_similarity.py`` — while replacing an interpreted
+    per-pair fold with ~dim vectorized ops per batch; the verify stages of
+    the embedding-dedup family run one such fold per CANDIDATE PAIR,
+    which dominated their post-join cost."""
+
+    @F.pandas_udf("double")
+    def pdot(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        if len(xs) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.array(xs.tolist(), dtype=np.float64)
+        B = np.array(ys.tolist(), dtype=np.float64)
+        acc = np.zeros(A.shape[0])
+        for i in range(A.shape[1]):
+            acc += A[:, i] * B[:, i]  # in-order fold, i ascending
+        return pd.Series(acc)
+
+    return pdot(a, b)
+
+
+def pair_dot_auto(a, b) -> Column:
+    """Dispatch for the pair-verify dot product: the Arrow ordered-fold
+    replay by default, the literal expression fold when
+    ``PAIR_DOT_ARROW`` is off — bit-equal either way."""
+    if PAIR_DOT_ARROW:
+        return pair_dot_arrow_exact(a, b)
+    return _dot(a, b)
+
+
 def knn_brute_force(
     spark: SparkSession, sf_dir: str, query_vec_id: int = QUERY_VEC_ID, k: int = TOP_K
 ) -> DataFrame:

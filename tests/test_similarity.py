@@ -691,6 +691,39 @@ def test_kmeans_assign_arrow_exact_bitwise(spark, monkeypatch):
     assert "EvalPython" not in small_expr  # flag restores the pure plan
 
 
+def test_pair_dot_arrow_exact_bitwise(spark, monkeypatch):
+    """The Arrow pair-verify dot replays `_dot`'s IEEE fold order, so on
+    every real cross-pair of the smoke corpus (float32 storage, exact
+    float64 conversion) the two paths must agree BIT-FOR-BIT — the same
+    claim the kmeans ordered-fold assignment makes — and the auto
+    dispatch must flip plans with the flag."""
+    from tests.conftest import SF_SMOKE
+    from big_data_toolkit_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(40)
+    a = emb.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"))
+    pairs = a.crossJoin(b).where(F.col("d1") < F.col("d2"))
+    both = pairs.select(
+        "d1",
+        "d2",
+        sim._dot("e1", "e2").alias("lit"),
+        sim.pair_dot_arrow_exact("e1", "e2").alias("arw"),
+    ).collect()
+    assert len(both) > 100
+    for r in both:
+        assert r["lit"] == r["arw"], (r["d1"], r["d2"])  # bitwise on doubles
+    auto = pairs.select(sim.pair_dot_auto("e1", "e2").alias("d"))
+    assert "EvalPython" in auto._jdf.queryExecution().executedPlan().toString()
+    monkeypatch.setattr(sim, "PAIR_DOT_ARROW", False)
+    expr = pairs.select(sim.pair_dot_auto("e1", "e2").alias("d"))
+    assert (
+        "EvalPython"
+        not in expr._jdf.queryExecution().executedPlan().toString()
+    )
+
+
 def test_kmeans_assign_arrow_exact_tie_rule(spark):
     """EXACT distance ties break to the smallest cluster id on BOTH
     paths — the case the beyond-cap GEMM cannot guarantee but the
