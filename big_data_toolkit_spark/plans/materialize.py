@@ -70,36 +70,58 @@ def build_artifacts(spark: SparkSession, sf_dir: str, workdir: str) -> dict[str,
     cents_path = os.path.join(workdir, CENTROIDS_DIR)
     comps_path = os.path.join(workdir, COMPONENTS_DIR)
 
-    # localCheckpoint before the sorted write: repartitionByRange SAMPLES
-    # its child to pick range bounds, which would otherwise recompute the
-    # whole tokenize+shingle+band+verify pipeline a second time.
-    write_sorted_bucketed(
-        dedup_minhash_lsh(spark, sf_dir).localCheckpoint(), pairs_path, "d1"
-    )
+    def _build_pair_chain() -> None:
+        spark.sparkContext.setJobDescription("artifacts: neardup pair graph")
+        # localCheckpoint before the sorted write: repartitionByRange
+        # SAMPLES its child to pick range bounds, which would otherwise
+        # recompute the whole tokenize+shingle+band+verify pipeline a
+        # second time.
+        write_sorted_bucketed(
+            dedup_minhash_lsh(spark, sf_dir).localCheckpoint(),
+            pairs_path,
+            "d1",
+        )
+        # Component closure FROM the stored pairs: the propagation rounds
+        # run over the just-written (pair-graph-sized ≪ corpus) table, so
+        # this adds no corpus pass — it turns the pairwise artifact into
+        # the cluster-level one that the survivor-selection and split
+        # consumers key on (their docstrings name this as the at-scale
+        # path).
+        write_sorted_bucketed(
+            dedup_components(
+                spark, sf_dir, pairs=spark.read.parquet(pairs_path)
+            ),
+            comps_path,
+            "doc_id",
+        )
 
-    # Component closure FROM the stored pairs: the propagation rounds
-    # run over the just-written (pair-graph-sized ≪ corpus) table, so
-    # this adds no corpus pass — it turns the pairwise artifact into the
-    # cluster-level one that the survivor-selection and split consumers
-    # key on (their docstrings name this as the at-scale path).
-    write_sorted_bucketed(
-        dedup_components(
-            spark, sf_dir, pairs=spark.read.parquet(pairs_path)
-        ),
-        comps_path,
-        "doc_id",
-    )
+    def _build_centroid_chain() -> str | None:
+        spark.sparkContext.setJobDescription("artifacts: Lloyd centroids")
+        _, cents = _lloyd(spark, sf_dir)
+        _write_centroid_table(cents_path, cents)
+        # Derived-K SemDeDup centroids: the fixed-K table above is the one
+        # knn_ivf_trained's (oracle-pinned K=16) consumers key on, but
+        # semantic_dedup's cost model requires K ∝ corpus size — on a
+        # corpus past the 16-cluster envelope, train and persist a SECOND
+        # centroid table at the derived K so the stored path runs the same
+        # clustering the in-plan op does (at gate scales the derivation
+        # floors to 16 and the shared table serves both, so nothing extra
+        # is written).
+        return _write_semantic_centroids(spark, sf_dir, workdir)
 
-    _, cents = _lloyd(spark, sf_dir)
-    _write_centroid_table(cents_path, cents)
-    # Derived-K SemDeDup centroids: the fixed-K table above is the one
-    # knn_ivf_trained's (oracle-pinned K=16) consumers key on, but
-    # semantic_dedup's cost model requires K ∝ corpus size — on a corpus
-    # past the 16-cluster envelope, train and persist a SECOND centroid
-    # table at the derived K so the stored path runs the same clustering
-    # the in-plan op does (at gate scales the derivation floors to 16 and
-    # the shared table serves both, so nothing extra is written).
-    sem_path = _write_semantic_centroids(spark, sf_dir, workdir)
+    # The pair chain reads `documents`, the centroid chain `embeddings` —
+    # fully independent job DAGs, so they run CONCURRENTLY from a 2-thread
+    # pool (guide §2.6: overlap independent jobs so one chain's straggler
+    # tail back-fills with the other's tasks; job descriptions are
+    # thread-local, so the UI stays labelled). Artifacts and their bytes
+    # are identical to the sequential build — only the wall clock changes.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        pair_f = pool.submit(_build_pair_chain)
+        sem_f = pool.submit(_build_centroid_chain)
+        pair_f.result()
+        sem_path = sem_f.result()
     out = {
         PAIRS_DIR: pairs_path,
         CENTROIDS_DIR: cents_path,
