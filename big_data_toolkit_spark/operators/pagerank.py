@@ -593,13 +593,19 @@ def lpa_labels(
         .withColumn("community", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(rounds):
+    for i in range(rounds):
         labels = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy(edges["src"].alias("node"))
             .agg(F.mode("community", True).alias("community"))
-            .localCheckpoint()
         )
+        # Checkpoint every SECOND round (plus the last): the aggregation
+        # already leaves labels hash-partitioned on node, so a 2-round
+        # lazy chain still joins exchange-free; materializing half as
+        # often halves the loop's action count while keeping every plan
+        # ≤ 2 joins deep (the dedup_components cadence).
+        if i % 2 == 1 or i == rounds - 1:
+            labels = labels.localCheckpoint()
     return labels
 
 
