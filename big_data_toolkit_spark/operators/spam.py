@@ -276,7 +276,7 @@ def batch_gd_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     inv_tick = 1.0 / GD_TICK
-    for _ in range(GD_ITERS):
+    for _it in range(GD_ITERS):
         scores = (
             feats.join(w, "feature", "left")
             .groupBy("doc_id", "y")
@@ -301,19 +301,22 @@ def batch_gd_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("feature")
             .agg(F.sum("rt").alias("gt"))
         )
-        w = (
-            grad.join(w, "feature", "left")
-            .select(
-                "feature",
-                (
-                    F.coalesce(F.col("w_ticks"), F.lit(0))
-                    + F.floor(F.col("gt") * F.lit(GD_LR) + F.lit(0.5)).cast(
-                        "long"
-                    )
-                ).alias("w_ticks"),
-            )
-            .localCheckpoint()
+        w = grad.join(w, "feature", "left").select(
+            "feature",
+            (
+                F.coalesce(F.col("w_ticks"), F.lit(0))
+                + F.floor(F.col("gt") * F.lit(GD_LR) + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("w_ticks"),
         )
+        # Materialize the vocab-sized weight table every SECOND iteration
+        # (plus the last): a 2-iteration lazy chain keeps every plan ≤ 2
+        # gradient steps deep while halving the loop's action count —
+        # the dedup_components / lpa_labels cadence. Values are exact
+        # integer ticks, so chaining changes nothing downstream.
+        if _it % 2 == 1 or _it == GD_ITERS - 1:
+            w = w.localCheckpoint()
     return w
 
 
