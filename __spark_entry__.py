@@ -62,8 +62,9 @@ _MODULES = [
 # bound this round) plus 18 of the r10-rowed ones.  The gate bound is
 # period-aware with a hard cap (`scripts/plan_rotation.py:max_row_age`,
 # ADVICE r11): allowed age = min(max(3, ceil(registry/50)), 5) = 4 at
-# 181 registered queries.  `--check --project 4` verifies the r13-r17
-# projections clean.
+# 182 registered queries (the r13 closing amendment registered the
+# 182nd; the rotation math is unchanged).  `--check --project 4`
+# verifies the r13-r17 projections clean.
 _HEAD = [
     "pmi_stripes",
     "sequence_pack",

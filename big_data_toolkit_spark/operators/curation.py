@@ -671,32 +671,48 @@ def manifest_compact(
     if pairs is None:
         pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
     corpus_pairs = pairs.where(~_is_new(F.col("d1")) & ~_is_new(F.col("d2")))
-    full_comp = (
-        dedup_components(spark, sf_dir, pairs=pairs) if comp is None else comp
-    )
-    # ONE quality pass serves both pipelines: the post manifest's
-    # (quality, ws_tokens) and the prev state's q_prev are the same
-    # 6-decimal-rounded score over the same corpus scan, so staging it
-    # once and handing it to ``training_manifest`` halves the regex-heavy
-    # map work this op used to pay (the old shape ran the scan once per
-    # pipeline).
-    docs = load_table(spark, sf_dir, "documents")
-    e = quality_expressions()
-    ws = F.size(F.filter(F.split("text", " +"), lambda t: t != F.lit("")))
-    scored = docs.select(
-        "doc_id",
-        F.round(e["score"], 6).alias("quality"),
-        ws.cast("long").alias("ws_tokens"),
-    ).localCheckpoint()
-    # The post state IS training_manifest over the full closure — the
-    # pipeline cannot drift from the gated op because it IS the gated op.
-    post = training_manifest(
-        spark, sf_dir, budget, comp=full_comp, scored=scored
-    )
+    # The corpus-only closure shares only the CHECKPOINTED pair table with
+    # the post pipeline and writes nothing, so its eager checkpoint chain
+    # is an independent job DAG — run it from a side thread (guide §2.6,
+    # the ``build_artifacts`` pattern) so its rounds back-fill the
+    # stragglers of the full closure + quality scan + post manifest built
+    # on the main thread (r14, VERDICT r13 item 4). Neither chain reads
+    # the ``events`` table, so the nanosAsLong set/restore in
+    # ``load_table`` is not in play across these threads.
+    from concurrent.futures import ThreadPoolExecutor
 
-    corp_comp = dedup_components(
-        spark, sf_dir, pairs=corpus_pairs
-    ).localCheckpoint()
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        corp_fut = pool.submit(
+            lambda: dedup_components(
+                spark, sf_dir, pairs=corpus_pairs
+            ).localCheckpoint()
+        )
+        full_comp = (
+            dedup_components(spark, sf_dir, pairs=pairs)
+            if comp is None
+            else comp
+        )
+        # ONE quality pass serves both pipelines: the post manifest's
+        # (quality, ws_tokens) and the prev state's q_prev are the same
+        # 6-decimal-rounded score over the same corpus scan, so staging it
+        # once and handing it to ``training_manifest`` halves the
+        # regex-heavy map work this op used to pay (the old shape ran the
+        # scan once per pipeline).
+        docs = load_table(spark, sf_dir, "documents")
+        e = quality_expressions()
+        ws = F.size(F.filter(F.split("text", " +"), lambda t: t != F.lit("")))
+        scored = docs.select(
+            "doc_id",
+            F.round(e["score"], 6).alias("quality"),
+            ws.cast("long").alias("ws_tokens"),
+        ).localCheckpoint()
+        # The post state IS training_manifest over the full closure — the
+        # pipeline cannot drift from the gated op because it IS the gated
+        # op.
+        post = training_manifest(
+            spark, sf_dir, budget, comp=full_comp, scored=scored
+        )
+        corp_comp = corp_fut.result()
     prev_scored = scored.select("doc_id", F.col("quality").alias("q_prev"))
     matches = (
         pairs.where(_is_new(F.col("d1")) & ~_is_new(F.col("d2")))

@@ -83,8 +83,13 @@ def personalized_pagerank(
     # distinct) is the expensive part of both.  Cache it lazily: the first
     # job pays the scan once, the second reads the cache, no extra action
     # (measured: one full lineitem scan + distinct removed from the
-    # wedges job at sf0.1).
-    edges = edges.cache()
+    # wedges job at sf0.1).  Only install (and later release) the cache if
+    # the CALLER had not already cached this plan — Spark's cache is keyed
+    # by logical plan, so an unconditional unpersist() here would silently
+    # evict a caller's own cache of the identical edges frame (ADVICE r13).
+    _edges_cache_installed = not edges.is_cached
+    if _edges_cache_installed:
+        edges = edges.cache()
 
     # ONE exploded-ends aggregation yields the node set, out-degrees, AND the
     # dangling set (deg == 0) in a single shuffle — replacing the separate
@@ -141,7 +146,8 @@ def personalized_pagerank(
     n_parts = max(1, min(n_edges // 1_000_000 + 1, 2000))
     wedges = real.union(virtual).repartition(n_parts, "src").cache()
     wedges.count()  # materialize once
-    edges.unpersist()  # both consumers (degrees, weighted edges) are done
+    if _edges_cache_installed:  # both consumers (degrees, wedges) are done
+        edges.unpersist()
 
     is_source = F.col("node").isin(list(sources))
 

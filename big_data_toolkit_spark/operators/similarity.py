@@ -82,16 +82,59 @@ def pair_dot_arrow_exact(a, b) -> Column:
     the embedding-dedup family run one such fold per CANDIDATE PAIR,
     which dominated their post-join cost."""
 
+    def _row_fold(x, y):
+        # The expression fold's exact degenerate semantics: a NULL array,
+        # a NULL element, or a length mismatch (zip_with pads with null)
+        # all make the fold NULL (ADVICE r13 — without this the two
+        # PAIR_DOT_ARROW dispatch paths only agreed on clean data: the
+        # vectorized path raised on ragged input and coerced element
+        # nulls to NaN).  One documented residual: a genuine NaN PAYLOAD
+        # yields NaN from the expression fold but NULL here — Spark's
+        # Arrow return serializer nulls NaN for double UDFs regardless of
+        # dtype (measured: both float64 and object NaN arrive as None),
+        # so the boundary itself cannot carry NaN.  Spark orders NaN as
+        # the GREATEST double, so a NaN cosine passes a >= threshold
+        # where NULL does not — the dispatch paths genuinely diverge on
+        # NaN payloads.  Call sites require NaN-free embeddings (the
+        # engine's embedding tables are finite float32 by construction);
+        # pinned by the degenerate-input test.
+        if x is None or y is None or len(x) != len(y):
+            return None
+        acc = 0.0
+        for xi, yi in zip(x, y):  # in-order fold, i ascending
+            if xi is None or yi is None:
+                return None
+            acc += float(xi) * float(yi)
+        return acc
+
     @F.pandas_udf("double")
     def pdot(xs: pd.Series, ys: pd.Series) -> pd.Series:
         if len(xs) == 0:
             return pd.Series([], dtype="float64")
-        A = np.array(xs.tolist(), dtype=np.float64)
-        B = np.array(ys.tolist(), dtype=np.float64)
-        acc = np.zeros(A.shape[0])
-        for i in range(A.shape[1]):
-            acc += A[:, i] * B[:, i]  # in-order fold, i ascending
-        return pd.Series(acc)
+        xl, yl = xs.tolist(), ys.tolist()
+        try:
+            A = np.array(xl, dtype=np.float64)
+            B = np.array(yl, dtype=np.float64)
+            # NaN can be a coerced NULL element (None → NaN) — only a
+            # NaN-free batch is provably clean; real NaN payloads take the
+            # row fold below, which reproduces them exactly (acc stays the
+            # same IEEE sequence either way).
+            if (
+                A.ndim == 2
+                and B.ndim == 2
+                and A.shape == B.shape
+                and not np.isnan(A).any()
+                and not np.isnan(B).any()
+            ):
+                acc = np.zeros(A.shape[0])
+                for i in range(A.shape[1]):
+                    acc += A[:, i] * B[:, i]  # in-order fold, i ascending
+                return pd.Series(acc)
+        except (TypeError, ValueError):
+            pass  # NULL / ragged rows: per-row exact replay below
+        return pd.Series(
+            [_row_fold(x, y) for x, y in zip(xl, yl)], dtype="float64"
+        )
 
     return pdot(a, b)
 

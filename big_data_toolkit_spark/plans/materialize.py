@@ -115,6 +115,13 @@ def build_artifacts(spark: SparkSession, sf_dir: str, workdir: str) -> dict[str,
     # tail back-fills with the other's tasks; job descriptions are
     # thread-local, so the UI stays labelled). Artifacts and their bytes
     # are identical to the sequential build — only the wall clock changes.
+    #
+    # CONSTRAINT (ADVICE r13): `load_table('events')` flips the
+    # session-global nanosAsLong conf with a set/restore, which is NOT
+    # thread-safe — neither chain reads `events` today, and any future
+    # artifact that does must either run outside this pool or move that
+    # read to a per-read option. Session confs are process-global; job
+    # descriptions are the only thread-local state relied on here.
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as pool:

@@ -163,6 +163,39 @@ def test_components_equal_transitive_closure(spark):
     assert got == truth
 
 
+def _min_prop_rounds(pairs: list, rounds: int) -> dict:
+    """Pure-Python replica of the fixed-round min-label propagation the
+    unrolled oracle CTE computes (NOT full convergence)."""
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).update({a, b})
+        adj.setdefault(b, set()).update({a, b})
+    labels = {v: v for v in adj}
+    for _ in range(rounds):
+        labels = {v: min(labels[u] for u in adj[v]) for v in adj}
+    return labels
+
+
+def test_components_early_exit_equals_fixed_rounds(spark):
+    """r14 convergence early-exit: the Observation-gated break must return
+    EXACTLY the fixed CC_ITERS-round result in both regimes — a star graph
+    that converges in round 0 (the exit fires at the first probe) and a
+    long path whose diameter exceeds CC_ITERS (the exit must NOT fire
+    early, and the pre-convergence labels must still equal the unrolled
+    oracle's fixed-round labels)."""
+    star = [(50, 51), (50, 52), (50, 53), (50, 54)]
+    chain = [(i, i + 1) for i in range(100, 112)]  # diameter 12 > CC_ITERS
+    for raw in (star, chain, star + chain):
+        pairs = spark.createDataFrame(raw, "d1 long, d2 long")
+        got = {
+            r["doc_id"]: r["component"]
+            for r in dedup.dedup_components(
+                spark, SF_ORACLE, pairs=pairs
+            ).collect()
+        }
+        assert got == _min_prop_rounds(raw, dedup.CC_ITERS)
+
+
 def test_star_components_matches_propagation_on_real_pairs(spark):
     """On the sf-oracle MinHash pair graph (shallow clusters, both methods
     fully converged) alternating-star must equal min-label propagation."""

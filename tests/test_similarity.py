@@ -724,6 +724,49 @@ def test_pair_dot_arrow_exact_bitwise(spark, monkeypatch):
     )
 
 
+def test_pair_dot_arrow_degenerate_inputs_match_expression(spark):
+    """ADVICE r13: NULL arrays, ragged lengths, and NULL elements must
+    yield NULL from BOTH dispatch paths (the r13 UDF raised on ragged
+    batches and coerced element nulls to NaN). NaN payloads are the one
+    documented DIVERGENCE: the Arrow boundary nulls NaN for double UDFs,
+    and Spark orders NaN greatest, so expression-NaN passes a >=
+    threshold where Arrow-NULL does not — call sites therefore require
+    NaN-free embeddings (the engine's tables are finite by
+    construction). This test pins both halves of that contract."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, [1.0, 2.0], [3.0, 4.0]),       # clean
+        (2, None, [1.0, 2.0]),             # NULL array
+        (3, [1.0, 2.0, 5.0], [1.0, 2.0]),  # ragged
+        (4, [1.0, None], [1.0, 2.0]),      # NULL element
+        (6, [], []),                       # empty (fold seed: 0.0)
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    got = df.select(
+        "id",
+        sim._dot("a", "b").alias("lit"),
+        sim.pair_dot_arrow_exact("a", "b").alias("arw"),
+    ).collect()
+    for r in got:
+        assert r["lit"] == r["arw"] or (
+            r["lit"] is None and r["arw"] is None
+        ), (r["id"], r["lit"], r["arw"])
+    # NaN payload: the documented divergence — expression NaN (ordered
+    # greatest, passes >=) vs Arrow NULL (fails >=). If either half of
+    # this pin moves (a Spark release that carries NaN across Arrow, or
+    # changed NaN ordering), re-audit the dispatch contract.
+    nan_df = spark.createDataFrame(
+        [([float("nan"), 1.0], [1.0, 1.0])], "a array<double>, b array<double>"
+    )
+    r = nan_df.select(
+        F.isnan(sim._dot("a", "b")).alias("lit_nan"),
+        (sim._dot("a", "b") >= F.lit(0.0)).alias("lit_ge"),
+        sim.pair_dot_arrow_exact("a", "b").alias("arw"),
+    ).first()
+    assert r["lit_nan"] and r["lit_ge"] and r["arw"] is None
+
+
 def test_kmeans_assign_arrow_exact_tie_rule(spark):
     """EXACT distance ties break to the smallest cluster id on BOTH
     paths — the case the beyond-cap GEMM cannot guarantee but the
