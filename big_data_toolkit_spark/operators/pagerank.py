@@ -573,6 +573,18 @@ def lpa_labels(
     ``label_propagation_communities``, factored out so property tests can
     drive it over arbitrary generated graphs against a pure-Python
     replica."""
+    # Stage the aggregated pair table ONCE before fanning out (r14): the
+    # symmetrize union references `pairs` twice, the self-loop union a
+    # third time (via the node distinct), and the label init a fourth —
+    # with `pairs` lazy, the edges checkpoint plan embedded EIGHT copies
+    # of the upstream scan+aggregate chain and the labels checkpoint four
+    # more (captured: 8 + 4 parquet-scan chains per loop setup; exchange
+    # reuse does not reliably merge the differently-projected branches —
+    # the dedup_components lesson). The pair table is edge-sized (≪
+    # corpus), so one cheap materialization turns every downstream
+    # reference into an RDD scan: the corpus is now scanned once per
+    # query instead of up to twelve times.
+    pairs = pairs.select("a", "b").localCheckpoint()
     sym = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
@@ -589,6 +601,9 @@ def lpa_labels(
     # exchange instead of rounds x three.
     edges = (
         sym.union(  # self-loops carry each node's own vote via the join
+            # exactly ONE self-loop per node — mode() counts votes, so
+            # (unlike the MIN closure) duplicate self-loops would
+            # double-count self-votes; the distinct is load-bearing.
             nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
         )
         .repartition("dst")
@@ -599,18 +614,50 @@ def lpa_labels(
         .withColumn("community", F.col("node"))
         .localCheckpoint()
     )
+    from pyspark.sql import Observation
+
     for i in range(rounds):
+        # Non-final checkpoint rounds also keep each node's OWN previous
+        # label (the single self-loop row is the src == dst join partner)
+        # and observe the changed-label count during the checkpoint job —
+        # the r14 dedup_components convergence pattern. changed == 0 means
+        # labels_i == labels_{i-1}; the synchronous vote is a
+        # deterministic function of the labels, so every later round is a
+        # no-op and stopping returns EXACTLY the fixed-round oracle
+        # result (the mode vote is idempotent at its fixpoint).
+        probe = i % 2 == 1 and i != rounds - 1
+        aggs = [F.mode("community", True).alias("community")]
+        if probe:
+            aggs.append(
+                F.min(
+                    F.when(edges["src"] == edges["dst"], F.col("community"))
+                ).alias("_prev")
+            )
         labels = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy(edges["src"].alias("node"))
-            .agg(F.mode("community", True).alias("community"))
+            .agg(*aggs)
         )
         # Checkpoint every SECOND round (plus the last): the aggregation
         # already leaves labels hash-partitioned on node, so a 2-round
         # lazy chain still joins exchange-free; materializing half as
         # often halves the loop's action count while keeping every plan
         # ≤ 2 joins deep (the dedup_components cadence).
-        if i % 2 == 1 or i == rounds - 1:
+        if probe:
+            obs = Observation()
+            labels = (
+                labels.observe(
+                    obs,
+                    F.sum(
+                        (F.col("community") != F.col("_prev")).cast("long")
+                    ).alias("chg"),
+                )
+                .select("node", "community")
+                .localCheckpoint()
+            )
+            if not obs.get["chg"]:  # 0 or None (empty graph): fixpoint
+                break
+        elif i % 2 == 1 or i == rounds - 1:
             labels = labels.localCheckpoint()
     return labels
 

@@ -240,7 +240,16 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     float order).
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokenize("text").alias("t"))
+    # Stage the tokenized corpus ONCE (r14, the spam-family §2.4/§5
+    # shape): the bigram spine, the bigram dictionary, and the THREE
+    # unigram-dictionary references all re-derived (scan + regex
+    # tokenize) from the raw text — the captured plan embedded TEN
+    # parquet scan chains; map-only branches have no exchange to reuse.
+    # One checkpoint of the (doc_id, tokens) frame turns every reference
+    # into an RDD scan; at 100 TB this is the same "stage the exploded
+    # frame" call the spam family makes, and a real pipeline would stage
+    # its tokenized corpus at exactly this boundary.
+    toks = docs.select("doc_id", tokenize("text").alias("t")).localCheckpoint()
     bg = (
         toks.where(F.size("t") >= 2)
         .select("doc_id", F.explode(adjacent_pairs("t")).alias("p"))

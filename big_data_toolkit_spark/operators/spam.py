@@ -310,13 +310,22 @@ def batch_gd_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("w_ticks"),
         )
-        # Materialize the vocab-sized weight table every SECOND iteration
-        # (plus the last): a 2-iteration lazy chain keeps every plan ≤ 2
-        # gradient steps deep while halving the loop's action count —
-        # the dedup_components / lpa_labels cadence. Values are exact
-        # integer ticks, so chaining changes nothing downstream.
-        if _it % 2 == 1 or _it == GD_ITERS - 1:
-            w = w.localCheckpoint()
+        # Materialize the vocab-sized weight table EVERY iteration (r14,
+        # ADVICE r13): unlike the closure/LPA label tables — referenced
+        # once per round — a lazy ``w`` is referenced TWICE by the next
+        # iteration (the scores join and the grad-update join), and the
+        # captured plan shows the duplicated corpus-sized gradient
+        # subtree with NO static ReusedExchange (20 RDD scans in the
+        # 2-step chain vs 8 for one step); avoiding the double execution
+        # relied on runtime reuse this repo's own dedup notes call
+        # unreliable across differently-shaped branches. The two
+        # cadences measured a wash at sf0.1 (train 2.244 vs 2.236 s,
+        # score 2.484 vs 2.349 — 5-trial medians), so the per-iteration
+        # checkpoint is kept: the extra action is vocab-sized-cheap and
+        # the at-scale risk (a corpus-sized gradient step running twice)
+        # is gone by construction. Values are exact integer ticks, so
+        # the cadence changes nothing downstream either way.
+        w = w.localCheckpoint()
     return w
 
 
