@@ -576,14 +576,14 @@ def lpa_labels(
     # Stage the aggregated pair table ONCE before fanning out (r14): the
     # symmetrize union references `pairs` twice, the self-loop union a
     # third time (via the node distinct), and the label init a fourth —
-    # with `pairs` lazy, the edges checkpoint plan embedded EIGHT copies
-    # of the upstream scan+aggregate chain and the labels checkpoint four
-    # more (captured: 8 + 4 parquet-scan chains per loop setup; exchange
+    # with `pairs` lazy, the edges checkpoint plan embedded FOUR copies
+    # of the upstream scan+aggregate chain and the labels checkpoint two
+    # more (captured: 4 + 2 parquet-scan operators per loop setup; exchange
     # reuse does not reliably merge the differently-projected branches —
     # the dedup_components lesson). The pair table is edge-sized (≪
     # corpus), so one cheap materialization turns every downstream
     # reference into an RDD scan: the corpus is now scanned once per
-    # query instead of up to twelve times.
+    # query instead of up to six times.
     pairs = pairs.select("a", "b").localCheckpoint()
     sym = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))

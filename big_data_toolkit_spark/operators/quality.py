@@ -243,8 +243,8 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stage the tokenized corpus ONCE (r14, the spam-family §2.4/§5
     # shape): the bigram spine, the bigram dictionary, and the THREE
     # unigram-dictionary references all re-derived (scan + regex
-    # tokenize) from the raw text — the captured plan embedded TEN
-    # parquet scan chains; map-only branches have no exchange to reuse.
+    # tokenize) from the raw text — the captured plan embedded FIVE
+    # distinct parquet scan chains; map-only branches have no exchange to reuse.
     # One checkpoint of the (doc_id, tokens) frame turns every reference
     # into an RDD scan; at 100 TB this is the same "stage the exploded
     # frame" call the spam family makes, and a real pipeline would stage

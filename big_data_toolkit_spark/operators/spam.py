@@ -315,8 +315,8 @@ def batch_gd_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         # once per round — a lazy ``w`` is referenced TWICE by the next
         # iteration (the scores join and the grad-update join), and the
         # captured plan shows the duplicated corpus-sized gradient
-        # subtree with NO static ReusedExchange (20 RDD scans in the
-        # 2-step chain vs 8 for one step); avoiding the double execution
+        # subtree with NO static ReusedExchange (10 RDD scan operators in
+        # the 2-step chain vs 4 for one step); avoiding the double execution
         # relied on runtime reuse this repo's own dedup notes call
         # unreliable across differently-shaped branches. The two
         # cadences measured a wash at sf0.1 (train 2.244 vs 2.236 s,
